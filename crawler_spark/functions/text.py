@@ -1,0 +1,102 @@
+"""Text-analysis kernels for large-scale training-data pipelines.
+
+All pure JVM column expressions (whole-stage codegen; no Python at all) so
+they hold up on a 100 TB corpus, and each has a 1:1 ANSI-SQL rendering used
+by the DuckDB oracle in ``__spark_entry__.oracle_sql``.
+
+The corpus tables these run over: ``documents(doc_id, text, lang, source,
+n_chars)`` and the crawl engine's span documents. The reference crawler has
+no text analytics beyond per-site counts (baogao.py:56); these are the
+first-class scale additions the engine contributes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker-word lists for the n-gram/stopword language-ID
+# heuristic. Deterministic and SQL-renderable; a production deployment would
+# swap in fastText/CLD3 behind the same column contract.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+# A BPE-ish tokenizer regex: words, numbers, or single non-space symbols.
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens."""
+    return F.split(text, " ")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(text, " ")).cast("long")
+
+
+def token_count_regex(text: Column) -> Column:
+    """BPE-ish token count via regexp_extract_all — matches DuckDB's
+    len(regexp_extract_all(..)) on the same pattern."""
+    return F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_REGEX}', 0)")).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def avg_word_len(text: Column) -> Column:
+    """Mean whitespace-token length, exact rational → rounded to 4 dp so the
+    double matches the oracle bit-for-bit."""
+    w = F.split(text, " ")
+    return F.round(
+        (F.length(text) - (F.size(w) - F.lit(1)).cast("double")) / F.size(w), 4
+    )
+
+
+def stopword_count(text: Column, markers: tuple[str, ...]) -> Column:
+    """How many whitespace tokens are in ``markers`` (with repeats)."""
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return F.size(F.filter(words(text), lambda w: w.isin(*markers))).cast("long")
+
+
+def lang_score_expr(text_col_name: str, markers: tuple[str, ...]) -> Column:
+    """Marker-token count as a SQL-renderable expression (list_filter form)."""
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(
+        f"size(filter(split({text_col_name}, ' '), w -> w in ({in_list})))"
+    ).cast("long")
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards length (capped), word
+    diversity, and low symbol noise. Rounded for oracle stability."""
+    w = F.split(text, " ")
+    n_words = F.size(w).cast("double")
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n_words
+    len_score = F.least(F.length(text).cast("double") / F.lit(400.0), F.lit(1.0))
+    non_alpha = F.length(F.regexp_replace(text, "[a-zA-Z ]", "")).cast("double")
+    noise = non_alpha / F.greatest(F.length(text).cast("double"), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_score + F.lit(0.4) * distinct_ratio + F.lit(0.2) * (1 - noise),
+        4,
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact content fingerprint — md5 hex, identical in Spark and DuckDB."""
+    return F.md5(text)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Ordered n-word shingles as an array<string> — the MinHash/Jaccard
+    input. Pure higher-order built-ins (transform over a sequence)."""
+    return F.expr(
+        "transform("
+        f"  sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 0)),"
+        f"  i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+    )

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline. Dot
+  products via zip_with/aggregate built-ins (JVM, codegen); ranking via a
+  window. Queries are broadcast (the small side by construction).
+- ``lsh_topk``: the scale path — random-hyperplane (sign) LSH buckets; only
+  same-bucket pairs are scored. Sub-quadratic: the self-join key is the
+  bucket id, uniform by construction. Recall vs brute force is checked in
+  tests (multi-probe over Hamming-1 neighbor buckets lifts recall).
+
+Hyperplanes are generated deterministically (numpy PCG64, fixed seed) on
+the driver and inlined as literal arrays — no RNG inside the plan, so the
+same plan is produced on every run (resume/parity safe).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * y),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm(v: str):
+    return F.expr(
+        f"sqrt(aggregate(zip_with({v}, {v}, (x, y) -> cast(x as double) * y),"
+        " 0D, (acc, v) -> acc + v))"
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, rank, cosine). Self-matches excluded.
+    Ties broken by neighbor id for full determinism.
+    """
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(vec_col).alias("cnrm"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(vec_col).alias("qnrm"),
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def bucket_col(vec_col: str, planes: list[list[float]]):
+    """Sign-LSH bucket id: bit i = (vec · plane_i) >= 0. Pure built-ins —
+    each plane is a literal array; dot via zip_with/aggregate."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = "array(" + ",".join(f"{x}D" for x in p) + ")"
+        bits.append(
+            f"shiftleft(if(aggregate(zip_with({vec_col}, {arr},"
+            f" (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v) >= 0D,"
+            f" 1L, 0L), {i})"
+        )
+    return F.expr(" + ".join(bits))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: score only (query, corpus) pairs whose LSH
+    buckets match; with multiprobe, also the query bucket's Hamming-1
+    neighbors (probing 1+n_planes buckets per query)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(vec_col).alias("cnrm"),
+        bucket_col(vec_col, planes).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(vec_col).alias("qnrm"),
+        bucket_col(vec_col, planes).alias("qbucket"),
+    )
+    if multiprobe:
+        probes = F.expr(
+            f"array_union(array(qbucket), transform(sequence(0, {n_planes - 1}),"
+            f" i -> cast(qbucket as bigint) ^ shiftleft(1L, i)))"
+        )
+    else:
+        probes = F.array(F.col("qbucket"))
+    qs = qb.select(
+        "query_id", "qvec", "qnrm", F.explode(probes).alias("bucket")
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm")), 6),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

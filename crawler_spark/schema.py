@@ -1,0 +1,117 @@
+"""Canonical schemas for the crawl engine's tables.
+
+The document schema follows the interleaved-span input shape
+(BASELINE.json ``input_hint``): body paragraphs and in-body images are one
+ordered ``spans`` array, reproducing the reference's order-preserving body
+assembly (reference demo/已部署/zeenews.py:119-122 — paragraphs joined in
+document order) and image collection (demo/已部署/yehey.py:127-134 — header
+image first, then in-paragraph images). The remaining columns mirror the
+``news`` MySQL table (reference demo/pipelines.py:9-23).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),  # 'text' | 'image'
+        T.StructField("text", T.StringType()),  # null for kind='image'
+        T.StructField("media_ref", T.StringType()),  # null for kind='text'
+        T.StructField("offset", T.IntegerType()),  # 0-based document order
+    ]
+)
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),  # md5(response_url) (pipelines.py:50-52)
+        T.StructField("spans", T.ArrayType(SPAN_STRUCT)),
+        T.StructField("title", T.StringType()),
+        T.StructField("abstract", T.StringType()),  # first paragraph default (items.py:8)
+        T.StructField("category1", T.StringType()),
+        T.StructField("category2", T.StringType()),
+        T.StructField("pub_time", T.TimestampType()),  # normalized (items.py:6)
+        T.StructField("cole_time", T.TimestampType()),  # crawl time (pipelines.py:56)
+        T.StructField("website_id", T.IntegerType()),
+        T.StructField("language_id", T.IntegerType()),
+        T.StructField("request_url", T.StringType()),  # dedup key (middlewares.py:51)
+        T.StructField("response_url", T.StringType()),  # identity key (pipelines.py:51)
+    ]
+)
+
+# Frontier row: one pending request. ``seq`` is the lineage-stable ordering
+# key (parent seq + '.' + zero-padded child index) — never
+# monotonically_increasing_id(), which is partition-dependent (SURVEY §4).
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("priority", T.DoubleType()),
+        T.StructField("seq", T.StringType()),
+        T.StructField("parse_kind", T.StringType()),  # menu|list|article|api
+        T.StructField("dont_filter", T.BooleanType()),  # middlewares.py:55 bypass
+        T.StructField("meta_json", T.StringType()),  # lineage meta, JSON-encoded
+        T.StructField("website_id", T.IntegerType()),
+        T.StructField("language_id", T.IntegerType()),
+        T.StructField("batch_id", T.IntegerType()),
+    ]
+)
+
+URL_SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),  # exact request_url (middlewares.py:51)
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("first_seen_batch", T.IntegerType()),
+    ]
+)
+
+SCHEDULED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("batch_id", T.IntegerType()),
+    ]
+)
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.IntegerType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("scheduled", T.LongType()),
+        T.StructField("deduped", T.LongType()),
+        T.StructField("fetched", T.LongType()),
+        T.StructField("bytes", T.LongType()),
+        T.StructField("max_depth", T.IntegerType()),
+    ]
+)
+
+SEEDS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("website_id", T.IntegerType()),
+        T.StructField("language_id", T.IntegerType()),
+    ]
+)
+
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("allow_prefixes", T.ArrayType(T.StringType())),
+        T.StructField("deny_prefixes", T.ArrayType(T.StringType())),
+        T.StructField("crawl_delay", T.DoubleType()),  # default 0.2 s (settings.py:28)
+    ]
+)
+
+# Mock-web page table (tests/bench only; a real deployment fetches HTTP).
+SITE_GRAPH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("response_url", T.StringType()),  # != url on redirect
+        T.StructField("kind", T.StringType()),  # menu|list|article|api
+        T.StructField("payload", T.StringType()),  # JSON body the mock fetch returns
+        T.StructField("host", T.StringType()),
+        T.StructField("bytes", T.LongType()),
+    ]
+)

@@ -1,0 +1,163 @@
+"""Reference-semantics crawl simulator — the parity oracle.
+
+A single-threaded, plain-Python model of the reference crawler's dataflow
+semantics (SURVEY §5.3): exact request_url string dedup with the seen set
+(demo/middlewares.py:50-68), the dont_filter bypass (middlewares.py:55),
+intra-run scheduled-set dedup (Scrapy's engine dupefilter), per-host
+politeness budgets derived from the crawl delay (settings.py:28), and the
+time-cutoff pagination semantics (zeenews.py:96-101) — advanced in the same
+deterministic micro-batch model as the engine.
+
+The Spark engine (streaming/crawl_loop.py) must reproduce this simulator's
+ordered crawl log, final URL-seen set, and document set byte-for-byte at
+any parallelism. Shares ``parse_page`` with the engine so parity tests
+isolate the dataflow, not the per-site parse rules.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from datetime import datetime
+
+from crawler_spark.plans.parser import parse_page
+
+DEFAULT_CRAWL_DELAY = 0.2  # settings.py:28
+
+
+def simulate_crawl(
+    graph: dict,
+    batch_seconds: float = 1.0,
+    crawl_delays: dict[str, float] | None = None,
+    deny_prefixes: dict[str, list[str]] | None = None,
+    url_seen_init: set[str] | None = None,
+    max_batches: int = 1000,
+) -> dict:
+    """Run the reference-semantics crawl over a mock_web graph.
+
+    Returns {crawl_log: [(batch_id, url)...] in canonical order,
+             url_seen: set, docs: {doc_id: doc}, fetch_count: int,
+             batches: int}.
+    """
+    pages = graph["pages"]
+    registry = graph["registry"]
+    cutoff = graph["cutoff_epoch"]
+    as_of: datetime = graph["as_of"]
+    crawl_delays = crawl_delays or {}
+    deny_prefixes = deny_prefixes or {}
+
+    frontier: list[dict] = []
+    for i, s in enumerate(graph["seeds"]):
+        frontier.append(
+            {
+                "url": s["url"],
+                "parse_kind": "menu",
+                "dont_filter": False,
+                "meta": {},
+                "depth": 0,
+                "priority": 0.0,
+                "seq": f"{i:04d}",
+                "website_id": s["website_id"],
+                "language_id": s["language_id"],
+            }
+        )
+
+    url_seen: set[str] = set(url_seen_init or ())
+    scheduled: set[str] = set()
+    crawl_log: list[tuple[int, str]] = []
+    docs: dict[str, dict] = {}
+    fetch_count = 0
+    batch_id = 0
+
+    while frontier and batch_id < max_batches:
+        # --- dedup (SURVEY §2.2): intra-frontier by url keeping min seq ---
+        by_url: dict[str, dict] = {}
+        for r in sorted(frontier, key=lambda r: r["seq"]):
+            if r["url"] not in by_url:
+                by_url[r["url"]] = r
+        cands = [
+            r
+            for r in by_url.values()
+            if r["url"] not in scheduled  # intra-run dupefilter (D3)
+            and (r["dont_filter"] or r["url"] not in url_seen)  # D1/D2
+        ]
+        # --- robots deny prefixes (W2) ---
+        cands = [
+            r for r in cands
+            if not any(
+                _path(r["url"]).startswith(p)
+                for p in deny_prefixes.get(_host(r["url"]), ())
+            )
+        ]
+        # --- per-host politeness admission (T2/W1) ---
+        cands.sort(key=lambda r: (-r["priority"], r["seq"]))
+        admitted, deferred = [], []
+        host_used: dict[str, int] = {}
+        for r in cands:
+            host = _host(r["url"])
+            delay = crawl_delays.get(host, DEFAULT_CRAWL_DELAY)
+            budget = max(1, math.floor(batch_seconds / delay))
+            if host_used.get(host, 0) < budget:
+                host_used[host] = host_used.get(host, 0) + 1
+                admitted.append(r)
+            else:
+                deferred.append(r)
+        if not admitted:
+            break  # all remaining rows are undeliverable
+
+        for r in admitted:
+            scheduled.add(r["url"])
+            crawl_log.append((batch_id, r["url"]))
+
+        # --- fetch + parse ---
+        new_frontier = deferred
+        for r in admitted:
+            page = pages.get(r["url"])
+            fetch_count += 1
+            if page is None:
+                continue  # 404: nothing yielded
+            rule = registry.get(r["website_id"], {})
+            doc, reqs = parse_page(
+                url=r["url"],
+                response_url=page["response_url"],
+                kind=page["kind"],
+                payload_json=__import__("json").dumps(page["payload"]),
+                meta=r["meta"],
+                depth=r["depth"],
+                seq=r["seq"],
+                cutoff_epoch=cutoff,
+                rule=rule.get("rule", "next_link"),
+                as_of=as_of,
+                probe_first=rule.get("probe_first", False),
+            )
+            if doc is not None:
+                doc_id = hashlib.md5(doc["response_url"].encode()).hexdigest()
+                doc["doc_id"] = doc_id
+                doc["website_id"] = r["website_id"]
+                doc["language_id"] = r["language_id"]
+                docs[doc_id] = doc
+                url_seen.add(doc["request_url"])  # pipelines.py insert → probe hit
+            for child in reqs:
+                child["website_id"] = r["website_id"]
+                child["language_id"] = r["language_id"]
+                new_frontier.append(child)
+
+        frontier = new_frontier
+        batch_id += 1
+
+    return {
+        "crawl_log": crawl_log,
+        "url_seen": url_seen,
+        "docs": docs,
+        "fetch_count": fetch_count,
+        "batches": batch_id,
+    }
+
+
+def _host(url: str) -> str:
+    return url.split("://", 1)[-1].split("/", 1)[0].split(":", 1)[0].lower()
+
+
+def _path(url: str) -> str:
+    rest = url.split("://", 1)[-1]
+    return rest[rest.find("/"):] if "/" in rest else ""

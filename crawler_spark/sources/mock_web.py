@@ -1,0 +1,197 @@
+"""Deterministic mock web — the crawl tests' stand-in for the network.
+
+Generates a synthetic site graph shaped like the reference's corpus
+(SURVEY §2.9, FIXTURES.md §2): per site a menu page → category list chains
+(all four pagination rule types) → article pages with interleaved
+text/image content. Includes the adversarial features the tests need:
+duplicate links across categories (dedup, middlewares.py:50-68), one
+skewed host holding most URLs (salting), articles straddling the cutoff
+mid-list (stop-at-first-old, zeenews.py:96-101), redirects
+(request_url ≠ response_url, items stamped at middlewares.py:25-26), and a
+dont_filter probe site (maharashtratimes.py:43-49).
+
+Everything is seeded (random.Random(seed)) — no wall clock, no network.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crawler_spark.plans.parser import (
+    API_PAGE,
+    NEXT_LINK,
+    OFFSET_PARAM,
+    PAGE_PARAM,
+)
+from crawler_spark.schema import SEEDS_SCHEMA, SITE_GRAPH_SCHEMA
+
+MONTH_ABBR = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+RULES = [NEXT_LINK, PAGE_PARAM, OFFSET_PARAM, API_PAGE]
+
+AS_OF = datetime(2021, 6, 1, 0, 0, 0)  # deterministic 'now' anchor
+BASE_DT = datetime(2021, 5, 30, 12, 0, 0)  # newest article time
+
+WORDS = ("the spark frontier crawls pages with ordered spans and polite "
+         "delays while bloom filters prune seen urls fast").split()
+
+
+def _fmt_pub(dt: datetime) -> str:
+    """'Jan 5, 2021, 14:30' — absolute branch of format_time2 (util.py:49-53)."""
+    return f"{MONTH_ABBR[dt.month - 1]} {dt.day}, {dt.year}, {dt.hour:02d}:{dt.minute:02d}"
+
+
+def _para(rng: random.Random, n: int = 8) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def build_site_graph(
+    n_sites: int = 4,
+    cats_per_site: int = 2,
+    pages_per_cat: int = 2,
+    entries_per_page: int = 4,
+    skew_pages: int = 0,
+    dup_fraction: float = 0.15,
+    seed: int = 42,
+) -> dict:
+    """Returns {pages, seeds, registry, cutoff_epoch, as_of}.
+
+    ``pages``: url → page dict (url, response_url, kind, payload(dict),
+    host, bytes). ``skew_pages``: extra list pages for site 0's first
+    category (the mega-host skew fixture).
+    """
+    rng = random.Random(seed)
+    pages: dict[str, dict] = {}
+    seeds = []
+    registry: dict[int, dict] = {}
+
+    # Cutoff: entries get older one hour per step; put the cutoff so roughly
+    # the newest ~60% of each chain passes.
+    total_steps = cats_per_site * (pages_per_cat + skew_pages) * entries_per_page
+    cutoff_dt = BASE_DT - timedelta(hours=max(2, int(total_steps * 0.6)))
+    cutoff_epoch = cutoff_dt.replace(tzinfo=timezone.utc).timestamp()
+
+    def add_page(url, kind, payload, host, response_url=None):
+        pages[url] = {
+            "url": url,
+            "response_url": response_url or url,
+            "kind": kind,
+            "payload": payload,
+            "host": host,
+            "bytes": 500 + len(json.dumps(payload)),
+        }
+
+    for s in range(n_sites):
+        host = f"site{s}.example.com"
+        website_id = 1000 + s
+        language_id = 1930 if s % 2 == 0 else 1866  # corpus census (SURVEY §1.1)
+        rule = RULES[s % len(RULES)]
+        registry[website_id] = {
+            "rule": rule,
+            "probe_first": rule == PAGE_PARAM,  # maharashtratimes-style site
+        }
+        menu_url = f"http://{host}/"
+        seeds.append({"url": menu_url, "website_id": website_id,
+                      "language_id": language_id})
+
+        cats = []
+        site_articles: list[str] = []  # for cross-category duplicate links
+        step = 0
+        for c in range(cats_per_site):
+            label = f"cat{s}-{c}"
+            n_pages = pages_per_cat + (skew_pages if (s == 0 and c == 0) else 0)
+            if rule == NEXT_LINK:
+                first = f"http://{host}/c{c}"
+            elif rule == PAGE_PARAM:
+                first = f"http://{host}/c{c}?page=1"
+            elif rule == OFFSET_PARAM:
+                first = f"http://{host}/c{c}?start=0"
+            else:
+                first = f"http://{host}/api/c{c}?page=1"
+            cats.append({"href": first, "label": label,
+                         "excluded": c == cats_per_site - 1 and s == 1})
+
+            for p in range(n_pages):
+                if rule == NEXT_LINK:
+                    url = f"http://{host}/c{c}" + (f"?p={p}" if p else "")
+                    nxt = f"http://{host}/c{c}?p={p + 1}" if p + 1 < n_pages else None
+                elif rule == PAGE_PARAM:
+                    url = f"http://{host}/c{c}?page={p + 1}"
+                elif rule == OFFSET_PARAM:
+                    url = f"http://{host}/c{c}?start={p * 20}"
+                else:
+                    url = f"http://{host}/api/c{c}?page={p + 1}"
+
+                entries = []
+                for e in range(entries_per_page):
+                    pub_dt = BASE_DT - timedelta(hours=step)
+                    step += 1
+                    if site_articles and rng.random() < dup_fraction:
+                        a_url = rng.choice(site_articles)  # duplicate link
+                    else:
+                        a_url = f"http://{host}/a/{s}_{c}_{p}_{e}"
+                        if a_url not in pages:
+                            redirect = (len(pages) % 7 == 3)
+                            paras = [_para(rng) for _ in range(rng.randint(2, 4))]
+                            imgs = [
+                                {"after_para": i, "src": f"/img/{s}_{c}_{p}_{e}_{i}.jpg"}
+                                for i in range(len(paras))
+                                if rng.random() < 0.4
+                            ]
+                            add_page(
+                                a_url,
+                                "article",
+                                {
+                                    "title": f"Article {s}-{c}-{p}-{e}",
+                                    "paras": paras,
+                                    "imgs": imgs,
+                                    "pub_time_raw": _fmt_pub(pub_dt),
+                                    "abstract": paras[0] if rng.random() < 0.5 else None,
+                                },
+                                host,
+                                response_url=(a_url + "?amp=1") if redirect else None,
+                            )
+                            site_articles.append(a_url)
+                    entries.append(
+                        {
+                            "href": a_url,
+                            "title": f"Entry {s}-{c}-{p}-{e}",
+                            "pub_time_raw": _fmt_pub(pub_dt),
+                            "img": f"http://{host}/lead/{s}_{c}_{p}_{e}.jpg"
+                            if rng.random() < 0.7 else None,
+                        }
+                    )
+                payload = {"entries": entries, "category1_echo": label}
+                if rule == NEXT_LINK:
+                    payload["next"] = nxt
+                else:
+                    payload["has_more"] = p + 1 < n_pages
+                add_page(url, "api" if rule == API_PAGE else "list", payload, host)
+
+        add_page(menu_url, "menu", {"categories": cats}, host)
+
+    return {
+        "pages": pages,
+        "seeds": seeds,
+        "registry": registry,
+        "cutoff_epoch": cutoff_epoch,
+        "as_of": AS_OF,
+    }
+
+
+def site_graph_df(spark: SparkSession, graph: dict) -> DataFrame:
+    rows = [
+        (p["url"], p["response_url"], p["kind"], json.dumps(p["payload"]),
+         p["host"], p["bytes"])
+        for p in graph["pages"].values()
+    ]
+    return spark.createDataFrame(rows, SITE_GRAPH_SCHEMA)
+
+
+def seeds_df(spark: SparkSession, graph: dict) -> DataFrame:
+    rows = [(s["url"], s["website_id"], s["language_id"]) for s in graph["seeds"]]
+    return spark.createDataFrame(rows, SEEDS_SCHEMA)

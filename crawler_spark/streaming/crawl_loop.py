@@ -1,0 +1,351 @@
+"""The crawl engine: an iterative micro-batch loop over DataFrames.
+
+The reference is a bounded incremental batch system (SURVEY §2.11): each
+run walks from seeds down to the time cutoff, relying on a DB-backed seen
+set. Here each micro-batch is one pass of set-oriented stages:
+
+    frontier ──intra-batch dedup──► candidates
+             ──anti-join vs scheduled (intra-run dupefilter)──►
+             ──bloom prefilter + exact anti-join vs url_seen──►
+             ──robots + per-host politeness admission (window)──►
+    admitted ──fetch (mock: broadcast join vs site graph)──►
+             ──parse (Arrow mapInPandas over the site-parser registry)──►
+    docs → documents append ∪ child requests → next frontier; checkpoint.
+
+This replaces the reference's per-request MySQL probe + per-item autocommit
+INSERT (demo/middlewares.py:51, demo/pipelines.py:46-47) — the N+1
+anti-pattern — with one anti-join and one bulk append per batch (SURVEY §4).
+
+Determinism: every ordering is defined by explicit sort keys
+(batch_id, priority desc, seq) where seq is lineage-stable; the crawl log,
+URL-seen set, and document set are byte-identical at any parallelism
+(verified local[2] vs local[8] vs the single-threaded simulator in tests).
+
+Scale posture: dedup joins shuffle on url (uniform); the politeness window
+is two-phase salted (operators/politeness.py) so a mega-host cannot pin a
+partition; the fetch join broadcasts the small side; url_seen/docs are
+append-only delta tables (no O(history) rewrites); bloom probing keeps the
+common-case candidate off the shuffle entirely once the seen set is large.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.urlnorm import canonicalize_col, host_of
+from crawler_spark.operators.dedup import (
+    intra_batch_dedup,
+    url_seen_bloom,
+    url_seen_filter,
+)
+from crawler_spark.operators.politeness import admit_per_host, apply_robots
+from crawler_spark.plans.parser import parse_page
+from crawler_spark.schema import ROBOTS_SCHEMA, URL_SEEN_SCHEMA
+from crawler_spark.streaming.checkpoint import CrawlCheckpoint
+
+DOC_STRUCT = (
+    "struct<title:string, abstract:string, category1:string, category2:string,"
+    " pub_time:string, spans:array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>, request_url:string, response_url:string>"
+)
+
+FRONTIER_COLS = [
+    "url", "url_hash", "host", "depth", "priority", "seq", "parse_kind",
+    "dont_filter", "meta_json", "website_id", "language_id", "batch_id",
+]
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        site_graph: DataFrame,
+        registry: dict[int, dict],
+        seeds: DataFrame,
+        cutoff_epoch: float | None,
+        as_of: datetime,
+        checkpoint_dir: str,
+        robots: DataFrame | None = None,
+        batch_seconds: float = 1.0,
+        use_bloom: bool | None = None,
+        base_epoch: float = 1622505600.0,  # 2021-06-01 UTC: cole_time anchor
+    ):
+        self.spark = spark
+        self.graph = site_graph.persist()
+        self.registry = registry
+        self.seeds = seeds
+        self.cutoff_epoch = cutoff_epoch
+        self.as_of = as_of
+        self.ckpt = CrawlCheckpoint(spark, checkpoint_dir)
+        self.robots = (
+            robots
+            if robots is not None
+            else spark.createDataFrame([], ROBOTS_SCHEMA)
+        )
+        self.batch_seconds = batch_seconds
+        self.use_bloom = use_bloom
+        self.base_epoch = base_epoch
+        self._registry_bc = spark.sparkContext.broadcast(registry)
+
+    # -- state ---------------------------------------------------------------
+
+    def _seed_frontier(self) -> DataFrame:
+        """Seeds → depth-0 frontier rows (SURVEY §2.1 S1); seq is the seed's
+        position in the fixed seed list."""
+        # The seed list's own order is the ordering contract (start.bat:1
+        # fixes the seed per run); seq = position in that list.
+        seeds = self.seeds.toPandas()
+        rows = [
+            (
+                r.url, None, None, 0, 0.0, f"{i:04d}", "menu", False, "{}",
+                int(r.website_id), int(r.language_id), 0,
+            )
+            for i, r in enumerate(seeds.itertuples(index=False))
+        ]
+        df = self.spark.createDataFrame(
+            rows,
+            "url string, url_hash long, host string, depth int, priority double,"
+            " seq string, parse_kind string, dont_filter boolean, meta_json string,"
+            " website_id int, language_id int, batch_id int",
+        )
+        return df.withColumn(
+            "url_hash", F.xxhash64(canonicalize_col(F.col("url")))
+        ).withColumn("host", host_of(F.col("url")))
+
+    def _empty_url_seen(self) -> DataFrame:
+        return self.spark.createDataFrame([], URL_SEEN_SCHEMA)
+
+    def _url_seen_state(self, upto_batch: int) -> DataFrame:
+        delta = self.ckpt.read_deltas("url_seen", upto_batch) if upto_batch >= 0 else None
+        return delta if delta is not None else self._empty_url_seen()
+
+    def _scheduled_state(self, upto_batch: int) -> DataFrame | None:
+        return self.ckpt.read_deltas("scheduled", upto_batch) if upto_batch >= 0 else None
+
+    # -- parse stage -----------------------------------------------------------
+
+    def _parse_stage(self, fetched: DataFrame) -> DataFrame:
+        """Arrow-batched parse over the site-parser registry (SURVEY §2.9).
+        Page-level Python runs once per Arrow batch inside mapInPandas —
+        the plan node is MapInPandas/ArrowEval, never BatchEvalPython."""
+        registry_bc = self._registry_bc
+        cutoff = self.cutoff_epoch
+        as_of = self.as_of
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out: list[tuple] = []
+                for row in pdf.itertuples(index=False):
+                    rule = registry_bc.value.get(row.website_id, {})
+                    doc, reqs = parse_page(
+                        url=row.url,
+                        response_url=row.g_response_url or row.url,
+                        kind=row.g_kind,
+                        payload_json=row.g_payload,
+                        meta=json.loads(row.meta_json) if row.meta_json else {},
+                        depth=row.depth,
+                        seq=row.seq,
+                        cutoff_epoch=cutoff,
+                        rule=rule.get("rule", "next_link"),
+                        as_of=as_of,
+                        probe_first=rule.get("probe_first", False),
+                    )
+                    if doc is not None:
+                        out.append(
+                            ("doc", row.url, None, None, None, row.depth,
+                             row.priority, row.seq, row.website_id,
+                             row.language_id, json.dumps(doc))
+                        )
+                    for r in reqs:
+                        out.append(
+                            ("req", r["url"], r["parse_kind"], r["dont_filter"],
+                             json.dumps(r["meta"]), r["depth"], r["priority"],
+                             r["seq"], row.website_id, row.language_id, None)
+                        )
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "out_kind", "url", "parse_kind", "dont_filter",
+                        "meta_json", "depth", "priority", "seq",
+                        "website_id", "language_id", "doc_json",
+                    ],
+                )
+
+        cols = [
+            "url", "meta_json", "depth", "priority", "seq", "website_id",
+            "language_id",
+            F.col("g_response_url"), F.col("g_kind"), F.col("g_payload"),
+        ]
+        return fetched.select(*cols).mapInPandas(
+            run,
+            "out_kind string, url string, parse_kind string,"
+            " dont_filter boolean, meta_json string, depth int,"
+            " priority double, seq string, website_id int,"
+            " language_id int, doc_json string",
+        )
+
+    # -- one micro-batch -------------------------------------------------------
+
+    def run_batch(self, b: int, frontier: DataFrame) -> DataFrame | None:
+        """Execute batch ``b``; returns the next frontier, or None when no
+        candidate survived dedup (crawl complete)."""
+        spark = self.spark
+        url_seen = self._url_seen_state(b - 1)
+        scheduled = self._scheduled_state(b - 1)
+
+        # 1. dedup — intra-batch, intra-run, cross-run (SURVEY §2.2)
+        cands = intra_batch_dedup(frontier)
+        if scheduled is not None:
+            cands = cands.join(
+                scheduled.select("url").distinct(), on="url", how="left_anti"
+            )
+        seen_count = url_seen.count()
+        bloom_on = (
+            self.use_bloom if self.use_bloom is not None else seen_count >= 4096
+        )
+        bloom = (
+            url_seen_bloom(spark, url_seen, expected_items=seen_count)
+            if (bloom_on and seen_count) else None
+        )
+        cands = url_seen_filter(spark, cands, url_seen, bloom)
+
+        # 2. robots + politeness (SURVEY §2.6-2.7)
+        cands = apply_robots(cands, self.robots).persist()
+        if cands.isEmpty():
+            cands.unpersist()
+            return None
+        admitted, deferred = admit_per_host(cands, self.batch_seconds)
+        admitted = admitted.persist()
+
+        # 3. fetch — mock web join; broadcast the admitted (small) side onto
+        # the graph or vice versa. Locally the graph is small → broadcast it.
+        graph = self.graph.select(
+            F.col("url"),
+            F.col("response_url").alias("g_response_url"),
+            F.col("kind").alias("g_kind"),
+            F.col("payload").alias("g_payload"),
+            F.col("bytes").alias("g_bytes"),
+        )
+        fetched = admitted.join(F.broadcast(graph), on="url", how="left").persist()
+
+        # 4. parse
+        parsed = self._parse_stage(fetched).persist()
+
+        batch_ts = datetime.fromtimestamp(
+            self.base_epoch + b * self.batch_seconds, tz=timezone.utc
+        ).replace(tzinfo=None)
+        d = F.from_json("doc_json", DOC_STRUCT).alias("d")
+        docs_delta = (
+            parsed.filter(F.col("out_kind") == "doc")
+            .select(d, "website_id", "language_id")
+            .select(
+                F.md5(F.col("d.response_url")).alias("doc_id"),
+                F.col("d.spans").alias("spans"),
+                F.col("d.title").alias("title"),
+                F.col("d.abstract").alias("abstract"),
+                F.col("d.category1").alias("category1"),
+                F.col("d.category2").alias("category2"),
+                F.to_timestamp("d.pub_time").alias("pub_time"),
+                F.lit(batch_ts).cast("timestamp").alias("cole_time"),
+                "website_id",
+                "language_id",
+                F.col("d.request_url").alias("request_url"),
+                F.col("d.response_url").alias("response_url"),
+            )
+        )
+        url_seen_delta = docs_delta.select(
+            F.col("request_url").alias("url"),
+            F.xxhash64(canonicalize_col(F.col("request_url"))).alias("url_hash"),
+            F.lit(b).alias("first_seen_batch"),
+        )
+        new_reqs = (
+            parsed.filter(F.col("out_kind") == "req")
+            .select(
+                "url", "parse_kind", "dont_filter", "meta_json", "depth",
+                "priority", "seq", "website_id", "language_id",
+            )
+            .withColumn("url_hash", F.xxhash64(canonicalize_col(F.col("url"))))
+            .withColumn("host", host_of(F.col("url")))
+            .withColumn("batch_id", F.lit(b + 1))
+            .select(*FRONTIER_COLS)
+        )
+        next_frontier = deferred.withColumn("batch_id", F.lit(b + 1)).select(
+            *FRONTIER_COLS
+        ).unionByName(new_reqs)
+
+        # 5. metrics (SURVEY §2.5 A4) + crawl log
+        crawl_log = admitted.select(
+            F.lit(b).alias("batch_id"), "url", "host", "priority", "seq"
+        )
+        sched_delta = admitted.select(
+            "url", "url_hash", F.lit(b).alias("batch_id")
+        )
+        metrics = (
+            fetched.groupBy("host")
+            .agg(
+                F.count(F.lit(1)).alias("scheduled"),
+                F.count(F.lit(1)).alias("fetched"),
+                F.sum(F.coalesce(F.col("g_bytes"), F.lit(0))).alias("bytes"),
+                F.max("depth").alias("max_depth"),
+            )
+            .withColumn("batch_id", F.lit(b))
+            .withColumn("deduped", F.lit(0).cast("long"))
+            .select("batch_id", "host", "scheduled", "deduped", "fetched",
+                    "bytes", "max_depth")
+        )
+
+        n_admitted = admitted.count()
+        self.ckpt.commit(
+            b,
+            {
+                "frontier": next_frontier,
+                "url_seen": url_seen_delta,
+                "scheduled": sched_delta,
+                "docs": docs_delta,
+                "crawl_log": crawl_log,
+                "metrics": metrics,
+            },
+            stats={"admitted": n_admitted},
+        )
+        for df in (cands, admitted, fetched, parsed):
+            df.unpersist()
+        return self.ckpt.read_part(b, "frontier")
+
+    # -- driver loop -----------------------------------------------------------
+
+    def run(self, max_batches: int = 1000, resume: bool = False) -> dict:
+        """Run to frontier exhaustion (or max_batches). With resume=True,
+        continues from the last complete checkpoint without re-fetching."""
+        last = self.ckpt.last_complete_batch() if resume else None
+        if last is not None:
+            b = last + 1
+            frontier = self.ckpt.read_part(last, "frontier")
+        else:
+            b = 0
+            frontier = self._seed_frontier()
+        while b < max_batches and not frontier.isEmpty():
+            nxt = self.run_batch(b, frontier)
+            if nxt is None:
+                break
+            frontier = nxt
+            b += 1
+        return self.results(b - 1)
+
+    def results(self, upto_batch: int) -> dict:
+        """Read final state back from the checkpoint (all deltas)."""
+        def deltas(name):
+            return self.ckpt.read_deltas(name, upto_batch)
+
+        return {
+            "last_batch": upto_batch,
+            "crawl_log": deltas("crawl_log"),
+            "url_seen": deltas("url_seen"),
+            "docs": deltas("docs"),
+            "metrics": deltas("metrics"),
+        }

@@ -1,0 +1,111 @@
+"""URL-seen dedup parity (middlewares.py:50-68 semantics) and corpus
+near-dup operators."""
+
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.urlnorm import canonicalize_col
+from crawler_spark.operators.bloom import build_bloom
+from crawler_spark.operators.dedup import (
+    exact_dedup,
+    intra_batch_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    url_seen_filter,
+)
+
+CAND_SCHEMA = "url string, url_hash long, dont_filter boolean, seq string"
+
+
+def _cands(spark, rows):
+    df = spark.createDataFrame(rows, "url string, dont_filter boolean, seq string")
+    return df.withColumn("url_hash", F.xxhash64(canonicalize_col(F.col("url"))))
+
+
+def _seen(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return df.select(
+        "url",
+        F.xxhash64(canonicalize_col(F.col("url"))).alias("url_hash"),
+        F.lit(0).alias("first_seen_batch"),
+    )
+
+
+def test_intra_batch_keeps_min_seq(spark):
+    df = _cands(
+        spark,
+        [("http://a/x", False, "0001.002"), ("http://a/x", False, "0001.001"),
+         ("http://a/y", False, "0002")],
+    )
+    out = intra_batch_dedup(df).select("url", "seq").collect()
+    got = {(r.url, r.seq) for r in out}
+    assert got == {("http://a/x", "0001.001"), ("http://a/y", "0002")}
+
+
+def test_url_seen_exact_with_and_without_bloom(spark):
+    seen = _seen(spark, [f"http://s/{i}" for i in range(200)])
+    cands = _cands(
+        spark,
+        [(f"http://s/{i}", False, f"{i:04d}") for i in range(150, 250)]
+        + [("http://s/42", True, "9999")],  # dont_filter bypass
+    )
+    expect = {f"http://s/{i}" for i in range(200, 250)} | {"http://s/42"}
+
+    no_bloom = url_seen_filter(spark, cands, seen, bloom=None)
+    assert {r.url for r in no_bloom.select("url").collect()} == expect
+
+    bloom = build_bloom(seen, "url_hash", expected_items=200)
+    with_bloom = url_seen_filter(spark, cands, seen, bloom=bloom)
+    assert {r.url for r in with_bloom.select("url").collect()} == expect
+
+
+def test_exact_dedup(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {(r.keep_id, r.dup_count) for r in exact_dedup(docs).collect()}
+    assert out == {(1, 2), (3, 1)}
+
+
+def test_ngram_jaccard_pairs(spark):
+    base = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " k"), (4, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.7)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] >= 0.7
+    assert all(4 not in pair for pair in got)
+
+
+def test_minhash_lsh_finds_exact_pairs(spark):
+    """LSH candidates, exact-verified, must agree with brute-force Jaccard
+    on clear duplicates and reject clear non-duplicates."""
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(29)) + " zzz"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near),
+         (4, " ".join(f"u{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b) for r in
+           minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=8, threshold=0.5).collect()}
+    assert (1, 2) in got
+    assert (1, 3) in got and (2, 3) in got
+    assert all(4 not in p for p in got)
+
+
+def test_simhash_near_dup(spark):
+    base = " ".join(f"tok{i}" for i in range(64))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),
+         (3, " ".join(f"other{i}" for i in range(64)))],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): r.hamming for r in
+           simhash_near_dup_pairs(docs, max_hamming=3).collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
