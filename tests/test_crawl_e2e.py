@@ -1,0 +1,166 @@
+"""End-to-end crawl parity: the Spark micro-batch engine must reproduce the
+reference-semantics simulator byte-for-byte (SURVEY §5.3) — ordered crawl
+log, final URL-seen set, document set, and per-document span sequences
+(kind, text, media_ref, offset) per the input_hint invariant.
+
+Also: resume-from-checkpoint equals an uninterrupted run with no URL
+fetched twice (SURVEY §5.5 / north rule W6).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crawler_spark.simulator import simulate_crawl
+from crawler_spark.sources.mock_web import (
+    AS_OF,
+    build_site_graph,
+    seeds_df,
+    site_graph_df,
+)
+from crawler_spark.streaming.crawl_loop import CrawlEngine
+
+
+def _run_engine(spark, graph, ckpt_dir, resume=False, max_batches=1000,
+                use_bloom=None):
+    eng = CrawlEngine(
+        spark,
+        site_graph=site_graph_df(spark, graph),
+        registry=graph["registry"],
+        seeds=seeds_df(spark, graph),
+        cutoff_epoch=graph["cutoff_epoch"],
+        as_of=AS_OF,
+        checkpoint_dir=str(ckpt_dir),
+        use_bloom=use_bloom,
+    )
+    return eng, eng.run(max_batches=max_batches, resume=resume)
+
+
+def _engine_log(res) -> list[tuple[int, str]]:
+    rows = (
+        res["crawl_log"]
+        .orderBy("batch_id", "priority", "seq")
+        .select("batch_id", "url")
+        .collect()
+    )
+    return [(r.batch_id, r.url) for r in rows]
+
+
+def _engine_docs(res) -> dict[str, dict]:
+    out = {}
+    for r in res["docs"].collect():
+        out[r.doc_id] = {
+            "title": r.title,
+            "abstract": r.abstract,
+            "category1": r.category1,
+            "category2": r.category2,
+            "pub_time": r.pub_time.strftime("%Y-%m-%d %H:%M:%S"),
+            "request_url": r.request_url,
+            "response_url": r.response_url,
+            "spans": [
+                (s.kind, s.text, s.media_ref, s.offset) for s in (r.spans or [])
+            ],
+        }
+    return out
+
+
+def _sim_docs(sim) -> dict[str, dict]:
+    out = {}
+    for doc_id, d in sim["docs"].items():
+        out[doc_id] = {
+            "title": d["title"],
+            "abstract": d["abstract"],
+            "category1": d["category1"],
+            "category2": d["category2"],
+            "pub_time": d["pub_time"],
+            "request_url": d["request_url"],
+            "response_url": d["response_url"],
+            "spans": [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in d["spans"]
+            ],
+        }
+    return out
+
+
+@pytest.fixture(scope="module")
+def graph():
+    # All four pagination rules, duplicate cross-links, redirects, a
+    # dont_filter probe site, category exclusion, cutoff mid-list.
+    return build_site_graph(n_sites=4, cats_per_site=2, pages_per_cat=2,
+                            entries_per_page=4, dup_fraction=0.25, seed=7)
+
+
+@pytest.fixture(scope="module")
+def sim(graph):
+    return simulate_crawl(graph)
+
+
+def test_crawl_matches_simulator(spark, graph, sim, tmp_path_factory):
+    ckpt = tmp_path_factory.mktemp("ckpt_parity")
+    _, res = _run_engine(spark, graph, ckpt)
+
+    # 1. ordered crawl log byte-for-byte
+    assert _engine_log(res) == sim["crawl_log"]
+
+    # 2. final URL-seen set
+    seen = {r.url for r in res["url_seen"].collect()}
+    assert seen == sim["url_seen"]
+
+    # 3. document set + span-sequence equality (input_hint invariant)
+    assert _engine_docs(res) == _sim_docs(sim)
+
+    # sanity: the fixture actually exercised something non-trivial
+    assert len(sim["crawl_log"]) > 30
+    assert any(d["spans"] for d in _sim_docs(sim).values())
+    assert any(
+        s[0] == "image" for d in _sim_docs(sim).values() for s in d["spans"]
+    )
+
+
+def test_crawl_with_bloom_identical(spark, graph, sim, tmp_path_factory):
+    """Forcing the bloom prefilter on must not change any outcome —
+    bloom is a prefilter, the exact anti-join decides (SURVEY §7.4)."""
+    ckpt = tmp_path_factory.mktemp("ckpt_bloom")
+    _, res = _run_engine(spark, graph, ckpt, use_bloom=True)
+    assert _engine_log(res) == sim["crawl_log"]
+    assert {r.url for r in res["url_seen"].collect()} == sim["url_seen"]
+
+
+def test_no_url_fetched_twice(spark, graph, tmp_path_factory):
+    ckpt = tmp_path_factory.mktemp("ckpt_once")
+    _, res = _run_engine(spark, graph, ckpt)
+    log = _engine_log(res)
+    urls = [u for _, u in log]
+    assert len(urls) == len(set(urls))
+
+
+def test_resume_equals_uninterrupted(spark, graph, sim, tmp_path_factory):
+    """Kill after 2 batches, resume from checkpoint → identical final state,
+    and the resumed run re-fetches nothing from completed batches."""
+    ckpt = tmp_path_factory.mktemp("ckpt_resume")
+    _run_engine(spark, graph, ckpt, max_batches=2)
+    eng, res = _run_engine(spark, graph, ckpt, resume=True)
+
+    assert _engine_log(res) == sim["crawl_log"]
+    assert {r.url for r in res["url_seen"].collect()} == sim["url_seen"]
+    assert _engine_docs(res) == _sim_docs(sim)
+    # no double fetch across the kill/resume boundary
+    urls = [u for _, u in _engine_log(res)]
+    assert len(urls) == len(set(urls))
+
+
+def test_politeness_budget_respected(spark, graph, tmp_path_factory):
+    """≤ floor(batch_seconds / crawl_delay) fetches per host per batch
+    (settings.py:28 semantics)."""
+    from pyspark.sql import functions as F
+
+    ckpt = tmp_path_factory.mktemp("ckpt_budget")
+    _, res = _run_engine(spark, graph, ckpt)
+    per = (
+        res["crawl_log"].groupBy("batch_id", "host")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]
+    )
+    assert per.mx <= 5  # floor(1.0 / 0.2)
