@@ -1,38 +1,829 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship report query (the reference's daily
+analytics job, /root/reference/baogao.py:56, re-expressed as one DataFrame
+plan) on sf0.001. ``queries()`` exposes one entry per implemented operator
+from SURVEY.md §2 plus the training-data-pipeline operators; each has an
+exact DuckDB oracle in ``oracle_sql()`` unless the op is genuinely
+non-SQL-expressible (iterative crawl loop, xxhash64-based sketches), which
+are rows-only checks.
+
+Column names are aliased identically on both sides; doubles are either
+exact integer ratios (bit-identical across engines) or rounded; money sums
+use exact integer cents via floor(x*100) (cast truncation differs between
+engines, floor does not).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from crawler_spark.functions.dates import format_time2_udf
+from crawler_spark.functions.text import (
+    LANG_MARKERS,
+    avg_word_len,
+    char_count,
+    lang_score_expr,
+    quality_score,
+    token_count_regex,
+    token_count_ws,
+)
+from crawler_spark.functions.urlnorm import canonicalize_col, host_of
+from crawler_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    intra_batch_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    url_seen_filter,
+)
+from crawler_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_media_features,
+)
+from crawler_spark.operators.politeness import admit_per_host
+from crawler_spark.operators.similarity import brute_force_topk, lsh_topk
+
+AS_OF = "2021-06-01 00:00:00"  # deterministic 'now' anchor for F2 parsing
+
+
+def _prep(spark: SparkSession) -> None:
+    # The driver owns the session; make value comparison deterministic.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _cents(col: str):
+    """Exact integer cents: floor (not cast) — cast truncates toward zero in
+    Spark but rounds in DuckDB; floor agrees everywhere."""
+    return F.floor(F.col(col) * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Flagship (driver smoke check)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """The baogao.py:56 report shape: scan → broadcast joins → filter →
+    groupBy → count, on sf0.001."""
+    _prep(spark)
+    return q_report_daily(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# Relational / report operators (SURVEY §2.3-§2.6, baogao.py)
+# ---------------------------------------------------------------------------
+
+def q_report_daily(spark, sf_dir):
+    """J1+A1: 3-way left broadcast join + time filter + groupBy count
+    (baogao.py:56)."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("num"),
+            F.sum(_cents("o_totalprice")).alias("total_cents"),
+        )
+        .orderBy("nation", "region")
+    )
+
+
+def q_report_cumulative(spark, sf_dir):
+    """A2: same joins without the time filter (baogao.py:73)."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("num"),
+            F.sum(_cents("o_totalprice")).alias("total_cents"),
+        )
+        .orderBy("nation", "region")
+    )
+
+
+def q_report_totals(spark, sf_dir):
+    """A3: grand totals (baogao.py:70,87)."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.sum(_cents("o_totalprice")).alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL kernels + frontier operators (SURVEY §2.2, §2.6-§2.8)
+# ---------------------------------------------------------------------------
+
+def _raw_urls(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    h = F.pmod(F.col("o_custkey"), F.lit(50)).cast("string")
+    k = F.col("o_orderkey").cast("string")
+    m = F.pmod(F.col("o_orderkey"), F.lit(4))
+    raw = (
+        F.when(m == 0, F.concat(F.lit("HTTP://Site"), h, F.lit(".Example.COM:80/order/"), k, F.lit("?q=1#frag")))
+        .when(m == 1, F.concat(F.lit("https://SITE"), h, F.lit(".example.com:443/ORDER/"), k))
+        .when(m == 2, F.concat(F.lit("http://site"), h, F.lit(".EXAMPLE.com")))
+        .otherwise(F.concat(F.lit("HTTPS://site"), h, F.lit(".example.com/o?id="), k, F.lit("#x")))
+    )
+    return o.select("o_orderkey", raw.alias("raw_url"))
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """F10+D4: byte-stable canonicalization (scheme/host lowercase, default
+    port strip, fragment strip, empty path → '/') + md5 doc id
+    (pipelines.py:50-52)."""
+    _prep(spark)
+    u = _raw_urls(spark, sf_dir)
+    canon = canonicalize_col(F.col("raw_url"))
+    return u.select(
+        "o_orderkey",
+        canon.alias("canon_url"),
+        host_of(F.col("raw_url")).alias("host"),
+        F.md5(canon).alias("url_md5"),
+    ).orderBy("o_orderkey")
+
+
+def q_url_seen_antijoin(spark, sf_dir):
+    """D1+D2+J2: two-tier URL-seen dedup (exact left-anti join) with the
+    dont_filter bypass (middlewares.py:50-68)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    cand = (
+        li.select(
+            F.col("l_orderkey").cast("string").alias("url"),
+            (F.col("l_orderkey") % 10 == 0).alias("dont_filter"),
+        )
+        .distinct()
+    )
+    seen = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(F.col("o_orderkey").cast("string").alias("url"))
+    )
+    return (
+        url_seen_filter(spark, cand, seen, bloom=None)
+        .select("url", "dont_filter")
+        .orderBy("url")
+    )
+
+
+def q_frontier_dedup(spark, sf_dir):
+    """D3: intra-batch dedup keeping the lineage-smallest seq (Scrapy's
+    engine dupefilter)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("url"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("seq"),
+        "event_type",
+    )
+    return intra_batch_dedup(ev).orderBy("url")
+
+
+def q_politeness_admission(spark, sf_dir):
+    """T2+W1: per-host politeness budget as a salted two-phase window —
+    floor(batch_seconds/crawl_delay)=5 fetches/host/batch (settings.py:28)."""
+    _prep(spark)
+    fr = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("url"),
+        F.concat(F.lit("h"), F.pmod(F.col("user_id"), F.lit(13)).cast("string")).alias("host"),
+        F.lit(0.0).alias("priority"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("seq"),
+        F.xxhash64(F.col("event_id").cast("string")).alias("url_hash"),
+        F.lit(0.2).alias("crawl_delay"),
+    )
+    admitted, _deferred = admit_per_host(fr, batch_seconds=1.0)
+    return admitted.select("host", "url", "host_rank").orderBy("host", "host_rank")
+
+
+def q_time_cutoff(spark, sf_dir):
+    """P3+W5: the incremental-crawl cutoff predicate (zeenews.py:96-101) as
+    a watermark-style filter + per-type aggregation."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") >= F.lit("2024-01-15 00:00:00"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_url_dispatch(spark, sf_dir):
+    """P5: URL-shape routing to parser kinds by regex (zeenews.py:57,72)."""
+    _prep(spark)
+    p = _t(spark, sf_dir, "part")
+    m = F.pmod(F.col("p_partkey"), F.lit(3))
+    url = (
+        F.when(m == 0, F.concat(F.lit("/photo-gallery/"), F.col("p_partkey").cast("string")))
+        .when(m == 1, F.concat(F.lit("/video/"), F.col("p_partkey").cast("string")))
+        .otherwise(F.concat(F.lit("/news/story-"), F.col("p_partkey").cast("string")))
+    )
+    kind = (
+        F.when(url.rlike("photo-gallery"), F.lit("photo"))
+        .when(url.rlike("/video/"), F.lit("video"))
+        .otherwise(F.lit("story"))
+    )
+    return (
+        p.select(kind.alias("parse_kind"))
+        .groupBy("parse_kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("parse_kind")
+    )
+
+
+def q_fuzzy_date_parse(spark, sf_dir):
+    """F2: the fuzzy pub_time parser (util.py:43-85) round-tripping the
+    'Month D, Y, H:M' absolute branch, Arrow-batched."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.date_format("ts", "MMM d, yyyy, HH:mm").alias("raw")
+    )
+    as_of = F.to_timestamp(F.lit(AS_OF))
+    return ev.select(
+        "event_id",
+        "raw",
+        F.date_format(
+            format_time2_udf(F.col("raw"), as_of), "yyyy-MM-dd HH:mm:ss"
+        ).alias("parsed"),
+    ).orderBy("event_id")
+
+
+def q_format_time3(spark, sf_dir):
+    """F3+F1: formatted string ↔ epoch round trip (util.py:36-40,88-91)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    s = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    epoch = F.unix_timestamp(s, "yyyy-MM-dd HH:mm:ss")
+    return ev.select(
+        "event_id",
+        epoch.alias("epoch"),
+        F.date_format(F.from_unixtime(epoch), "yyyy-MM-dd HH:mm:ss").alias("roundtrip"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup family (documents table)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact-content dedup: md5 groupBy, min-id representative."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, text_col="text", id_col="doc_id").orderBy("content_md5")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (3-word shingles, ≥ 0.3)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, n=3, threshold=0.3, id_col="doc_id", text_col="text"
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates, exact-verified (xxhash64 signatures —
+    no SQL oracle; rows-only check, exactness covered by pytest vs the
+    plain-Jaccard operator)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, n=3, num_hashes=32, bands=16, threshold=0.3,
+        id_col="doc_id", text_col="text",
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via pigeonhole banding (xxhash64 — rows-only)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(
+        docs, max_hamming=3, id_col="doc_id", text_col="text"
+    ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex tokens, chars, mean word
+    length."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count_ws(t).alias("n_ws_tokens"),
+        token_count_regex(t).alias("n_re_tokens"),
+        char_count(t).alias("n_chars_calc"),
+        avg_word_len(t).alias("avg_wlen"),
+    ).orderBy("doc_id")
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: per-language marker-token scores + argmax."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    en = lang_score_expr("text", LANG_MARKERS["en"])
+    es = lang_score_expr("text", LANG_MARKERS["es"])
+    de = lang_score_expr("text", LANG_MARKERS["de"])
+    fr = lang_score_expr("text", LANG_MARKERS["fr"])
+    scored = docs.select(
+        "doc_id",
+        en.alias("en_score"), es.alias("es_score"),
+        de.alias("de_score"), fr.alias("fr_score"),
+    )
+    e, s, d, f_ = (F.col(c) for c in ("en_score", "es_score", "de_score", "fr_score"))
+    predicted = (
+        F.when((e >= s) & (e >= d) & (e >= f_), F.lit("en"))
+        .when((s >= d) & (s >= f_), F.lit("es"))
+        .when(d >= f_, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.withColumn("predicted_lang", predicted).orderBy("doc_id")
+
+
+def q_quality_score(spark, sf_dir):
+    """Heuristic quality scoring (length/diversity/noise)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting: exact md5 content id per doc."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline); queries = vec_id < 8
+    broadcast against the corpus."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    return brute_force_topk(emb, qs, k=5, id_col="vec_id", vec_col="embedding") \
+        .orderBy("query_id", "rank")
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (≥ 0.4 on this synthetic corpus)."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, threshold=0.4, id_col="vec_id", vec_col="embedding"
+    ).orderBy("id_a", "id_b")
+
+
+def q_similarity_lsh(spark, sf_dir):
+    """Sign-LSH bucketed ANN (the sub-quadratic scale path; approximate —
+    rows-only check, recall vs brute force asserted in pytest)."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    return lsh_topk(
+        emb, qs, k=5, n_planes=8, dim=64, id_col="vec_id", vec_col="embedding"
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped + interleaved-span + multimodal operators
+# ---------------------------------------------------------------------------
+
+def q_event_hourly_agg(spark, sf_dir):
+    """A4/metrics shape: tumbling 1-hour windowed aggregation over the
+    events stream table (watermark-windowed agg in Structured Streaming)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("value")).alias("value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type", "n", "value_cents",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+def q_interleaved_spans(spark, sf_dir):
+    """The input_hint span pipeline: build interleaved text+image spans
+    (image first — yehey.py:127-134 ordering), explode, and reassemble in
+    exact offset order (span-sequence invariant)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    spans = F.concat(
+        F.array(
+            F.struct(
+                F.lit("image").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+                         F.lit(".jpg")).alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ),
+        F.expr(
+            "transform(slice(split(text, ' '), 1, 6),"
+            " (w, i) -> struct('text' as kind, w as text,"
+            " cast(null as string) as media_ref, i + 1 as offset))"
+        ),
+    )
+    ex = (
+        docs.select("doc_id", F.explode(spans).alias("s"))
+        .select("doc_id", "s.kind", "s.text", "s.offset")
+    )
+    sorted_spans = F.array_sort(
+        F.collect_list(F.struct("offset", "kind", "text"))
+    )
+    body = F.array_join(
+        F.transform(
+            F.filter(sorted_spans, lambda s: s.kind == "text"),
+            lambda s: s.text,
+        ),
+        " ",
+    )
+    return (
+        ex.groupBy("doc_id")
+        .agg(
+            body.alias("body"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("kind") == "image", 1)).alias("n_images"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: opaque binary media column → Arrow-batched
+    feature extraction (deterministic fake decode; real decoder swaps in
+    behind the same mapInPandas contract)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+                 F.lit(".jpg")).alias("media_ref"),
+    )
+    media = attach_fake_media(docs)
+    return extract_media_features(media).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "report_daily": q_report_daily,
+        "report_cumulative": q_report_cumulative,
+        "report_totals": q_report_totals,
+        "url_canonicalize": q_url_canonicalize,
+        "url_seen_antijoin": q_url_seen_antijoin,
+        "frontier_dedup": q_frontier_dedup,
+        "politeness_admission": q_politeness_admission,
+        "time_cutoff": q_time_cutoff,
+        "url_dispatch": q_url_dispatch,
+        "fuzzy_date_parse": q_fuzzy_date_parse,
+        "format_time3": q_format_time3,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "similarity_lsh": q_similarity_lsh,
+        "event_hourly_agg": q_event_hourly_agg,
+        "interleaved_spans": q_interleaved_spans,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+TOKEN_REGEX_SQL = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    report_joins = (
+        "FROM orders o "
+        "LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
+        "LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "LEFT JOIN region r ON n.n_regionkey = r.r_regionkey "
+    )
+    marker = {
+        k: ", ".join(f"''{m}''" for m in v).replace("''", "'")
+        for k, v in LANG_MARKERS.items()
+    }
+    lang_score = lambda key: (
+        "cast(len(list_filter(string_split(text, ' '),"
+        f" w -> w in ({marker[key]}))) as bigint)"
+    )
+    return {
+        "report_daily": f"""
+            SELECT n.n_name AS nation, r.r_name AS region,
+                   count(*) AS num,
+                   cast(sum(cast(floor(o.o_totalprice * 100) AS bigint)) AS bigint) AS total_cents
+            {report_joins}
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "report_cumulative": f"""
+            SELECT n.n_name AS nation, r.r_name AS region,
+                   count(*) AS num,
+                   cast(sum(cast(floor(o.o_totalprice * 100) AS bigint)) AS bigint) AS total_cents
+            {report_joins}
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "report_totals": """
+            SELECT count(*) AS total_orders,
+                   count(DISTINCT o_custkey) AS distinct_customers,
+                   cast(sum(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) AS total_cents
+            FROM orders
+        """,
+        "url_canonicalize": """
+            WITH u AS (
+              SELECT o_orderkey,
+                     cast(o_custkey % 50 AS varchar) AS h,
+                     cast(o_orderkey AS varchar) AS k,
+                     o_orderkey % 4 AS m
+              FROM orders)
+            SELECT o_orderkey,
+                   CASE m
+                     WHEN 0 THEN 'http://site' || h || '.example.com/order/' || k || '?q=1'
+                     WHEN 1 THEN 'https://site' || h || '.example.com/ORDER/' || k
+                     WHEN 2 THEN 'http://site' || h || '.example.com/'
+                     ELSE 'https://site' || h || '.example.com/o?id=' || k
+                   END AS canon_url,
+                   'site' || h || '.example.com' AS host,
+                   md5(CASE m
+                     WHEN 0 THEN 'http://site' || h || '.example.com/order/' || k || '?q=1'
+                     WHEN 1 THEN 'https://site' || h || '.example.com/ORDER/' || k
+                     WHEN 2 THEN 'http://site' || h || '.example.com/'
+                     ELSE 'https://site' || h || '.example.com/o?id=' || k
+                   END) AS url_md5
+            FROM u ORDER BY o_orderkey
+        """,
+        "url_seen_antijoin": """
+            WITH cand AS (
+              SELECT DISTINCT cast(l_orderkey AS varchar) AS url,
+                     l_orderkey % 10 = 0 AS dont_filter
+              FROM lineitem),
+            seen AS (
+              SELECT cast(o_orderkey AS varchar) AS url
+              FROM orders WHERE o_orderkey % 3 = 0)
+            SELECT url, dont_filter FROM cand
+            WHERE dont_filter
+               OR NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = cand.url)
+            ORDER BY url
+        """,
+        "frontier_dedup": """
+            SELECT cast(user_id AS varchar) AS url,
+                   lpad(cast(event_id AS varchar), 12, '0') AS seq,
+                   event_type
+            FROM events
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id
+              ORDER BY lpad(cast(event_id AS varchar), 12, '0')) = 1
+            ORDER BY url
+        """,
+        "politeness_admission": """
+            SELECT 'h' || cast(user_id % 13 AS varchar) AS host,
+                   cast(event_id AS varchar) AS url,
+                   cast(row_number() OVER (
+                     PARTITION BY user_id % 13
+                     ORDER BY lpad(cast(event_id AS varchar), 12, '0')) AS int)
+                     AS host_rank
+            FROM events
+            QUALIFY host_rank <= 5
+            ORDER BY host, host_rank
+        """,
+        "time_cutoff": """
+            SELECT event_type, count(*) AS n,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "url_dispatch": """
+            WITH u AS (
+              SELECT CASE p_partkey % 3
+                       WHEN 0 THEN '/photo-gallery/' || cast(p_partkey AS varchar)
+                       WHEN 1 THEN '/video/' || cast(p_partkey AS varchar)
+                       ELSE '/news/story-' || cast(p_partkey AS varchar)
+                     END AS url
+              FROM part)
+            SELECT CASE
+                     WHEN regexp_matches(url, 'photo-gallery') THEN 'photo'
+                     WHEN regexp_matches(url, '/video/') THEN 'video'
+                     ELSE 'story'
+                   END AS parse_kind,
+                   count(*) AS n
+            FROM u GROUP BY 1 ORDER BY 1
+        """,
+        "fuzzy_date_parse": """
+            SELECT event_id,
+                   strftime(ts, '%b %-d, %Y, %H:%M') AS raw,
+                   strftime(strptime(strftime(ts, '%b %-d, %Y, %H:%M'),
+                                     '%b %d, %Y, %H:%M'),
+                            '%Y-%m-%d %H:%M:%S') AS parsed
+            FROM events ORDER BY event_id
+        """,
+        "format_time3": """
+            SELECT event_id,
+                   cast(epoch(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                                       '%Y-%m-%d %H:%M:%S')) AS bigint) AS epoch,
+                   strftime(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                                     '%Y-%m-%d %H:%M:%S'),
+                            '%Y-%m-%d %H:%M:%S') AS roundtrip
+            FROM events ORDER BY event_id
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS content_md5,
+                   min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id AS doc,
+                     unnest(list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                       i -> array_to_string(
+                         list_slice(string_split(text, ' '), i, i + 2), ' '))))
+                       AS shingle
+              FROM documents),
+            sz AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+            inter AS (
+              SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc < b.doc GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(i::double / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+            FROM inter
+            JOIN sz sa ON doc_a = sa.doc
+            JOIN sz sb ON doc_b = sb.doc
+            WHERE round(i::double / (sa.n_sh + sb.n_sh - i), 4) >= 0.3
+            ORDER BY doc_a, doc_b
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   cast(len(string_split(text, ' ')) AS bigint) AS n_ws_tokens,
+                   cast(len(regexp_extract_all(text, '{TOKEN_REGEX_SQL}', 0)) AS bigint)
+                     AS n_re_tokens,
+                   cast(length(text) AS bigint) AS n_chars_calc,
+                   round((length(text) - (len(string_split(text, ' ')) - 1))::double
+                         / len(string_split(text, ' ')), 4) AS avg_wlen
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_id": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     {lang_score('en')} AS en_score,
+                     {lang_score('es')} AS es_score,
+                     {lang_score('de')} AS de_score,
+                     {lang_score('fr')} AS fr_score
+              FROM documents)
+            SELECT doc_id, en_score, es_score, de_score, fr_score,
+                   CASE
+                     WHEN en_score >= es_score AND en_score >= de_score
+                          AND en_score >= fr_score THEN 'en'
+                     WHEN es_score >= de_score AND es_score >= fr_score THEN 'es'
+                     WHEN de_score >= fr_score THEN 'de'
+                     ELSE 'fr'
+                   END AS predicted_lang
+            FROM s ORDER BY doc_id
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   round(0.4 * least(length(text)::double / 400.0, 1.0)
+                       + 0.4 * (len(list_distinct(string_split(text, ' ')))::double
+                                / len(string_split(text, ' ')))
+                       + 0.2 * (1 - length(regexp_replace(text, '[a-zA-Z ]', '', 'g'))::double
+                                / greatest(length(text), 1)), 4) AS quality
+            FROM documents ORDER BY doc_id
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id
+        """,
+        "embedding_topk": """
+            WITH n AS (
+              SELECT vec_id, embedding::double[] AS e,
+                     sqrt(list_inner_product(embedding::double[],
+                                             embedding::double[])) AS nrm
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn
+                  FROM n WHERE vec_id < 8),
+            s AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     round(list_inner_product(q.qe, c.e) / (q.qn * c.nrm), 6)
+                       AS cosine
+              FROM q JOIN n c ON c.vec_id != q.query_id)
+            SELECT query_id, neighbor_id,
+                   cast(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS int) AS rank,
+                   cosine
+            FROM s QUALIFY rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "embedding_near_dup": """
+            WITH n AS (
+              SELECT vec_id, embedding::double[] AS e,
+                     sqrt(list_inner_product(embedding::double[],
+                                             embedding::double[])) AS nrm
+              FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 4)
+                     AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.4
+            ORDER BY id_a, id_b
+        """,
+        "event_hourly_agg": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+                   event_type, count(*) AS n,
+                   cast(sum(cast(floor(value * 100) AS bigint)) AS bigint)
+                     AS value_cents
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "interleaved_spans": """
+            SELECT doc_id,
+                   array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')
+                     AS body,
+                   cast(least(len(string_split(text, ' ')), 6) + 1 AS bigint)
+                     AS n_spans,
+                   cast(1 AS bigint) AS n_images
+            FROM documents ORDER BY doc_id
+        """,
+        "multimodal_features": """
+            WITH m AS (
+              SELECT cast(doc_id AS varchar) AS doc_id,
+                     source || '/' || cast(doc_id AS varchar) || '.jpg' AS media_ref
+              FROM documents),
+            d AS (SELECT doc_id, media_ref,
+                         sha256(sha256(media_ref)) AS content_sha256
+                  FROM m)
+            SELECT doc_id, media_ref,
+                   'image' AS media_type,
+                   cast(64 AS bigint) AS n_bytes,
+                   content_sha256,
+                   cast(64 + ('0x' || substr(content_sha256, 1, 2))::int % 192 AS int)
+                     AS width,
+                   cast(64 + ('0x' || substr(content_sha256, 3, 2))::int % 192 AS int)
+                     AS height,
+                   cast(1 + ('0x' || substr(content_sha256, 5, 2))::int % 4 AS int)
+                     AS n_frames
+            FROM d ORDER BY doc_id
+        """,
+        # minhash_lsh, simhash_pairs, similarity_lsh: xxhash64-based /
+        # approximate — genuinely non-SQL-expressible; rows-only checks.
+    }

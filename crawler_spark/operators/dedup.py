@@ -34,7 +34,12 @@ from crawler_spark.operators.bloom import BloomFilter, bloom_probe_col, build_bl
 def intra_batch_dedup(candidates: DataFrame) -> DataFrame:
     """Keep exactly one row per URL within a batch — the lineage-smallest
     ``seq`` so the survivor is deterministic under any partitioning
-    (Scrapy's engine-level dupefilter, SURVEY §2.2 D3)."""
+    (Scrapy's engine-level dupefilter, SURVEY §2.2 D3).
+
+    row_number window, not min_by hash-agg: with mostly-unique URLs the
+    min_by struct buffer forces ObjectHashAggregate with a huge in-memory
+    map (measured 4× slower on the 6M-URL microbench); the window's
+    sort-based path pipelines with the shuffle and wins decisively."""
     w = Window.partitionBy("url").orderBy("seq")
     return (
         candidates.withColumn("_rn", F.row_number().over(w))
@@ -175,13 +180,22 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    est_margin: float = 0.2,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, exact-verified.
 
     bands × rows_per_band = num_hashes; a pair collides if any band of the
-    signature matches exactly. Collisions are then verified against exact
-    shingle Jaccard so the output has no LSH false positives (false
-    negatives bounded by the S-curve 1-(1-s^r)^b).
+    signature matches exactly. Band collisions are first pruned by the
+    signature-estimated Jaccard (matching components / num_hashes ≥
+    threshold − est_margin) — a 32-long zip_with, orders of magnitude
+    cheaper than shingle-set intersection — then survivors are verified
+    against exact shingle Jaccard, so the output has no LSH false positives
+    (false negatives bounded by the band S-curve 1-(1-s^r)^b and the
+    estimate margin; both knobs widen for higher recall).
+
+    Scale note: on low-entropy corpora band buckets are dense and raw
+    collisions scale superlinearly; the estimate prefilter keeps the
+    expensive verify join linear in the number of *plausible* pairs.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -204,7 +218,20 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    # Exact verify: jaccard over shingle sets, only for candidate pairs.
+    # Estimate prefilter: signature-agreement fraction, pure zip_with.
+    sa = sig.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b"))
+    est = F.expr(
+        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+        f" / {num_hashes}"
+    )
+    cand = (
+        cand.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .filter(est >= threshold - est_margin)
+        .select("doc_a", "doc_b")
+    )
+    # Exact verify: jaccard over shingle sets, only for plausible pairs.
     sh = (
         docs.select(F.col(id_col).alias("doc"),
                     word_shingles(F.col(text_col), n).alias("sh"))

@@ -25,16 +25,18 @@ FAKE_DECODE = True
 
 MEDIA_META_SCHEMA = (
     "doc_id string, media_ref string, media_type string, n_bytes long, "
-    "content_sha1 string, width int, height int, n_frames int"
+    "content_sha256 string, width int, height int, n_frames int"
 )
 
 
 def attach_fake_media(docs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
     """Derive a deterministic binary payload per media_ref (test stand-in
-    for bytes fetched at crawl time). Pure built-ins: sha2 → binary."""
+    for bytes fetched at crawl time). Pure built-ins: the utf8 bytes of the
+    sha256 hex digest — chosen so a SQL oracle (DuckDB sha256(varchar)) can
+    reproduce the content hash exactly."""
     return docs.withColumn(
         "media_bytes",
-        F.to_binary(F.sha2(F.col(ref_col).cast("binary"), 256), F.lit("hex")),
+        F.sha2(F.col(ref_col).cast("binary"), 256).cast("binary"),
     )
 
 
@@ -48,11 +50,11 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     def _decode_one(buf: bytes) -> tuple[str, int, int, int]:
         if not FAKE_DECODE:  # pragma: no cover
             raise NotImplementedError("real decoders not available in this env")
-        h = hashlib.sha1(buf).digest()
+        h = hashlib.sha256(buf).digest()
         width = 64 + h[0] % 192
         height = 64 + h[1] % 192
         n_frames = 1 + h[2] % 4
-        return hashlib.sha1(buf).hexdigest(), width, height, n_frames
+        return hashlib.sha256(buf).hexdigest(), width, height, n_frames
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -66,7 +68,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                         for r in pdf["media_ref"]
                     ],
                     "n_bytes": [len(b or b"") for b in pdf["media_bytes"]],
-                    "content_sha1": [d[0] for d in decoded],
+                    "content_sha256": [d[0] for d in decoded],
                     "width": [d[1] for d in decoded],
                     "height": [d[2] for d in decoded],
                     "n_frames": [d[3] for d in decoded],

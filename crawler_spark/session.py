@@ -37,6 +37,13 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
+        # PySpark's 1g default heap cannot hold local[32]'s concurrent task
+        # buffers; size for the machine (overridable per environment — on a
+        # real cluster this is executor memory via spark-submit).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
         # AQE: runtime coalescing + skew-join splitting; essential at 100 TB,
         # harmless locally.
         .config("spark.sql.adaptive.enabled", "true")

@@ -27,14 +27,20 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-DELTA_PARTS = ("url_seen", "scheduled", "docs", "crawl_log", "metrics")
+DELTA_PARTS = ("docs", "crawl_log", "metrics")
 FULL_PARTS = ("frontier",)
 
 
 class CrawlCheckpoint:
-    def __init__(self, spark: SparkSession, root: str):
+    """``write_partitions`` coalesces each per-batch delta before writing —
+    deltas are O(batch), and a 32-way write of a few hundred rows is pure
+    small-file overhead. A 10^10-URL deployment raises it (or switches the
+    seam to Iceberg appends); semantics are unchanged either way."""
+
+    def __init__(self, spark: SparkSession, root: str, write_partitions: int = 4):
         self.spark = spark
         self.root = root
+        self.write_partitions = write_partitions
         os.makedirs(root, exist_ok=True)
 
     def _batch_dir(self, batch_id: int) -> str:
@@ -60,7 +66,9 @@ class CrawlCheckpoint:
             shutil.rmtree(bdir)  # torn write from a killed run
         os.makedirs(bdir, exist_ok=True)
         for name, df in parts.items():
-            df.write.mode("overwrite").parquet(os.path.join(bdir, name))
+            df.coalesce(self.write_partitions).write.mode("overwrite").parquet(
+                os.path.join(bdir, name)
+            )
         tmp = self._manifest(batch_id) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"batch_id": batch_id, "stats": stats}, fh)

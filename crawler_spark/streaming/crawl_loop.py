@@ -46,7 +46,7 @@ from crawler_spark.operators.dedup import (
 )
 from crawler_spark.operators.politeness import admit_per_host, apply_robots
 from crawler_spark.plans.parser import parse_page
-from crawler_spark.schema import ROBOTS_SCHEMA, URL_SEEN_SCHEMA
+from crawler_spark.schema import ROBOTS_SCHEMA
 from crawler_spark.streaming.checkpoint import CrawlCheckpoint
 
 DOC_STRUCT = (
@@ -92,6 +92,9 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.base_epoch = base_epoch
         self._registry_bc = spark.sparkContext.broadcast(registry)
+        # Running |url_seen| from per-batch manifest stats — avoids an
+        # O(history) recount per batch (recomputed once on resume).
+        self._seen_total = 0
 
     # -- state ---------------------------------------------------------------
 
@@ -119,14 +122,25 @@ class CrawlEngine:
         ).withColumn("host", host_of(F.col("url")))
 
     def _empty_url_seen(self) -> DataFrame:
-        return self.spark.createDataFrame([], URL_SEEN_SCHEMA)
+        return self.spark.createDataFrame([], "url string, url_hash long")
 
     def _url_seen_state(self, upto_batch: int) -> DataFrame:
-        delta = self.ckpt.read_deltas("url_seen", upto_batch) if upto_batch >= 0 else None
-        return delta if delta is not None else self._empty_url_seen()
+        """The seen set is a *projection* of the stored documents (the
+        reference's semantics exactly: a URL is seen iff a row landed in
+        ``news`` — middlewares.py:51 probes that table). Storing it
+        separately would be duplicate state; derive it."""
+        docs = self.ckpt.read_deltas("docs", upto_batch) if upto_batch >= 0 else None
+        if docs is None:
+            return self._empty_url_seen()
+        return docs.select(
+            F.col("request_url").alias("url"),
+            F.xxhash64(canonicalize_col(F.col("request_url"))).alias("url_hash"),
+        )
 
     def _scheduled_state(self, upto_batch: int) -> DataFrame | None:
-        return self.ckpt.read_deltas("scheduled", upto_batch) if upto_batch >= 0 else None
+        """Intra-run dupefilter state = projection of the crawl log."""
+        log = self.ckpt.read_deltas("crawl_log", upto_batch) if upto_batch >= 0 else None
+        return None if log is None else log.select("url")
 
     # -- parse stage -----------------------------------------------------------
 
@@ -205,12 +219,12 @@ class CrawlEngine:
             cands = cands.join(
                 scheduled.select("url").distinct(), on="url", how="left_anti"
             )
-        seen_count = url_seen.count()
+        seen_count = self._seen_total
         bloom_on = (
             self.use_bloom if self.use_bloom is not None else seen_count >= 4096
         )
         bloom = (
-            url_seen_bloom(spark, url_seen, expected_items=seen_count)
+            url_seen_bloom(spark, url_seen, expected_items=max(seen_count, 64))
             if (bloom_on and seen_count) else None
         )
         cands = url_seen_filter(spark, cands, url_seen, bloom)
@@ -259,11 +273,6 @@ class CrawlEngine:
                 F.col("d.response_url").alias("response_url"),
             )
         )
-        url_seen_delta = docs_delta.select(
-            F.col("request_url").alias("url"),
-            F.xxhash64(canonicalize_col(F.col("request_url"))).alias("url_hash"),
-            F.lit(b).alias("first_seen_batch"),
-        )
         new_reqs = (
             parsed.filter(F.col("out_kind") == "req")
             .select(
@@ -281,10 +290,8 @@ class CrawlEngine:
 
         # 5. metrics (SURVEY §2.5 A4) + crawl log
         crawl_log = admitted.select(
-            F.lit(b).alias("batch_id"), "url", "host", "priority", "seq"
-        )
-        sched_delta = admitted.select(
-            "url", "url_hash", F.lit(b).alias("batch_id")
+            F.lit(b).alias("batch_id"), "url", "url_hash", "host",
+            "priority", "seq",
         )
         metrics = (
             fetched.groupBy("host")
@@ -301,18 +308,18 @@ class CrawlEngine:
         )
 
         n_admitted = admitted.count()
+        n_docs = docs_delta.count()
         self.ckpt.commit(
             b,
             {
                 "frontier": next_frontier,
-                "url_seen": url_seen_delta,
-                "scheduled": sched_delta,
                 "docs": docs_delta,
                 "crawl_log": crawl_log,
                 "metrics": metrics,
             },
-            stats={"admitted": n_admitted},
+            stats={"admitted": n_admitted, "docs": n_docs},
         )
+        self._seen_total += n_docs
         for df in (cands, admitted, fetched, parsed):
             df.unpersist()
         return self.ckpt.read_part(b, "frontier")
@@ -326,6 +333,9 @@ class CrawlEngine:
         if last is not None:
             b = last + 1
             frontier = self.ckpt.read_part(last, "frontier")
+            self._seen_total = sum(
+                self.ckpt.stats(i).get("docs", 0) for i in range(last + 1)
+            )
         else:
             b = 0
             frontier = self._seed_frontier()
@@ -345,7 +355,7 @@ class CrawlEngine:
         return {
             "last_batch": upto_batch,
             "crawl_log": deltas("crawl_log"),
-            "url_seen": deltas("url_seen"),
+            "url_seen": self._url_seen_state(upto_batch),
             "docs": deltas("docs"),
             "metrics": deltas("metrics"),
         }

@@ -1,0 +1,55 @@
+"""The correctness gate, locally: every ``__spark_entry__.queries()`` entry
+must exact-match its DuckDB oracle at sf0.01 (row count, column names,
+values — columns sorted by name, rows order-insensitive), mirroring the
+driver's CORRECTNESS check. Rows-only entries must at least run and return
+a stable schema.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from tools.check_oracle import TABLES, canon
+
+SF_DIR = "/root/testdata/sf0.01"
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def test_every_query_has_callable_and_oracle_keys_align():
+    assert QUERIES, "queries() must not be empty"
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, con, name):
+    spd = QUERIES[name](spark, SF_DIR).toPandas()
+    if name not in ORACLES:
+        assert len(spd) >= 0 and len(spd.columns) > 0  # rows-only check
+        return
+    opd = con.sql(ORACLES[name]).df()
+    assert len(spd) == len(opd), f"{name}: row count"
+    assert sorted(spd.columns) == sorted(opd.columns), f"{name}: columns"
+    cs, co = canon(spd), canon(opd)
+    assert cs.equals(co), f"{name}: values differ"
