@@ -47,8 +47,13 @@ from crawler_spark.operators.multimodal import (
     attach_fake_media,
     extract_media_features,
 )
-from crawler_spark.operators.politeness import admit_per_host
+from crawler_spark.operators.politeness import (
+    admit_per_host,
+    apply_robots,
+    fetch_schedule,
+)
 from crawler_spark.operators.similarity import brute_force_topk, lsh_topk
+from crawler_spark.schema import ROBOTS_SCHEMA
 
 AS_OF = "2021-06-01 00:00:00"  # deterministic 'now' anchor for F2 parsing
 
@@ -222,6 +227,86 @@ def q_politeness_admission(spark, sf_dir):
     )
     admitted, _deferred = admit_per_host(fr, batch_seconds=1.0)
     return admitted.select("host", "url", "host_rank").orderBy("host", "host_rank")
+
+
+def q_robots_filter(spark, sf_dir):
+    """W2: robots.txt allow/deny prefix rules with longest-prefix-match
+    precedence + per-host Crawl-delay (the reference disables robots,
+    settings.py:20; the north rule requires them)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    k = F.pmod(F.col("user_id"), F.lit(13))
+    frontier = ev.select(
+        F.concat(F.lit("http://h"), k.cast("string"), F.lit(".test/p"),
+                 F.pmod(F.col("event_id"), F.lit(20)).cast("string"),
+                 F.lit("/x")).alias("url"),
+        F.concat(F.lit("h"), k.cast("string"), F.lit(".test")).alias("host"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("seq"),
+    )
+    rules = [
+        (
+            f"h{i}.test",
+            ["/p1"] if i == 2 else [],
+            ["/p1"] if i % 2 == 0 else [],
+            [0.1, 0.2, 0.3][i % 3],
+        )
+        for i in range(13)
+    ]
+    robots = spark.createDataFrame(rules, ROBOTS_SCHEMA)
+    return (
+        apply_robots(frontier, robots)
+        .select("url", "host", "seq", "crawl_delay")
+        .orderBy("seq")
+    )
+
+
+def q_fetch_schedule(spark, sf_dir):
+    """W1: politeness-respecting wall-clock fetch slots —
+    batch_start + (host_rank-1) × crawl_delay (settings.py:28 semantics)."""
+    _prep(spark)
+    fr = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("url"),
+        F.concat(F.lit("h"), F.pmod(F.col("user_id"), F.lit(13)).cast("string")).alias("host"),
+        F.lit(0.0).alias("priority"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("seq"),
+        F.xxhash64(F.col("event_id").cast("string")).alias("url_hash"),
+        F.lit(0.2).alias("crawl_delay"),
+    )
+    admitted, _deferred = admit_per_host(fr, batch_seconds=1.0)
+    return (
+        fetch_schedule(admitted, batch_start_epoch=1000.0)
+        .select("host", "url", "host_rank", "scheduled_at")
+        .orderBy("host", "host_rank")
+    )
+
+
+def q_event_sessionize(spark, sf_dir):
+    """Sessionization (streaming session-window shape): per-user sessions
+    split on >30-minute gaps, via lag + running sum windows."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ → timestamp (session TZ is UTC) → epoch-seconds double.
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("sess_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
 
 
 def q_time_cutoff(spark, sf_dir):
@@ -526,6 +611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_seen_antijoin": q_url_seen_antijoin,
         "frontier_dedup": q_frontier_dedup,
         "politeness_admission": q_politeness_admission,
+        "robots_filter": q_robots_filter,
+        "fetch_schedule": q_fetch_schedule,
+        "event_sessionize": q_event_sessionize,
         "time_cutoff": q_time_cutoff,
         "url_dispatch": q_url_dispatch,
         "fuzzy_date_parse": q_fuzzy_date_parse,
@@ -644,6 +732,57 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             QUALIFY host_rank <= 5
             ORDER BY host, host_rank
+        """,
+        "robots_filter": """
+            WITH f AS (
+              SELECT 'http://h' || cast(user_id % 13 AS varchar) || '.test/p'
+                       || cast(event_id % 20 AS varchar) || '/x' AS url,
+                     'h' || cast(user_id % 13 AS varchar) || '.test' AS host,
+                     lpad(cast(event_id AS varchar), 12, '0') AS seq,
+                     user_id % 13 AS k,
+                     '/p' || cast(event_id % 20 AS varchar) || '/x' AS path
+              FROM events)
+            SELECT url, host, seq,
+                   (CASE k % 3 WHEN 0 THEN 0.1 WHEN 1 THEN 0.2 ELSE 0.3 END)::double
+                     AS crawl_delay
+            FROM f
+            WHERE (k = 2 AND path LIKE '/p1%')
+               OR NOT (k % 2 = 0 AND path LIKE '/p1%')
+            ORDER BY seq
+        """,
+        "fetch_schedule": """
+            WITH adm AS (
+              SELECT 'h' || cast(user_id % 13 AS varchar) AS host,
+                     cast(event_id AS varchar) AS url,
+                     cast(row_number() OVER (
+                       PARTITION BY user_id % 13
+                       ORDER BY lpad(cast(event_id AS varchar), 12, '0')) AS int)
+                       AS host_rank
+              FROM events QUALIFY host_rank <= 5)
+            SELECT host, url, host_rank,
+                   1000.0::double + (host_rank - 1) * (0.2::double) AS scheduled_at
+            FROM adm ORDER BY host, host_rank
+        """,
+        "event_sessionize": """
+            WITH s AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                            OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s2 AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM s)
+            SELECT user_id, cast(session_id AS bigint) AS session_id,
+                   count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end
+            FROM s2 GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
         """,
         "time_cutoff": """
             SELECT event_type, count(*) AS n,

@@ -200,8 +200,15 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signature(docs, n, num_hashes, id_col, text_col)
+    # Carry the full signature through the band explode: the signature is
+    # then computed ONCE per doc and both sides of the band join already
+    # hold it, so the estimate needs no extra joins (and no signature
+    # recomputation — the dominant cost: |docs|·|shingles|·num_hashes
+    # xxhash evaluations per scan). 32 longs × bands extra shuffle bytes
+    # per doc is noise next to that.
     banded = sig.select(
         "doc",
+        "signature",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
@@ -209,27 +216,19 @@ def minhash_lsh_pairs(
                 f"         xxhash64(concat_ws(',', slice(signature, b * {r} + 1, {r}))) as band_hash))"
             )
         ).alias("band"),
-    ).select("doc", "band.band_idx", "band.band_hash")
+    ).select("doc", "signature", "band.band_idx", "band.band_hash")
     a = banded.alias("a")
     b = banded.alias("b")
+    est = F.expr(
+        f"size(filter(zip_with(a.signature, b.signature, (x, y) -> x = y),"
+        f" v -> v)) / {num_hashes}"
+    )
     cand = (
         a.join(b, on=["band_idx", "band_hash"])
         .filter(F.col("a.doc") < F.col("b.doc"))
+        .filter(est >= threshold - est_margin)
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
-    )
-    # Estimate prefilter: signature-agreement fraction, pure zip_with.
-    sa = sig.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a"))
-    sb = sig.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b"))
-    est = F.expr(
-        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
-        f" / {num_hashes}"
-    )
-    cand = (
-        cand.join(sa, on="doc_a")
-        .join(sb, on="doc_b")
-        .filter(est >= threshold - est_margin)
-        .select("doc_a", "doc_b")
     )
     # Exact verify: jaccard over shingle sets, only for plausible pairs.
     sh = (

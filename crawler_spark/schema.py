@@ -56,6 +56,7 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("website_id", T.IntegerType()),
         T.StructField("language_id", T.IntegerType()),
         T.StructField("batch_id", T.IntegerType()),
+        T.StructField("attempt", T.IntegerType()),  # retry count (W3)
     ]
 )
 
@@ -113,5 +114,6 @@ SITE_GRAPH_SCHEMA = T.StructType(
         T.StructField("payload", T.StringType()),  # JSON body the mock fetch returns
         T.StructField("host", T.StringType()),
         T.StructField("bytes", T.LongType()),
+        T.StructField("fail_times", T.IntegerType()),  # first N fetches fail (W3)
     ]
 )

@@ -23,6 +23,7 @@ from datetime import datetime
 from crawler_spark.plans.parser import parse_page
 
 DEFAULT_CRAWL_DELAY = 0.2  # settings.py:28
+MAX_RETRIES = 2  # Scrapy default RETRY_TIMES (W3)
 
 
 def simulate_crawl(
@@ -70,17 +71,20 @@ def simulate_crawl(
     batch_id = 0
 
     while frontier and batch_id < max_batches:
-        # --- dedup (SURVEY §2.2): intra-frontier by url keeping min seq ---
+        # --- dedup (SURVEY §2.2): intra-frontier by url keeping min seq.
+        # Retry rows (attempt > 0, W3) bypass every dedup tier, like
+        # Scrapy's retry middleware re-scheduling with dont_filter. ---
+        retry_rows = [r for r in frontier if r.get("attempt", 0) > 0]
         by_url: dict[str, dict] = {}
         for r in sorted(frontier, key=lambda r: r["seq"]):
-            if r["url"] not in by_url:
+            if r.get("attempt", 0) == 0 and r["url"] not in by_url:
                 by_url[r["url"]] = r
         cands = [
             r
             for r in by_url.values()
             if r["url"] not in scheduled  # intra-run dupefilter (D3)
             and (r["dont_filter"] or r["url"] not in url_seen)  # D1/D2
-        ]
+        ] + retry_rows
         # --- robots deny prefixes (W2) ---
         cands = [
             r for r in cands
@@ -116,6 +120,13 @@ def simulate_crawl(
             fetch_count += 1
             if page is None:
                 continue  # 404: nothing yielded
+            if r.get("attempt", 0) < page.get("fail_times", 0):
+                # W3: transient failure → re-enqueue with attempt+1, capped.
+                if r.get("attempt", 0) + 1 <= MAX_RETRIES:
+                    nr = dict(r)
+                    nr["attempt"] = r.get("attempt", 0) + 1
+                    new_frontier.append(nr)
+                continue
             rule = registry.get(r["website_id"], {})
             doc, reqs = parse_page(
                 url=r["url"],

@@ -56,6 +56,7 @@ def build_site_graph(
     entries_per_page: int = 4,
     skew_pages: int = 0,
     dup_fraction: float = 0.15,
+    flaky_fraction: float = 0.0,
     seed: int = 42,
 ) -> dict:
     """Returns {pages, seeds, registry, cutoff_epoch, as_of}.
@@ -76,6 +77,11 @@ def build_site_graph(
     cutoff_epoch = cutoff_dt.replace(tzinfo=timezone.utc).timestamp()
 
     def add_page(url, kind, payload, host, response_url=None):
+        # Flaky pages fail their first 1-2 fetches, then succeed (exercises
+        # the W3 retry path; Scrapy's default retry middleware semantics).
+        fail_times = (
+            rng.randint(1, 2) if rng.random() < flaky_fraction else 0
+        )
         pages[url] = {
             "url": url,
             "response_url": response_url or url,
@@ -83,6 +89,7 @@ def build_site_graph(
             "payload": payload,
             "host": host,
             "bytes": 500 + len(json.dumps(payload)),
+            "fail_times": fail_times,
         }
 
     for s in range(n_sites):
@@ -186,7 +193,7 @@ def build_site_graph(
 def site_graph_df(spark: SparkSession, graph: dict) -> DataFrame:
     rows = [
         (p["url"], p["response_url"], p["kind"], json.dumps(p["payload"]),
-         p["host"], p["bytes"])
+         p["host"], p["bytes"], p.get("fail_times", 0))
         for p in graph["pages"].values()
     ]
     return spark.createDataFrame(rows, SITE_GRAPH_SCHEMA)

@@ -58,7 +58,10 @@ DOC_STRUCT = (
 FRONTIER_COLS = [
     "url", "url_hash", "host", "depth", "priority", "seq", "parse_kind",
     "dont_filter", "meta_json", "website_id", "language_id", "batch_id",
+    "attempt",
 ]
+
+MAX_RETRIES = 2  # Scrapy default RETRY_TIMES (retry middleware, W3)
 
 
 class CrawlEngine:
@@ -107,7 +110,7 @@ class CrawlEngine:
         rows = [
             (
                 r.url, None, None, 0, 0.0, f"{i:04d}", "menu", False, "{}",
-                int(r.website_id), int(r.language_id), 0,
+                int(r.website_id), int(r.language_id), 0, 0,
             )
             for i, r in enumerate(seeds.itertuples(index=False))
         ]
@@ -115,7 +118,7 @@ class CrawlEngine:
             rows,
             "url string, url_hash long, host string, depth int, priority double,"
             " seq string, parse_kind string, dont_filter boolean, meta_json string,"
-            " website_id int, language_id int, batch_id int",
+            " website_id int, language_id int, batch_id int, attempt int",
         )
         return df.withColumn(
             "url_hash", F.xxhash64(canonicalize_col(F.col("url")))
@@ -213,8 +216,13 @@ class CrawlEngine:
         url_seen = self._url_seen_state(b - 1)
         scheduled = self._scheduled_state(b - 1)
 
-        # 1. dedup — intra-batch, intra-run, cross-run (SURVEY §2.2)
-        cands = intra_batch_dedup(frontier)
+        # 1. dedup — intra-batch, intra-run, cross-run (SURVEY §2.2).
+        # Retry rows (attempt > 0, W3) bypass every dedup tier: Scrapy's
+        # retry middleware re-schedules with dont_filter, and the URL was
+        # never stored (the fetch failed), so dropping it would lose pages.
+        retries = frontier.filter(F.col("attempt") > 0)
+        fresh = frontier.filter(F.col("attempt") == 0)
+        cands = intra_batch_dedup(fresh)
         if scheduled is not None:
             cands = cands.join(
                 scheduled.select("url").distinct(), on="url", how="left_anti"
@@ -228,6 +236,7 @@ class CrawlEngine:
             if (bloom_on and seen_count) else None
         )
         cands = url_seen_filter(spark, cands, url_seen, bloom)
+        cands = cands.unionByName(retries)
 
         # 2. robots + politeness (SURVEY §2.6-2.7)
         cands = apply_robots(cands, self.robots).persist()
@@ -245,11 +254,27 @@ class CrawlEngine:
             F.col("kind").alias("g_kind"),
             F.col("payload").alias("g_payload"),
             F.col("bytes").alias("g_bytes"),
+            F.col("fail_times").alias("g_fail_times"),
         )
         fetched = admitted.join(F.broadcast(graph), on="url", how="left").persist()
 
-        # 4. parse
-        parsed = self._parse_stage(fetched).persist()
+        # W3: a fetch succeeds once its prior failures exhaust fail_times;
+        # failures re-enqueue with attempt+1, capped at MAX_RETRIES.
+        succeeded = fetched.filter(
+            F.col("attempt") >= F.coalesce(F.col("g_fail_times"), F.lit(0))
+        )
+        retry_rows = (
+            fetched.filter(
+                F.col("attempt") < F.coalesce(F.col("g_fail_times"), F.lit(0))
+            )
+            .withColumn("attempt", F.col("attempt") + 1)
+            .filter(F.col("attempt") <= MAX_RETRIES)
+            .withColumn("batch_id", F.lit(b + 1))
+            .select(*FRONTIER_COLS)
+        )
+
+        # 4. parse (successful fetches only)
+        parsed = self._parse_stage(succeeded).persist()
 
         batch_ts = datetime.fromtimestamp(
             self.base_epoch + b * self.batch_seconds, tz=timezone.utc
@@ -282,16 +307,20 @@ class CrawlEngine:
             .withColumn("url_hash", F.xxhash64(canonicalize_col(F.col("url"))))
             .withColumn("host", host_of(F.col("url")))
             .withColumn("batch_id", F.lit(b + 1))
+            .withColumn("attempt", F.lit(0))
             .select(*FRONTIER_COLS)
         )
-        next_frontier = deferred.withColumn("batch_id", F.lit(b + 1)).select(
-            *FRONTIER_COLS
-        ).unionByName(new_reqs)
+        next_frontier = (
+            deferred.withColumn("batch_id", F.lit(b + 1))
+            .select(*FRONTIER_COLS)
+            .unionByName(new_reqs)
+            .unionByName(retry_rows)
+        )
 
         # 5. metrics (SURVEY §2.5 A4) + crawl log
         crawl_log = admitted.select(
             F.lit(b).alias("batch_id"), "url", "url_hash", "host",
-            "priority", "seq",
+            "priority", "seq", "attempt",
         )
         metrics = (
             fetched.groupBy("host")

@@ -86,9 +86,11 @@ def _sim_docs(sim) -> dict[str, dict]:
 @pytest.fixture(scope="module")
 def graph():
     # All four pagination rules, duplicate cross-links, redirects, a
-    # dont_filter probe site, category exclusion, cutoff mid-list.
+    # dont_filter probe site, category exclusion, cutoff mid-list, and a
+    # skewed host (site 0 carries extra list pages).
     return build_site_graph(n_sites=4, cats_per_site=2, pages_per_cat=2,
-                            entries_per_page=4, dup_fraction=0.25, seed=7)
+                            entries_per_page=4, dup_fraction=0.25,
+                            skew_pages=2, seed=7)
 
 
 @pytest.fixture(scope="module")
@@ -148,6 +150,23 @@ def test_resume_equals_uninterrupted(spark, graph, sim, tmp_path_factory):
     # no double fetch across the kill/resume boundary
     urls = [u for _, u in _engine_log(res)]
     assert len(urls) == len(set(urls))
+
+
+def test_flaky_fetch_retries_match_simulator(spark, tmp_path_factory):
+    """W3: transient fetch failures re-enqueue with attempt+1 (capped);
+    the retry schedule, final documents, and seen set must still match the
+    reference-semantics simulator exactly."""
+    g = build_site_graph(n_sites=3, cats_per_site=2, pages_per_cat=2,
+                         entries_per_page=3, flaky_fraction=0.3, seed=13)
+    s = simulate_crawl(g)
+    ckpt = tmp_path_factory.mktemp("ckpt_flaky")
+    _, res = _run_engine(spark, g, ckpt)
+    assert _engine_log(res) == s["crawl_log"]
+    assert {r.url for r in res["url_seen"].collect()} == s["url_seen"]
+    assert _engine_docs(res) == _sim_docs(s)
+    # the fixture really did exercise retries
+    retried = res["crawl_log"].filter("attempt > 0").count()
+    assert retried > 0
 
 
 def test_politeness_budget_respected(spark, graph, tmp_path_factory):

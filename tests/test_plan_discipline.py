@@ -1,0 +1,48 @@
+"""Physical-plan discipline (north rule): all hot-path logic runs in
+vectorized Arrow batches or pure JVM expressions — ``BatchEvalPython``
+(row-at-a-time Python UDF) must never appear in any query plan; Python in
+plans is allowed only as ``ArrowEvalPython`` / ``MapInPandas`` /
+``FlatMapGroupsInPandas`` (Arrow-batched). Also checks that the broadcast
+hints actually produce broadcast joins in the report query.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_no_row_at_a_time_python(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_arrow_python_where_expected(spark):
+    """The two deliberately-Python stages are Arrow-batched in the plan."""
+    fuzzy = entrymod.queries()["fuzzy_date_parse"](spark, SF_DIR)
+    assert "ArrowEvalPython" in _physical_plan(fuzzy)
+    mm = entrymod.queries()["multimodal_features"](spark, SF_DIR)
+    assert "MapInPandas" in _physical_plan(mm)
+
+
+def test_report_joins_are_broadcast(spark):
+    plan = _physical_plan(entrymod.queries()["report_daily"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle
+
+
+def test_scan_prunes_columns(spark):
+    """Column pruning reaches the parquet scan: the report query must not
+    read unused wide columns (ReadSchema limited to what the plan needs)."""
+    plan = _physical_plan(entrymod.queries()["report_daily"](spark, SF_DIR))
+    assert "o_orderpriority" not in plan
+    assert "o_orderstatus" not in plan
