@@ -64,7 +64,15 @@ def _prep(spark: SparkSession) -> None:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read a testdata table, fanned out to the session's parallelism.
+
+    The driver-generated parquet files are single-row-group (unsplittable):
+    without an explicit repartition every scan is ONE task and all
+    downstream per-row compute serializes. A production table has
+    thousands of row groups and does not need this — it's a property of
+    the fixture files, not of the plan shape."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _cents(col: str):

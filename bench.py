@@ -71,8 +71,13 @@ def frontier_throughput(spark, sf_dir: str, mult: int = 1) -> dict:
     scaling harness can measure a compute-bound workload (at mult=1 and
     sf0.1 the pipeline finishes in seconds and fixed job overhead
     dominates, which under-reports scaling efficiency)."""
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    # The fixture files are single-row-group (unsplittable) — fan out
+    # BEFORE the expensive canonicalize/hash map or it runs in one task.
+    par = spark.sparkContext.defaultParallelism * 4
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).repartition(par)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     if mult > 1:
         li = li.withColumn("rep", F.explode(F.expr(f"sequence(0, {mult - 1})")))
     else:

@@ -44,6 +44,16 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         )
+        # Shuffle/spill files on tmpfs when available: this sandbox's /tmp
+        # is a virtual disk whose bandwidth caps shuffle-heavy scaling (on
+        # a real cluster this is local NVMe per executor).
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         # AQE: runtime coalescing + skew-join splitting; essential at 100 TB,
         # harmless locally.
         .config("spark.sql.adaptive.enabled", "true")

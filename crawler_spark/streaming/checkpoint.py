@@ -78,15 +78,65 @@ class CrawlCheckpoint:
         return self.spark.read.parquet(os.path.join(self._batch_dir(batch_id), name))
 
     def read_deltas(self, name: str, upto_batch: int) -> DataFrame | None:
-        """Union of a delta part across batches 0..upto_batch."""
+        """Union of a delta part across batches 0..upto_batch, starting
+        from the newest compacted snapshot at or below upto_batch."""
+        base = None
+        start = 0
+        snap = self._newest_compaction(name, upto_batch)
+        if snap is not None:
+            base, start = snap
         paths = [
             os.path.join(self._batch_dir(b), name)
-            for b in range(upto_batch + 1)
+            for b in range(start, upto_batch + 1)
             if os.path.exists(os.path.join(self._batch_dir(b), name))
         ]
+        if base is not None:
+            paths = [base] + paths
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
+
+    # -- delta compaction (the Iceberg-snapshot equivalent) -----------------
+
+    def _compact_dir(self, name: str, upto_batch: int) -> str:
+        return os.path.join(self.root, f"compact_{name}_{upto_batch:05d}")
+
+    def _newest_compaction(self, name: str, upto_batch: int):
+        """(path, next_batch_to_read) of the newest usable compaction."""
+        best = None
+        prefix = f"compact_{name}_"
+        for d in os.listdir(self.root):
+            if d.startswith(prefix) and os.path.exists(
+                os.path.join(self.root, d, "_COMMITTED")
+            ):
+                b = int(d[len(prefix):])
+                if b <= upto_batch and (best is None or b > best):
+                    best = b
+        if best is None:
+            return None
+        return os.path.join(self._compact_dir(name, best)), best + 1
+
+    def compact(self, upto_batch: int, names=DELTA_PARTS) -> None:
+        """Rewrite each delta part's history 0..upto_batch into one
+        compacted parquet snapshot; subsequent reads touch one snapshot +
+        the per-batch tail instead of O(batches) directories. Commit point
+        is an atomic marker-file rename, so a killed compaction is
+        invisible. A 10^10-URL deployment runs this every k batches (or
+        lets Iceberg do it natively via the SnapshotTable seam)."""
+        for name in names:
+            df = self.read_deltas(name, upto_batch)
+            if df is None:
+                continue
+            out = self._compact_dir(name, upto_batch)
+            if os.path.exists(out):
+                shutil.rmtree(out)
+            df.coalesce(max(self.write_partitions, 1)).write.mode(
+                "overwrite"
+            ).parquet(out)
+            tmp = os.path.join(out, "_COMMITTED.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(str(upto_batch))
+            os.replace(tmp, os.path.join(out, "_COMMITTED"))
 
     def stats(self, batch_id: int) -> dict:
         with open(self._manifest(batch_id)) as fh:

@@ -78,6 +78,7 @@ class CrawlEngine:
         batch_seconds: float = 1.0,
         use_bloom: bool | None = None,
         base_epoch: float = 1622505600.0,  # 2021-06-01 UTC: cole_time anchor
+        compact_every: int = 0,  # compact checkpoint deltas every k batches
     ):
         self.spark = spark
         self.graph = site_graph.persist()
@@ -94,6 +95,7 @@ class CrawlEngine:
         self.batch_seconds = batch_seconds
         self.use_bloom = use_bloom
         self.base_epoch = base_epoch
+        self.compact_every = compact_every
         self._registry_bc = spark.sparkContext.broadcast(registry)
         # Running |url_seen| from per-batch manifest stats — avoids an
         # O(history) recount per batch (recomputed once on resume).
@@ -374,6 +376,11 @@ class CrawlEngine:
                 break
             frontier = nxt
             b += 1
+            if self.compact_every and b % self.compact_every == 0:
+                # Bound delta-read fanout: O(1 snapshot + k tail dirs)
+                # instead of O(batches) (SURVEY §7.4; Iceberg does this
+                # natively behind the SnapshotTable seam).
+                self.ckpt.compact(b - 1)
         return self.results(b - 1)
 
     def results(self, upto_batch: int) -> dict:

@@ -22,7 +22,7 @@ from crawler_spark.streaming.crawl_loop import CrawlEngine
 
 
 def _run_engine(spark, graph, ckpt_dir, resume=False, max_batches=1000,
-                use_bloom=None):
+                use_bloom=None, compact_every=0):
     eng = CrawlEngine(
         spark,
         site_graph=site_graph_df(spark, graph),
@@ -32,6 +32,7 @@ def _run_engine(spark, graph, ckpt_dir, resume=False, max_batches=1000,
         as_of=AS_OF,
         checkpoint_dir=str(ckpt_dir),
         use_bloom=use_bloom,
+        compact_every=compact_every,
     )
     return eng, eng.run(max_batches=max_batches, resume=resume)
 
@@ -150,6 +151,19 @@ def test_resume_equals_uninterrupted(spark, graph, sim, tmp_path_factory):
     # no double fetch across the kill/resume boundary
     urls = [u for _, u in _engine_log(res)]
     assert len(urls) == len(set(urls))
+
+
+def test_compaction_preserves_state(spark, graph, sim, tmp_path_factory):
+    """Delta compaction every 2 batches must not change any outcome —
+    reads just touch one snapshot + a short tail instead of O(batches)."""
+    import os
+
+    ckpt = tmp_path_factory.mktemp("ckpt_compact")
+    _, res = _run_engine(spark, graph, ckpt, compact_every=2)
+    assert _engine_log(res) == sim["crawl_log"]
+    assert {r.url for r in res["url_seen"].collect()} == sim["url_seen"]
+    assert _engine_docs(res) == _sim_docs(sim)
+    assert any(d.startswith("compact_docs_") for d in os.listdir(ckpt))
 
 
 def test_flaky_fetch_retries_match_simulator(spark, tmp_path_factory):

@@ -66,6 +66,10 @@ def main() -> int:
         os.environ.get("SPARK_GRAFT_SCALE_HI", "16")
     )
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+    # 40× candidates (24M URLs): per-run fixed overhead (~3s of job setup,
+    # broadcast build, final small stages) must be small next to measured
+    # compute or it caps apparent efficiency at any core count.
+    MULT = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "40"))
     # Interleaved best-of-N trials: the sandbox VM sees bursty host-level
     # interference (3× run-to-run swings), so trials alternate levels —
     # a noise burst hits all levels equally — and the best run per level
@@ -89,7 +93,7 @@ def main() -> int:
             time.sleep(30)
             continue
         sweep = {
-            cpus: run_level(cpus, sf_dir, frontier_only=True, mult=10, runs=1)
+            cpus: run_level(cpus, sf_dir, frontier_only=True, mult=MULT, runs=1)
             for cpus in levels
         }
         c1 = calibrate()
@@ -108,7 +112,7 @@ def main() -> int:
               file=sys.stderr)
         for cpus in levels:
             by_level[cpus].append(
-                run_level(cpus, sf_dir, frontier_only=True, mult=10, runs=1)
+                run_level(cpus, sf_dir, frontier_only=True, mult=MULT, runs=1)
             )
     best = {
         c: min(rs, key=lambda r: r["frontier"]["sec"]) for c, rs in by_level.items()
