@@ -3,10 +3,11 @@
 ``entry(spark)`` runs the flagship report query (the reference's daily
 analytics job, /root/reference/baogao.py:56, re-expressed as one DataFrame
 plan) on sf0.001. ``queries()`` exposes one entry per implemented operator
-from SURVEY.md §2 plus the training-data-pipeline operators; each has an
-exact DuckDB oracle in ``oracle_sql()`` unless the op is genuinely
-non-SQL-expressible (iterative crawl loop, xxhash64-based sketches), which
-are rows-only checks.
+from SURVEY.md §2 plus the training-data-pipeline operators; EVERY entry
+has an exact DuckDB oracle in ``oracle_sql()`` — including the
+MinHash/SimHash/sign-LSH sketches, whose hashes are md5-derived 60-bit
+longs with literal universal-hash/hyperplane coefficients, rendered
+identically in both engines.
 
 Column names are aliased identically on both sides; doubles are either
 exact integer ratios (bit-identical across engines) or rounded; money sums
@@ -34,8 +35,10 @@ from crawler_spark.functions.text import (
     token_count_ws,
 )
 from crawler_spark.functions.urlnorm import canonicalize_col, host_of
+from crawler_spark.functions.text import MINHASH_P, minhash_params
 from crawler_spark.operators.dedup import (
-    embedding_near_dup_pairs,
+    SIMHASH_BITS,
+    embedding_near_dup_lsh,
     exact_dedup,
     intra_batch_dedup,
     minhash_lsh_pairs,
@@ -52,7 +55,11 @@ from crawler_spark.operators.politeness import (
     apply_robots,
     fetch_schedule,
 )
-from crawler_spark.operators.similarity import brute_force_topk, lsh_topk
+from crawler_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplanes,
+    lsh_topk,
+)
 from crawler_spark.schema import ROBOTS_SCHEMA
 
 AS_OF = "2021-06-01 00:00:00"  # deterministic 'now' anchor for F2 parsing
@@ -399,18 +406,19 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard near-dup pairs (3-word shingles, ≥ 0.3)."""
+    """n-gram Jaccard near-dup pairs (3-word shingles, ≥ 0.3) with the
+    document-frequency cap on shingle fanout (≤ 50 docs per shingle)."""
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, n=3, threshold=0.3, id_col="doc_id", text_col="text"
+        docs, n=3, threshold=0.3, id_col="doc_id", text_col="text",
+        max_doc_freq=50,
     ).orderBy("doc_a", "doc_b")
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates, exact-verified (xxhash64 signatures —
-    no SQL oracle; rows-only check, exactness covered by pytest vs the
-    plain-Jaccard operator)."""
+    """MinHash+LSH near-dup candidates, exact-verified. md5-derived
+    universal-hash signatures → bit-identical in DuckDB → exact oracle."""
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
@@ -420,7 +428,8 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs via pigeonhole banding (xxhash64 — rows-only)."""
+    """SimHash near-dup pairs via pigeonhole banding (md5-derived 60-bit
+    fingerprints → exact DuckDB oracle)."""
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(
@@ -503,17 +512,23 @@ def q_embedding_topk(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (≥ 0.4 on this synthetic corpus)."""
+    """Embedding-cosine near-dup pairs (≥ 0.4) via sign-LSH bucketing +
+    Hamming-1 multiprobe + in-bucket exact cosine — equi-join plan, no
+    BroadcastNestedLoopJoin. The oracle replicates the bucketing exactly
+    (literal hyperplanes, rounded-dot signs)."""
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(
-        emb, threshold=0.4, id_col="vec_id", vec_col="embedding"
+    return embedding_near_dup_lsh(
+        emb, threshold=0.4, n_planes=8, dim=64,
+        id_col="vec_id", vec_col="embedding",
     ).orderBy("id_a", "id_b")
 
 
 def q_similarity_lsh(spark, sf_dir):
-    """Sign-LSH bucketed ANN (the sub-quadratic scale path; approximate —
-    rows-only check, recall vs brute force asserted in pytest)."""
+    """Sign-LSH bucketed ANN top-k (the sub-quadratic scale path). The
+    bucketing is deterministic literal-hyperplane math, so the DuckDB
+    oracle replicates it exactly; recall vs brute force is additionally
+    asserted in pytest."""
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 8)
@@ -644,6 +659,172 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 TOKEN_REGEX_SQL = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+# -- DuckDB renderings of the md5-based sketch math (exact mirrors of the
+#    Spark expressions in operators/dedup.py and operators/similarity.py) --
+
+def _sql_md5_long60(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::bigint"
+
+
+def _sql_plane(p: list[float]) -> str:
+    return "[" + ", ".join(f"{x:.6f}" for x in p) + "]::double[]"
+
+
+def _sql_bucket(planes: list[list[float]], vec: str) -> str:
+    """Sign-LSH bucket id over a double[] column — bit i from the ROUNDED
+    dot sign, matching operators/similarity.bucket_col bit-for-bit."""
+    return " + ".join(
+        f"(CASE WHEN round(list_inner_product({vec}, {_sql_plane(p)}), 6) >= 0"
+        f" THEN (1::bigint << {i}) ELSE 0::bigint END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def _sql_probes(n_planes: int, bucket: str) -> str:
+    """The multiprobe set: bucket plus its Hamming-1 neighbors."""
+    return (
+        f"unnest(list_distinct(list_prepend({bucket},"
+        f" list_transform(range(0, {n_planes}),"
+        f" i -> xor({bucket}, 1::bigint << i)))))"
+    )
+
+
+def _minhash_lsh_sql(n: int = 3, num_hashes: int = 32, bands: int = 16,
+                     threshold: float = 0.3) -> str:
+    a_co, b_co = minhash_params(num_hashes)
+    r = num_hashes // bands
+    values = ", ".join(
+        f"({i}, {a_co[i]}, {b_co[i]})" for i in range(num_hashes)
+    )
+    jac = "round(i.i::double / (na.n_sh + nb.n_sh - i.i), 4)"
+    return f"""
+        WITH wsp AS (
+          SELECT doc_id AS doc, string_split(text, ' ') AS ws FROM documents),
+        shl AS (
+          SELECT doc, list_transform(
+                   range(1, greatest(len(ws) - {n - 1}, 0) + 1),
+                   i -> array_to_string(list_slice(ws, i, i + {n - 1}), ' ')) AS shs
+          FROM wsp),
+        shx AS (SELECT doc, unnest(shs) AS s FROM shl WHERE len(shs) > 0),
+        hs AS (SELECT doc,
+                      {_sql_md5_long60('s')} % {MINHASH_P} AS h
+               FROM shx),
+        params(i, a, b) AS (VALUES {values}),
+        sig AS (
+          SELECT doc, p.i, min((p.a * h + p.b) % {MINHASH_P}) AS m
+          FROM hs CROSS JOIN params p GROUP BY doc, p.i),
+        sigarr AS (SELECT doc, list(m ORDER BY i) AS signature FROM sig GROUP BY doc),
+        bandix AS (SELECT unnest(range(0, {bands})) AS band_idx),
+        banded AS (
+          SELECT doc, band_idx,
+                 array_to_string(list_slice(signature, band_idx * {r} + 1,
+                                            band_idx * {r} + {r}), ',') AS band_key
+          FROM sigarr CROSS JOIN bandix),
+        cand AS (
+          SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM banded a JOIN banded b USING (band_idx, band_key)
+          WHERE a.doc < b.doc),
+        shd AS (SELECT DISTINCT doc, s FROM shx),
+        sz AS (SELECT doc, count(*) AS n_sh FROM shd GROUP BY doc),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN shd sa ON sa.doc = c.doc_a
+          JOIN shd sb ON sb.doc = c.doc_b AND sb.s = sa.s
+          GROUP BY c.doc_a, c.doc_b)
+        SELECT i.doc_a, i.doc_b, {jac} AS jaccard
+        FROM inter i
+        JOIN sz na ON i.doc_a = na.doc
+        JOIN sz nb ON i.doc_b = nb.doc
+        WHERE {jac} >= {threshold}
+        ORDER BY doc_a, doc_b
+    """
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    chunks = max_hamming + 1
+    width = SIMHASH_BITS // chunks
+    return f"""
+        WITH toks AS (
+          SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        th AS (SELECT doc, {_sql_md5_long60('w')} AS wh FROM toks),
+        bitix AS (SELECT unnest(range(0, {SIMHASH_BITS})) AS b),
+        bits AS (
+          SELECT doc, b,
+                 CASE WHEN sum((wh >> b) & 1) * 2 >= count(*)
+                      THEN (1::bigint << b) ELSE 0::bigint END AS bitval
+          FROM th CROSS JOIN bitix GROUP BY doc, b),
+        fp AS (SELECT doc, cast(sum(bitval) AS bigint) AS sh FROM bits GROUP BY doc),
+        ckix AS (SELECT unnest(range(0, {chunks})) AS chunk_idx),
+        ck AS (
+          SELECT doc, sh, chunk_idx,
+                 (sh >> (chunk_idx * {width})) & {(1 << width) - 1} AS chunk_val
+          FROM fp CROSS JOIN ckix)
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+               cast(bit_count(xor(a.sh, b.sh)) AS int) AS hamming
+        FROM ck a JOIN ck b USING (chunk_idx, chunk_val)
+        WHERE a.doc < b.doc AND bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+        ORDER BY doc_a, doc_b
+    """
+
+
+def _similarity_lsh_sql(k: int = 5, n_planes: int = 8, dim: int = 64,
+                        seed: int = 42) -> str:
+    planes = hyperplanes(dim, n_planes, seed)
+    return f"""
+        WITH n AS (
+          SELECT vec_id, embedding::double[] AS e,
+                 sqrt(list_inner_product(embedding::double[],
+                                         embedding::double[])) AS nrm
+          FROM embeddings),
+        bk AS (SELECT vec_id, e, nrm, ({_sql_bucket(planes, 'e')}) AS bucket
+               FROM n),
+        q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, bucket AS qb
+              FROM bk WHERE vec_id < 8),
+        probes AS (
+          SELECT query_id, qe, qn, {_sql_probes(n_planes, 'qb')} AS bucket
+          FROM q),
+        sc AS (
+          SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+                 round(list_inner_product(p.qe, c.e) / (p.qn * c.nrm), 6)
+                   AS cosine
+          FROM probes p JOIN bk c
+            ON c.bucket = p.bucket AND c.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id,
+               cast(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS int)
+                 AS rank,
+               cosine
+        FROM sc QUALIFY rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+def _embedding_near_dup_sql(threshold: float = 0.4, n_planes: int = 8,
+                            dim: int = 64, seed: int = 42) -> str:
+    planes = hyperplanes(dim, n_planes, seed)
+    cos = "round(list_inner_product(na.e, nb.e) / (na.nrm * nb.nrm), 4)"
+    return f"""
+        WITH n AS (
+          SELECT vec_id, embedding::double[] AS e,
+                 sqrt(list_inner_product(embedding::double[],
+                                         embedding::double[])) AS nrm
+          FROM embeddings),
+        bk AS (SELECT vec_id, ({_sql_bucket(planes, 'e')}) AS bucket FROM n),
+        pr AS (SELECT vec_id, {_sql_probes(n_planes, 'bucket')} AS pb FROM bk),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM pr a JOIN pr b ON a.pb = b.pb AND a.vec_id < b.vec_id)
+        SELECT c.id_a, c.id_b, {cos} AS cosine
+        FROM cand c
+        JOIN n na ON na.vec_id = c.id_a
+        JOIN n nb ON nb.vec_id = c.id_b
+        WHERE {cos} >= {threshold}
+        ORDER BY id_a, id_b
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -840,7 +1021,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 ORDER BY 1
         """,
         "ngram_jaccard": """
-            WITH sh AS (
+            WITH sh0 AS (
               SELECT doc_id AS doc,
                      unnest(list_distinct(list_transform(
                        range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
@@ -848,6 +1029,9 @@ def oracle_sql() -> dict[str, str]:
                          list_slice(string_split(text, ' '), i, i + 2), ' '))))
                        AS shingle
               FROM documents),
+            keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+                     HAVING count(*) <= 50),
+            sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
             sz AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
             inter AS (
               SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
@@ -861,6 +1045,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(i::double / (sa.n_sh + sb.n_sh - i), 4) >= 0.3
             ORDER BY doc_a, doc_b
         """,
+        "minhash_lsh": _minhash_lsh_sql(n=3, num_hashes=32, bands=16,
+                                        threshold=0.3),
+        "simhash_pairs": _simhash_sql(max_hamming=3),
+        "similarity_lsh": _similarity_lsh_sql(k=5, n_planes=8, dim=64),
         "token_stats": f"""
             SELECT doc_id,
                    cast(len(string_split(text, ' ')) AS bigint) AS n_ws_tokens,
@@ -922,19 +1110,8 @@ def oracle_sql() -> dict[str, str]:
             FROM s QUALIFY rank <= 5
             ORDER BY query_id, rank
         """,
-        "embedding_near_dup": """
-            WITH n AS (
-              SELECT vec_id, embedding::double[] AS e,
-                     sqrt(list_inner_product(embedding::double[],
-                                             embedding::double[])) AS nrm
-              FROM embeddings)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 4)
-                     AS cosine
-            FROM n a JOIN n b ON a.vec_id < b.vec_id
-            WHERE round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.4
-            ORDER BY id_a, id_b
-        """,
+        "embedding_near_dup": _embedding_near_dup_sql(threshold=0.4,
+                                                      n_planes=8, dim=64),
         "event_hourly_agg": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
                    event_type, count(*) AS n,
@@ -971,6 +1148,4 @@ def oracle_sql() -> dict[str, str]:
                      AS n_frames
             FROM d ORDER BY doc_id
         """,
-        # minhash_lsh, simhash_pairs, similarity_lsh: xxhash64-based /
-        # approximate — genuinely non-SQL-expressible; rows-only checks.
     }

@@ -12,6 +12,8 @@ first-class scale additions the engine contributes.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -92,11 +94,54 @@ def fingerprint(text: Column) -> Column:
     return F.md5(text)
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Ordered n-word shingles as an array<string> — the MinHash/Jaccard
-    input. Pure higher-order built-ins (transform over a sequence)."""
-    return F.expr(
-        "transform("
-        f"  sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 0)),"
-        f"  i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+def shingles_of(words: Column, n: int = 3) -> Column:
+    """Ordered n-word shingles from a *materialized* token-array column.
+
+    The array column MUST be a plain attribute (select ``split(text,' ')``
+    into its own column first): Catalyst does not common-subexpression-
+    eliminate inside higher-order-function lambdas, so passing ``split``
+    directly here would re-split the text once per shingle — O(words²)
+    (the round-1 regression VERDICT.md 'What's wrong #2'). ``words`` is
+    referenced twice below, which also stops CollapseProject from inlining
+    a non-cheap producer into this expression."""
+    idx = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return F.when(F.size(words) >= n, sh).otherwise(
+        F.array().cast("array<string>")
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Shingles straight from a text column — convenience for small inputs.
+    Hot paths must materialize the split first and use ``shingles_of``."""
+    return shingles_of(F.split(text, " "), n)
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine sketch hashing (MinHash / SimHash)
+#
+# The sketch hash must be bit-identical in Spark and DuckDB so the LSH
+# operators carry exact oracles (VERDICT.md 'Next round #1'). md5 is the
+# one hash both engines share byte-for-byte; we take its first 15 hex chars
+# as a 60-bit non-negative bigint. MinHash then derives the k hash family
+# from ONE base hash per shingle with a universal-hash mix
+# h_i(x) = (a_i·(h mod P) + b_i) mod P over the Mersenne prime P = 2^31-1:
+# products stay < 2^62 (no overflow in either engine) and the per-shingle
+# cost drops from k md5 evaluations to one md5 + k multiply-add-mods.
+# ---------------------------------------------------------------------------
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+def md5_long60(col: Column) -> Column:
+    """First 15 md5 hex chars as a bigint in [0, 2^60) — identical to
+    DuckDB's ('0x' || substr(md5(x), 1, 15))::bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_params(num_hashes: int, seed: int = 20240817) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) universal-hash coefficients, inlined as
+    literals into both the Spark plan and the DuckDB oracle SQL."""
+    rng = random.Random(seed)
+    a = [rng.randrange(1, MINHASH_P) for _ in range(num_hashes)]
+    b = [rng.randrange(0, MINHASH_P) for _ in range(num_hashes)]
+    return a, b

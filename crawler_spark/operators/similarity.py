@@ -77,17 +77,37 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]
 
 
 def bucket_col(vec_col: str, planes: list[list[float]]):
-    """Sign-LSH bucket id: bit i = (vec · plane_i) >= 0. Pure built-ins —
-    each plane is a literal array; dot via zip_with/aggregate."""
+    """Sign-LSH bucket id: bit i = round(vec · plane_i, 6) >= 0. Pure
+    built-ins — each plane is a literal array; dot via zip_with/aggregate.
+
+    The sign is taken on the ROUNDED dot product: Spark's sequential fold
+    and DuckDB's list_inner_product can differ in the last ulps, and an
+    unrounded sign flip at dot ≈ 0 would silently change a bucket id. At
+    6 dp both engines agree bit-for-bit (the same rounding that keeps the
+    cosine oracles exact), so the bucket assignment is cross-engine
+    deterministic."""
     bits = []
     for i, p in enumerate(planes):
-        arr = "array(" + ",".join(f"{x}D" for x in p) + ")"
+        # :.6f — plain decimal (never scientific notation): the identical
+        # literal string is embedded in the DuckDB oracle SQL, so both
+        # engines parse the exact same double.
+        arr = "array(" + ",".join(f"{x:.6f}D" for x in p) + ")"
         bits.append(
-            f"shiftleft(if(aggregate(zip_with({vec_col}, {arr},"
-            f" (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v) >= 0D,"
+            f"shiftleft(if(round(aggregate(zip_with({vec_col}, {arr},"
+            f" (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v), 6) >= 0D,"
             f" 1L, 0L), {i})"
         )
     return F.expr(" + ".join(bits))
+
+
+def probe_buckets(n_planes: int, bucket_col_name: str = "bucket"):
+    """Multiprobe set for a bucket column: the bucket itself plus all
+    Hamming-1 neighbor buckets (n_planes+1 probes), deduplicated."""
+    return F.expr(
+        f"array_union(array({bucket_col_name}),"
+        f" transform(sequence(0, {n_planes - 1}),"
+        f" i -> cast({bucket_col_name} as bigint) ^ shiftleft(1L, i)))"
+    )
 
 
 def lsh_topk(
@@ -118,10 +138,7 @@ def lsh_topk(
         bucket_col(vec_col, planes).alias("qbucket"),
     )
     if multiprobe:
-        probes = F.expr(
-            f"array_union(array(qbucket), transform(sequence(0, {n_planes - 1}),"
-            f" i -> cast(qbucket as bigint) ^ shiftleft(1L, i)))"
-        )
+        probes = probe_buckets(n_planes, "qbucket")
     else:
         probes = F.array(F.col("qbucket"))
     qs = qb.select(

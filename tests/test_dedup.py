@@ -6,6 +6,8 @@ from pyspark.sql import functions as F
 from crawler_spark.functions.urlnorm import canonicalize_col
 from crawler_spark.operators.bloom import build_bloom
 from crawler_spark.operators.dedup import (
+    embedding_near_dup_lsh,
+    embedding_near_dup_pairs,
     exact_dedup,
     intra_batch_dedup,
     minhash_lsh_pairs,
@@ -96,6 +98,47 @@ def test_minhash_lsh_finds_exact_pairs(spark):
     assert (1, 2) in got
     assert (1, 3) in got and (2, 3) in got
     assert all(4 not in p for p in got)
+
+
+def test_ngram_jaccard_doc_freq_cap_kills_stopword_fanout(spark):
+    """A shingle present in EVERY doc (boilerplate) would create |docs|²
+    join fanout; the document-frequency cap drops it from the shingle
+    universe, and jaccard over the capped universe still finds the real
+    near-dups."""
+    boiler = "all rights reserved"
+    uniq = [f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(40)]
+    rows = [(i, f"{uniq[i]} {boiler}") for i in range(40)]
+    rows.append((100, rows[0][1]))  # exact dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_doc_freq=5)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    # the only surviving pair is the true duplicate; the shared boilerplate
+    # shingles (doc-freq 41 > 5) create no pairs at all
+    assert got == {(0, 100): 1.0}
+
+
+def test_embedding_near_dup_lsh_recall_vs_brute_force(spark):
+    """At a near-dup threshold (0.9+) the bucketed path must find every
+    pair the exact all-pairs baseline finds: perturbed copies land in the
+    same or Hamming-1 LSH bucket with overwhelming probability."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((12, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # a near-duplicate: tiny perturbation → cosine ≈ 0.999
+        rows.append((100 + i, [float(x) for x in v + rng.standard_normal(16) * 0.02]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(
+        emb, threshold=0.9, id_col="vec_id", vec_col="embedding").collect()}
+    lsh = {(r.id_a, r.id_b) for r in embedding_near_dup_lsh(
+        emb, threshold=0.9, n_planes=8, dim=16,
+        id_col="vec_id", vec_col="embedding").collect()}
+    assert brute, "fixture must contain near-dup pairs"
+    assert lsh <= brute  # exact verify: no false positives
+    assert lsh == brute  # full recall on true near-dups
 
 
 def test_simhash_near_dup(spark):

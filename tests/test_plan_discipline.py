@@ -40,6 +40,15 @@ def test_report_joins_are_broadcast(spark):
     assert "SortMergeJoin" not in plan  # dims must not shuffle
 
 
+def test_embedding_near_dup_is_bucketed(spark):
+    """The embedding near-dup scale path must be an equi-join on the LSH
+    probe bucket — never the all-pairs BroadcastNestedLoopJoin the exact
+    baseline plans as (VERDICT r1 'What's wrong #4')."""
+    plan = _physical_plan(entrymod.queries()["embedding_near_dup"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_scan_prunes_columns(spark):
     """Column pruning reaches the parquet scan: the report query must not
     read unused wide columns (ReadSchema limited to what the plan needs)."""
