@@ -54,6 +54,7 @@ from crawler_spark.operators.politeness import (
     admit_per_host,
     apply_robots,
     fetch_schedule,
+    priority_score_col,
 )
 from crawler_spark.operators.similarity import (
     brute_force_topk,
@@ -293,6 +294,27 @@ def q_fetch_schedule(spark, sf_dir):
         .select("host", "url", "host_rank", "scheduled_at")
         .orderBy("host", "host_rank")
     )
+
+
+def q_priority_score(spark, sf_dir):
+    """T1: frontier priority scoring f(depth, pub_time recency) as a pure
+    JVM column expression (the hot-path scorer the crawl loop applies to
+    every parsed request; Scrapy's spiders never set priority — this is
+    the engine's scheduling upgrade, SURVEY §2.6)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    depth = F.pmod(F.col("event_id"), F.lit(6)).cast("int")
+    pub_epoch = (
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("ts").cast("timestamp").cast("double"))
+    )
+    as_of_epoch = 1706745600.0  # 2024-02-01 UTC, just after the corpus
+    pr = priority_score_col(depth, pub_epoch, as_of_epoch)
+    return ev.select(
+        "event_id",
+        depth.alias("depth"),
+        F.round(pr, 6).alias("priority"),
+    ).orderBy("event_id")
 
 
 def q_event_sessionize(spark, sf_dir):
@@ -636,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_admission": q_politeness_admission,
         "robots_filter": q_robots_filter,
         "fetch_schedule": q_fetch_schedule,
+        "priority_score": q_priority_score,
         "event_sessionize": q_event_sessionize,
         "time_cutoff": q_time_cutoff,
         "url_dispatch": q_url_dispatch,
@@ -951,6 +974,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, url, host_rank,
                    1000.0::double + (host_rank - 1) * (0.2::double) AS scheduled_at
             FROM adm ORDER BY host, host_rank
+        """,
+        "priority_score": """
+            SELECT event_id,
+                   cast(event_id % 6 AS int) AS depth,
+                   round(1.0::double / (1.0::double + (event_id % 6))
+                         + CASE WHEN event_id % 7 = 0 THEN 0.0::double
+                                ELSE greatest(0.0::double,
+                                              1.0::double
+                                              - (1706745600.0::double - epoch(ts))
+                                                / 604800.0::double) END,
+                         6) AS priority
+            FROM events ORDER BY event_id
         """,
         "event_sessionize": """
             WITH s AS (

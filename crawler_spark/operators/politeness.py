@@ -28,6 +28,43 @@ from pyspark.sql import functions as F
 
 DEFAULT_CRAWL_DELAY = 0.2  # settings.py:28
 
+# Priority scoring f(depth, pub_time recency) — SURVEY §2.6 T1. The
+# reference's spiders never set priority (Scrapy FIFO-per-depth default);
+# the north rule names priority scoring as hot-path logic, so the engine
+# scores every emitted request: shallow pages beat deep ones, and fresher
+# articles beat stale ones within a depth. One week of age cancels the
+# recency boost; pagination/menu rows (no pub_time) get the depth term
+# only. Two renderings of the SAME IEEE-double math:
+#   * priority_score_col — pure JVM column expression (the engine's
+#     vectorized path and the queries() entry);
+#   * priority_score_py  — the reference-semantics simulator's mirror.
+# +, -, /, max on doubles are bit-deterministic across both, so engine and
+# simulator order identically (the byte-for-byte parity tests rely on it).
+
+RECENCY_HALF_WINDOW_S = 604800.0  # 7 days
+
+
+def priority_score_col(depth, pub_epoch, as_of_epoch: float):
+    """Column expression: 1/(1+depth) + max(0, 1 - age/7d)."""
+    depth_term = F.lit(1.0) / (F.lit(1.0) + depth.cast("double"))
+    recency = F.when(pub_epoch.isNull(), F.lit(0.0)).otherwise(
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0)
+            - (F.lit(float(as_of_epoch)) - pub_epoch) / F.lit(RECENCY_HALF_WINDOW_S),
+        )
+    )
+    return depth_term + recency
+
+
+def priority_score_py(depth: int, pub_epoch: float | None,
+                      as_of_epoch: float) -> float:
+    """Plain-Python mirror of priority_score_col (bit-identical)."""
+    d = 1.0 / (1.0 + float(depth))
+    if pub_epoch is None:
+        return d
+    return d + max(0.0, 1.0 - (as_of_epoch - pub_epoch) / RECENCY_HALF_WINDOW_S)
+
 
 def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Filter disallowed URLs and attach the effective per-host crawl delay.

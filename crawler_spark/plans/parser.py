@@ -93,7 +93,12 @@ def parse_page(
     requests: list[dict] = []
 
     def emit(child_url: str, parse_kind: str, child_meta: dict,
-             dont_filter: bool = False) -> None:
+             dont_filter: bool = False, pub_epoch: float | None = None) -> None:
+        # ``pub_epoch`` (the list-scraped entry time, when known) feeds the
+        # T1 priority scorer — computed by the CALLER: the engine scores
+        # vectorized (operators/politeness.priority_score_col), the
+        # simulator with the Python mirror. parse_page itself stays
+        # score-free so the hot path has zero per-row scoring Python.
         requests.append(
             {
                 "url": urljoin(url, child_url),
@@ -101,7 +106,7 @@ def parse_page(
                 "dont_filter": dont_filter,
                 "meta": child_meta,
                 "depth": depth + 1,
-                "priority": 0.0,
+                "pub_epoch": pub_epoch,
                 "seq": f"{seq}.{len(requests):03d}",
             }
         )
@@ -133,7 +138,8 @@ def parse_page(
             pt = _epoch(None, as_of, entry.get("pub_time_raw"))
             if cutoff_epoch is None or pt >= cutoff_epoch:
                 dont_filter = probe_first and i == 0  # maharashtratimes.py:43-49
-                emit(entry["href"], "article", entry_meta, dont_filter=dont_filter)
+                emit(entry["href"], "article", entry_meta,
+                     dont_filter=dont_filter, pub_epoch=pt)
             else:
                 flag = False  # '时间截止' — zeenews.py:96-101
                 break

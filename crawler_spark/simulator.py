@@ -18,8 +18,9 @@ from __future__ import annotations
 
 import hashlib
 import math
-from datetime import datetime
+from datetime import datetime, timezone
 
+from crawler_spark.operators.politeness import priority_score_py
 from crawler_spark.plans.parser import parse_page
 
 DEFAULT_CRAWL_DELAY = 0.2  # settings.py:28
@@ -47,6 +48,8 @@ def simulate_crawl(
     crawl_delays = crawl_delays or {}
     deny_prefixes = deny_prefixes or {}
 
+    as_of_epoch = as_of.replace(tzinfo=timezone.utc).timestamp()
+
     frontier: list[dict] = []
     for i, s in enumerate(graph["seeds"]):
         frontier.append(
@@ -56,7 +59,7 @@ def simulate_crawl(
                 "dont_filter": False,
                 "meta": {},
                 "depth": 0,
-                "priority": 0.0,
+                "priority": priority_score_py(0, None, as_of_epoch),
                 "seq": f"{i:04d}",
                 "website_id": s["website_id"],
                 "language_id": s["language_id"],
@@ -151,6 +154,11 @@ def simulate_crawl(
             for child in reqs:
                 child["website_id"] = r["website_id"]
                 child["language_id"] = r["language_id"]
+                # T1 priority — the Python mirror of the engine's
+                # vectorized priority_score_col (bit-identical doubles).
+                child["priority"] = priority_score_py(
+                    child["depth"], child.get("pub_epoch"), as_of_epoch
+                )
                 new_frontier.append(child)
 
         frontier = new_frontier

@@ -57,6 +57,7 @@ def build_site_graph(
     skew_pages: int = 0,
     dup_fraction: float = 0.15,
     flaky_fraction: float = 0.0,
+    jitter_times: bool = False,
     seed: int = 42,
 ) -> dict:
     """Returns {pages, seeds, registry, cutoff_epoch, as_of}.
@@ -134,8 +135,16 @@ def build_site_graph(
                     url = f"http://{host}/api/c{c}?page={p + 1}"
 
                 entries = []
+                # ``jitter_times``: permute entry times WITHIN the page so
+                # publish order diverges from listing (seq) order — makes
+                # the T1 priority ranking observably different from FIFO
+                # (and exercises the faithful stop-at-first-old break
+                # dropping newer entries later in the list).
+                offsets = list(range(entries_per_page))
+                if jitter_times:
+                    rng.shuffle(offsets)
                 for e in range(entries_per_page):
-                    pub_dt = BASE_DT - timedelta(hours=step)
+                    pub_dt = BASE_DT - timedelta(hours=step + offsets[e] - e)
                     step += 1
                     if site_articles and rng.random() < dup_fraction:
                         a_url = rng.choice(site_articles)  # duplicate link

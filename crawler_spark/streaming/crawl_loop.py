@@ -44,7 +44,11 @@ from crawler_spark.operators.dedup import (
     url_seen_bloom,
     url_seen_filter,
 )
-from crawler_spark.operators.politeness import admit_per_host, apply_robots
+from crawler_spark.operators.politeness import (
+    admit_per_host,
+    apply_robots,
+    priority_score_col,
+)
 from crawler_spark.plans.parser import parse_page
 from crawler_spark.schema import ROBOTS_SCHEMA
 from crawler_spark.streaming.checkpoint import CrawlCheckpoint
@@ -86,6 +90,9 @@ class CrawlEngine:
         self.seeds = seeds
         self.cutoff_epoch = cutoff_epoch
         self.as_of = as_of
+        # Anchor for the T1 recency term; shared verbatim with the
+        # simulator so priority ordering is bit-identical.
+        self.as_of_epoch = as_of.replace(tzinfo=timezone.utc).timestamp()
         self.ckpt = CrawlCheckpoint(spark, checkpoint_dir)
         self.robots = (
             robots
@@ -111,20 +118,28 @@ class CrawlEngine:
         seeds = self.seeds.toPandas()
         rows = [
             (
-                r.url, None, None, 0, 0.0, f"{i:04d}", "menu", False, "{}",
+                r.url, None, None, 0, f"{i:04d}", "menu", False, "{}",
                 int(r.website_id), int(r.language_id), 0, 0,
             )
             for i, r in enumerate(seeds.itertuples(index=False))
         ]
         df = self.spark.createDataFrame(
             rows,
-            "url string, url_hash long, host string, depth int, priority double,"
+            "url string, url_hash long, host string, depth int,"
             " seq string, parse_kind string, dont_filter boolean, meta_json string,"
             " website_id int, language_id int, batch_id int, attempt int",
         )
-        return df.withColumn(
-            "url_hash", F.xxhash64(canonicalize_col(F.col("url")))
-        ).withColumn("host", host_of(F.col("url")))
+        return (
+            df.withColumn("url_hash", F.xxhash64(canonicalize_col(F.col("url"))))
+            .withColumn("host", host_of(F.col("url")))
+            .withColumn(
+                "priority",
+                priority_score_col(
+                    F.col("depth"), F.lit(None).cast("double"), self.as_of_epoch
+                ),
+            )
+            .select(*FRONTIER_COLS)
+        )
 
     def _empty_url_seen(self) -> DataFrame:
         return self.spark.createDataFrame([], "url string, url_hash long")
@@ -178,26 +193,26 @@ class CrawlEngine:
                     if doc is not None:
                         out.append(
                             ("doc", row.url, None, None, None, row.depth,
-                             row.priority, row.seq, row.website_id,
+                             None, row.seq, row.website_id,
                              row.language_id, json.dumps(doc))
                         )
                     for r in reqs:
                         out.append(
                             ("req", r["url"], r["parse_kind"], r["dont_filter"],
-                             json.dumps(r["meta"]), r["depth"], r["priority"],
+                             json.dumps(r["meta"]), r["depth"], r["pub_epoch"],
                              r["seq"], row.website_id, row.language_id, None)
                         )
                 yield pd.DataFrame(
                     out,
                     columns=[
                         "out_kind", "url", "parse_kind", "dont_filter",
-                        "meta_json", "depth", "priority", "seq",
+                        "meta_json", "depth", "pub_epoch", "seq",
                         "website_id", "language_id", "doc_json",
                     ],
                 )
 
         cols = [
-            "url", "meta_json", "depth", "priority", "seq", "website_id",
+            "url", "meta_json", "depth", "seq", "website_id",
             "language_id",
             F.col("g_response_url"), F.col("g_kind"), F.col("g_payload"),
         ]
@@ -205,7 +220,7 @@ class CrawlEngine:
             run,
             "out_kind string, url string, parse_kind string,"
             " dont_filter boolean, meta_json string, depth int,"
-            " priority double, seq string, website_id int,"
+            " pub_epoch double, seq string, website_id int,"
             " language_id int, doc_json string",
         )
 
@@ -304,8 +319,16 @@ class CrawlEngine:
             parsed.filter(F.col("out_kind") == "req")
             .select(
                 "url", "parse_kind", "dont_filter", "meta_json", "depth",
-                "priority", "seq", "website_id", "language_id",
+                "pub_epoch", "seq", "website_id", "language_id",
             )
+            # T1 priority scoring — vectorized JVM expression over the
+            # Arrow-parsed request rows (never inside the parse Python).
+            .withColumn(
+                "priority",
+                priority_score_col(F.col("depth"), F.col("pub_epoch"),
+                                   self.as_of_epoch),
+            )
+            .drop("pub_epoch")
             .withColumn("url_hash", F.xxhash64(canonicalize_col(F.col("url"))))
             .withColumn("host", host_of(F.col("url")))
             .withColumn("batch_id", F.lit(b + 1))

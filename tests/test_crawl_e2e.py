@@ -38,9 +38,11 @@ def _run_engine(spark, graph, ckpt_dir, resume=False, max_batches=1000,
 
 
 def _engine_log(res) -> list[tuple[int, str]]:
+    from pyspark.sql import functions as F
+
     rows = (
         res["crawl_log"]
-        .orderBy("batch_id", "priority", "seq")
+        .orderBy("batch_id", F.desc("priority"), "seq")
         .select("batch_id", "url")
         .collect()
     )
@@ -181,6 +183,32 @@ def test_flaky_fetch_retries_match_simulator(spark, tmp_path_factory):
     # the fixture really did exercise retries
     retried = res["crawl_log"].filter("attempt > 0").count()
     assert retried > 0
+
+
+def test_priority_ordering_matches_simulator(spark, tmp_path_factory):
+    """T1: with jittered publish times the priority ranking (depth +
+    recency) visibly diverges from FIFO seq order, and the engine's
+    vectorized scorer must order admissions exactly like the simulator's
+    Python mirror — byte-for-byte crawl log."""
+    g = build_site_graph(n_sites=3, cats_per_site=2, pages_per_cat=2,
+                         entries_per_page=5, jitter_times=True, seed=23)
+    s = simulate_crawl(g)
+    ckpt = tmp_path_factory.mktemp("ckpt_prio")
+    _, res = _run_engine(spark, g, ckpt)
+    assert _engine_log(res) == s["crawl_log"]
+    assert {r.url for r in res["url_seen"].collect()} == s["url_seen"]
+    assert _engine_docs(res) == _sim_docs(s)
+    # the fixture really produced a non-FIFO admission order: in some
+    # batch, a later-seq row was admitted before an earlier-seq row
+    rows = (
+        res["crawl_log"].orderBy("batch_id", "seq")
+        .select("batch_id", "url").collect()
+    )
+    fifo_log = [(r.batch_id, r.url) for r in rows]
+    assert fifo_log != s["crawl_log"]
+    # and priorities are genuinely non-trivial (not all equal per batch)
+    pr = res["crawl_log"].select("batch_id", "priority").distinct().count()
+    assert pr > res["crawl_log"].select("batch_id").distinct().count()
 
 
 def test_politeness_budget_respected(spark, graph, tmp_path_factory):
