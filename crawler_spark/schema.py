@@ -13,6 +13,13 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
+# Scrapy default RETRY_TIMES (the reference never customizes its retry
+# middleware — SURVEY §2.7 W3). Single source of truth for BOTH the engine
+# (streaming/crawl_loop.py) and the reference-semantics simulator
+# (simulator.py): a config drift between them would surface as a confusing
+# byte-for-byte parity failure instead of an obvious constant mismatch.
+MAX_RETRIES = 2
+
 SPAN_STRUCT = T.StructType(
     [
         T.StructField("kind", T.StringType()),  # 'text' | 'image'

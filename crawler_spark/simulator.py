@@ -22,9 +22,9 @@ from datetime import datetime, timezone
 
 from crawler_spark.operators.politeness import priority_score_py
 from crawler_spark.plans.parser import parse_page
+from crawler_spark.schema import MAX_RETRIES
 
 DEFAULT_CRAWL_DELAY = 0.2  # settings.py:28
-MAX_RETRIES = 2  # Scrapy default RETRY_TIMES (W3)
 
 
 def simulate_crawl(
@@ -39,8 +39,12 @@ def simulate_crawl(
 
     Returns {crawl_log: [(batch_id, url)...] in canonical order,
              url_seen: set, docs: {doc_id: doc}, fetch_count: int,
-             batches: int}.
+             batches: int,
+             metrics: [(batch_id, host, scheduled, deduped, fetched, bytes,
+                        max_depth)...]} — the A4 per-host fetch metrics the
+    engine must reproduce exactly (measured, never fabricated).
     """
+    from collections import Counter
     pages = graph["pages"]
     registry = graph["registry"]
     cutoff = graph["cutoff_epoch"]
@@ -70,6 +74,7 @@ def simulate_crawl(
     scheduled: set[str] = set()
     crawl_log: list[tuple[int, str]] = []
     docs: dict[str, dict] = {}
+    metrics: list[tuple] = []
     fetch_count = 0
     batch_id = 0
 
@@ -78,16 +83,21 @@ def simulate_crawl(
         # Retry rows (attempt > 0, W3) bypass every dedup tier, like
         # Scrapy's retry middleware re-scheduling with dont_filter. ---
         retry_rows = [r for r in frontier if r.get("attempt", 0) > 0]
+        fresh_rows = [r for r in frontier if r.get("attempt", 0) == 0]
         by_url: dict[str, dict] = {}
-        for r in sorted(frontier, key=lambda r: r["seq"]):
-            if r.get("attempt", 0) == 0 and r["url"] not in by_url:
+        for r in sorted(fresh_rows, key=lambda r: r["seq"]):
+            if r["url"] not in by_url:
                 by_url[r["url"]] = r
-        cands = [
+        fresh_kept = [
             r
             for r in by_url.values()
             if r["url"] not in scheduled  # intra-run dupefilter (D3)
             and (r["dont_filter"] or r["url"] not in url_seen)  # D1/D2
-        ] + retry_rows
+        ]
+        # A4: per-host dedup drop counts (all three tiers), measured.
+        n_in = Counter(_host(r["url"]) for r in fresh_rows)
+        n_kept = Counter(_host(r["url"]) for r in fresh_kept)
+        cands = fresh_kept + retry_rows
         # --- robots deny prefixes (W2) ---
         cands = [
             r for r in cands
@@ -115,6 +125,24 @@ def simulate_crawl(
         for r in admitted:
             scheduled.add(r["url"])
             crawl_log.append((batch_id, r["url"]))
+
+        # --- A4 fetch metrics (mirrors crawl_loop.run_batch exactly) ---
+        sched_c = Counter(_host(r["url"]) for r in admitted)
+        fetched_c: Counter = Counter()
+        bytes_c: Counter = Counter()
+        depth_m: dict[str, int] = {}
+        for r in admitted:
+            h = _host(r["url"])
+            depth_m[h] = max(depth_m.get(h, r["depth"]), r["depth"])
+            page = pages.get(r["url"])
+            if page is not None and r.get("attempt", 0) >= page.get("fail_times", 0):
+                fetched_c[h] += 1
+                bytes_c[h] += page["bytes"]
+        for h in sorted(set(n_in) | set(sched_c)):
+            metrics.append(
+                (batch_id, h, sched_c[h], n_in[h] - n_kept[h],
+                 fetched_c[h], bytes_c[h], depth_m.get(h))
+            )
 
         # --- fetch + parse ---
         new_frontier = deferred
@@ -168,6 +196,7 @@ def simulate_crawl(
         "crawl_log": crawl_log,
         "url_seen": url_seen,
         "docs": docs,
+        "metrics": metrics,
         "fetch_count": fetch_count,
         "batches": batch_id,
     }

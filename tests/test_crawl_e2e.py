@@ -101,6 +101,15 @@ def sim(graph):
     return simulate_crawl(graph)
 
 
+def _engine_metrics(res) -> list[tuple]:
+    rows = res["metrics"].orderBy("batch_id", "host").collect()
+    return [
+        (r.batch_id, r.host, r.scheduled, r.deduped, r.fetched, r.bytes,
+         r.max_depth)
+        for r in rows
+    ]
+
+
 def test_crawl_matches_simulator(spark, graph, sim, tmp_path_factory):
     ckpt = tmp_path_factory.mktemp("ckpt_parity")
     _, res = _run_engine(spark, graph, ckpt)
@@ -114,6 +123,12 @@ def test_crawl_matches_simulator(spark, graph, sim, tmp_path_factory):
 
     # 3. document set + span-sequence equality (input_hint invariant)
     assert _engine_docs(res) == _sim_docs(sim)
+
+    # 4. A4 per-host fetch metrics — measured values match the simulator
+    #    exactly (scheduled, deduped, fetched, bytes, max_depth per batch)
+    assert _engine_metrics(res) == sorted(sim["metrics"])
+    # and the fixture exercised real dedup drops
+    assert any(m[3] > 0 for m in sim["metrics"])
 
     # sanity: the fixture actually exercised something non-trivial
     assert len(sim["crawl_log"]) > 30
