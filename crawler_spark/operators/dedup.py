@@ -36,16 +36,19 @@ from crawler_spark.operators.bloom import BloomFilter, bloom_probe_col, build_bl
 # URL-seen (crawl frontier) dedup
 # ---------------------------------------------------------------------------
 
-def intra_batch_dedup(candidates: DataFrame) -> DataFrame:
-    """Keep exactly one row per URL within a batch — the lineage-smallest
-    ``seq`` so the survivor is deterministic under any partitioning
-    (Scrapy's engine-level dupefilter, SURVEY §2.2 D3).
+def intra_batch_dedup(candidates: DataFrame,
+                      key_cols: tuple[str, ...] = ("url",)) -> DataFrame:
+    """Keep exactly one row per request fingerprint within a batch — the
+    lineage-smallest ``seq`` so the survivor is deterministic under any
+    partitioning (Scrapy's engine-level dupefilter, SURVEY §2.2 D3).
+    ``key_cols``: Scrapy fingerprints (url, method, body); the crawl loop
+    passes all three so POST form pages sharing a URL stay distinct.
 
     row_number window, not min_by hash-agg: with mostly-unique URLs the
     min_by struct buffer forces ObjectHashAggregate with a huge in-memory
     map (measured 4× slower on the 6M-URL microbench); the window's
     sort-based path pipelines with the shuffle and wins decisively."""
-    w = Window.partitionBy("url").orderBy("seq")
+    w = Window.partitionBy(*key_cols).orderBy("seq")
     return (
         candidates.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

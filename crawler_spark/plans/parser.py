@@ -36,11 +36,12 @@ from urllib.parse import urljoin
 
 from crawler_spark.functions.dates import format_time2_py
 
-# Pagination rule names (the 4 corpus types).
+# Pagination rule names (the 5 corpus types).
 NEXT_LINK = "next_link"  # payload carries an explicit next href
 PAGE_PARAM = "page_param"  # ?page=N increment while has_more
 OFFSET_PARAM = "offset_param"  # ?start=N*20 while has_more
 API_PAGE = "api_page"  # JSON endpoint with page param while has_more
+FORM_PAGE = "form_page"  # POST form body page=N while has_more (yehey.py:70-104)
 
 PAGE_SIZE = 20  # offset step (shangbao.py:50-51 uses start=N*20)
 
@@ -49,11 +50,26 @@ def _epoch(dt_str_or_none, as_of: datetime, raw: str | None) -> float:
     return format_time2_py(raw, as_of).replace(tzinfo=timezone.utc).timestamp()
 
 
-def next_page_url(rule: str, url: str, payload: dict) -> str | None:
-    """Construct the next list-page URL per pagination rule."""
+def next_page_request(rule: str, url: str, body: str,
+                      payload: dict) -> tuple[str, str, str] | None:
+    """Next list-page request per pagination rule → (url, method, body).
+
+    FORM_PAGE keeps the URL constant and advances the form body
+    (FormRequest infinite scroll, yehey.py:70-71,103); every other rule is
+    a GET with an advanced URL."""
+    if rule == FORM_PAGE:
+        if not payload.get("has_more"):
+            return None
+        params = dict(
+            kv.split("=", 1) for kv in body.split("&") if "=" in kv
+        ) if body else {}
+        page = int(params.get("page", "1"))
+        params["page"] = str(page + 1)
+        new_body = "&".join(f"{k}={v}" for k, v in sorted(params.items()))
+        return url, "POST", new_body
     if rule == NEXT_LINK:
         nxt = payload.get("next")
-        return urljoin(url, nxt) if nxt else None
+        return (urljoin(url, nxt), "GET", "") if nxt else None
     if not payload.get("has_more"):
         return None
     base, _, q = url.partition("?")
@@ -66,7 +82,11 @@ def next_page_url(rule: str, url: str, payload: dict) -> str | None:
         params["start"] = str(start + PAGE_SIZE)
     else:
         return None
-    return base + "?" + "&".join(f"{k}={v}" for k, v in sorted(params.items()))
+    return (
+        base + "?" + "&".join(f"{k}={v}" for k, v in sorted(params.items())),
+        "GET",
+        "",
+    )
 
 
 def parse_page(
@@ -81,11 +101,15 @@ def parse_page(
     rule: str,
     as_of: datetime,
     probe_first: bool = False,
+    method: str = "GET",
+    body: str = "",
 ) -> tuple[dict | None, list[dict]]:
     """One page → (document_row | None, ordered child requests).
 
     Child seq = parent seq + '.' + zero-padded emit index (lineage-stable,
-    partition-independent — SURVEY §4 determinism).
+    partition-independent — SURVEY §4 determinism). ``method``/``body``
+    are the CURRENT request's identity (S5): FORM_PAGE pagination advances
+    the body while the URL stays constant.
     """
     if not payload_json:
         return None, []  # fetch miss / 404: reference logs and moves on
@@ -93,7 +117,8 @@ def parse_page(
     requests: list[dict] = []
 
     def emit(child_url: str, parse_kind: str, child_meta: dict,
-             dont_filter: bool = False, pub_epoch: float | None = None) -> None:
+             dont_filter: bool = False, pub_epoch: float | None = None,
+             child_method: str = "GET", child_body: str = "") -> None:
         # ``pub_epoch`` (the list-scraped entry time, when known) feeds the
         # T1 priority scorer — computed by the CALLER: the engine scores
         # vectorized (operators/politeness.priority_score_col), the
@@ -108,11 +133,15 @@ def parse_page(
                 "depth": depth + 1,
                 "pub_epoch": pub_epoch,
                 "seq": f"{seq}.{len(requests):03d}",
+                "method": child_method,
+                "body": child_body,
             }
         )
 
     if kind == "menu":
         # U1 (zeenews.py:46-52): menu page → category list links + labels.
+        # A category may declare a POST entry point (form-paginated feeds,
+        # yehey.py:70-71) via method/body fields on the menu entry.
         for cat in payload.get("categories", []):
             if cat.get("excluded"):  # P4 category exclusion (zeenews.py:51)
                 continue
@@ -120,6 +149,8 @@ def parse_page(
                 cat["href"],
                 "list",
                 {"category1": cat["label"], "category2": cat.get("label2")},
+                child_method=cat.get("method", "GET"),
+                child_body=cat.get("body", ""),
             )
         return None, requests
 
@@ -144,9 +175,11 @@ def parse_page(
                 flag = False  # '时间截止' — zeenews.py:96-101
                 break
         if flag:
-            nxt = next_page_url(rule, url, payload)
+            nxt = next_page_request(rule, url, body, payload)
             if nxt:
-                emit(nxt, kind, dict(meta))
+                n_url, n_method, n_body = nxt
+                emit(n_url, kind, dict(meta),
+                     child_method=n_method, child_body=n_body)
         return None, requests
 
     if kind == "article":

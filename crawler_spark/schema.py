@@ -49,6 +49,10 @@ DOCUMENTS_SCHEMA = T.StructType(
 # Frontier row: one pending request. ``seq`` is the lineage-stable ordering
 # key (parent seq + '.' + zero-padded child index) — never
 # monotonically_increasing_id(), which is partition-dependent (SURVEY §4).
+# ``method``/``body`` model FormRequest POST pagination (S5 — reference
+# demo/已部署/yehey.py:70-71,103): request identity (and Scrapy's dupefilter
+# fingerprint) is (url, method, body), while the cross-run URL-seen probe
+# stays on url alone, exactly like the reference's middlewares.py:51.
 FRONTIER_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -64,6 +68,8 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("language_id", T.IntegerType()),
         T.StructField("batch_id", T.IntegerType()),
         T.StructField("attempt", T.IntegerType()),  # retry count (W3)
+        T.StructField("method", T.StringType()),  # GET | POST (S5)
+        T.StructField("body", T.StringType()),  # form body, '' for GET
     ]
 )
 
@@ -113,14 +119,22 @@ ROBOTS_SCHEMA = T.StructType(
 )
 
 # Mock-web page table (tests/bench only; a real deployment fetches HTTP).
+# Keyed by (url, method, body) — POST form pages share one URL and differ
+# only in body (yehey.py:70-104 infinite scroll). ``required_cookie``
+# models a Cloudflare-style clearance gate (no_pass/cloudfare/
+# hatawtabloid.py:28,37): the response payload is usable only when the
+# request carries that Cookie header.
 SITE_GRAPH_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
+        T.StructField("method", T.StringType()),
+        T.StructField("body", T.StringType()),
         T.StructField("response_url", T.StringType()),  # != url on redirect
         T.StructField("kind", T.StringType()),  # menu|list|article|api
         T.StructField("payload", T.StringType()),  # JSON body the mock fetch returns
         T.StructField("host", T.StringType()),
         T.StructField("bytes", T.LongType()),
         T.StructField("fail_times", T.IntegerType()),  # first N fetches fail (W3)
+        T.StructField("required_cookie", T.StringType()),  # nullable gate
     ]
 )

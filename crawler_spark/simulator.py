@@ -67,8 +67,17 @@ def simulate_crawl(
                 "seq": f"{i:04d}",
                 "website_id": s["website_id"],
                 "language_id": s["language_id"],
+                "method": "GET",
+                "body": "",
             }
         )
+
+    def _fp(r: dict) -> tuple:
+        # Scrapy's request fingerprint: (url, method, body) — S5.
+        return (r["url"], r.get("method", "GET"), r.get("body", ""))
+
+    def _page_of(r: dict):
+        return pages.get(_fp(r))
 
     url_seen: set[str] = set(url_seen_init or ())
     scheduled: set[str] = set()
@@ -84,15 +93,15 @@ def simulate_crawl(
         # Scrapy's retry middleware re-scheduling with dont_filter. ---
         retry_rows = [r for r in frontier if r.get("attempt", 0) > 0]
         fresh_rows = [r for r in frontier if r.get("attempt", 0) == 0]
-        by_url: dict[str, dict] = {}
+        by_fp: dict[tuple, dict] = {}
         for r in sorted(fresh_rows, key=lambda r: r["seq"]):
-            if r["url"] not in by_url:
-                by_url[r["url"]] = r
+            if _fp(r) not in by_fp:
+                by_fp[_fp(r)] = r
         fresh_kept = [
             r
-            for r in by_url.values()
-            if r["url"] not in scheduled  # intra-run dupefilter (D3)
-            and (r["dont_filter"] or r["url"] not in url_seen)  # D1/D2
+            for r in by_fp.values()
+            if _fp(r) not in scheduled  # intra-run dupefilter (D3), by fp
+            and (r["dont_filter"] or r["url"] not in url_seen)  # D1/D2: url only
         ]
         # A4: per-host dedup drop counts (all three tiers), measured.
         n_in = Counter(_host(r["url"]) for r in fresh_rows)
@@ -123,7 +132,7 @@ def simulate_crawl(
             break  # all remaining rows are undeliverable
 
         for r in admitted:
-            scheduled.add(r["url"])
+            scheduled.add(_fp(r))
             crawl_log.append((batch_id, r["url"]))
 
         # --- A4 fetch metrics (mirrors crawl_loop.run_batch exactly) ---
@@ -134,7 +143,7 @@ def simulate_crawl(
         for r in admitted:
             h = _host(r["url"])
             depth_m[h] = max(depth_m.get(h, r["depth"]), r["depth"])
-            page = pages.get(r["url"])
+            page = _page_of(r)
             if page is not None and r.get("attempt", 0) >= page.get("fail_times", 0):
                 fetched_c[h] += 1
                 bytes_c[h] += page["bytes"]
@@ -147,7 +156,7 @@ def simulate_crawl(
         # --- fetch + parse ---
         new_frontier = deferred
         for r in admitted:
-            page = pages.get(r["url"])
+            page = _page_of(r)
             fetch_count += 1
             if page is None:
                 continue  # 404: nothing yielded
@@ -159,11 +168,19 @@ def simulate_crawl(
                     new_frontier.append(nr)
                 continue
             rule = registry.get(r["website_id"], {})
+            # Cloudflare-style clearance gate (middlewares.py:61-62,
+            # hatawtabloid.py:28,37): response delivered, payload unusable
+            # without the site's cookie.
+            required = page.get("required_cookie")
+            cookie_ok = required is None or rule.get("cookie") == required
             doc, reqs = parse_page(
                 url=r["url"],
                 response_url=page["response_url"],
                 kind=page["kind"],
-                payload_json=__import__("json").dumps(page["payload"]),
+                payload_json=(
+                    __import__("json").dumps(page["payload"]) if cookie_ok
+                    else None
+                ),
                 meta=r["meta"],
                 depth=r["depth"],
                 seq=r["seq"],
@@ -171,6 +188,8 @@ def simulate_crawl(
                 rule=rule.get("rule", "next_link"),
                 as_of=as_of,
                 probe_first=rule.get("probe_first", False),
+                method=r.get("method", "GET"),
+                body=r.get("body", ""),
             )
             if doc is not None:
                 doc_id = hashlib.md5(doc["response_url"].encode()).hexdigest()

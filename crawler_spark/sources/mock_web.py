@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from crawler_spark.plans.parser import (
     API_PAGE,
+    FORM_PAGE,
     NEXT_LINK,
     OFFSET_PARAM,
     PAGE_PARAM,
@@ -31,7 +32,13 @@ from crawler_spark.schema import SEEDS_SCHEMA, SITE_GRAPH_SCHEMA
 
 MONTH_ABBR = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
               "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
-RULES = [NEXT_LINK, PAGE_PARAM, OFFSET_PARAM, API_PAGE]
+RULES = [NEXT_LINK, PAGE_PARAM, OFFSET_PARAM, API_PAGE, FORM_PAGE]
+
+
+def page_key(url: str, method: str = "GET", body: str = "") -> tuple:
+    """Request identity — Scrapy fingerprints (url, method, body), so POST
+    form pages sharing one URL are distinct pages (yehey.py:70-104)."""
+    return (url, method or "GET", body or "")
 
 AS_OF = datetime(2021, 6, 1, 0, 0, 0)  # deterministic 'now' anchor
 BASE_DT = datetime(2021, 5, 30, 12, 0, 0)  # newest article time
@@ -58,18 +65,26 @@ def build_site_graph(
     dup_fraction: float = 0.15,
     flaky_fraction: float = 0.0,
     jitter_times: bool = False,
+    cookie_site: int | None = None,
+    registry_has_cookie: bool = True,
     seed: int = 42,
 ) -> dict:
     """Returns {pages, seeds, registry, cutoff_epoch, as_of}.
 
-    ``pages``: url → page dict (url, response_url, kind, payload(dict),
-    host, bytes). ``skew_pages``: extra list pages for site 0's first
-    category (the mega-host skew fixture).
+    ``pages``: (url, method, body) → page dict. ``skew_pages``: extra list
+    pages for site 0's first category (the mega-host skew fixture).
+    ``cookie_site``: that site index is Cloudflare-style cookie-gated
+    (hatawtabloid.py:28,37) — every page requires the clearance cookie;
+    ``registry_has_cookie`` controls whether the site registry carries it
+    (False models the un-cleared crawler: the site yields nothing).
+    Sites cycle through all FIVE pagination rules, including the POST
+    form-paginated feed (FORM_PAGE, yehey.py:70-104).
     """
     rng = random.Random(seed)
-    pages: dict[str, dict] = {}
+    pages: dict[tuple, dict] = {}
     seeds = []
     registry: dict[int, dict] = {}
+    cookie_value = "cf_clearance=tok42"
 
     # Cutoff: entries get older one hour per step; put the cutoff so roughly
     # the newest ~60% of each chain passes.
@@ -77,20 +92,24 @@ def build_site_graph(
     cutoff_dt = BASE_DT - timedelta(hours=max(2, int(total_steps * 0.6)))
     cutoff_epoch = cutoff_dt.replace(tzinfo=timezone.utc).timestamp()
 
-    def add_page(url, kind, payload, host, response_url=None):
+    def add_page(url, kind, payload, host, response_url=None,
+                 method="GET", body="", required_cookie=None):
         # Flaky pages fail their first 1-2 fetches, then succeed (exercises
         # the W3 retry path; Scrapy's default retry middleware semantics).
         fail_times = (
             rng.randint(1, 2) if rng.random() < flaky_fraction else 0
         )
-        pages[url] = {
+        pages[page_key(url, method, body)] = {
             "url": url,
+            "method": method,
+            "body": body,
             "response_url": response_url or url,
             "kind": kind,
             "payload": payload,
             "host": host,
             "bytes": 500 + len(json.dumps(payload)),
             "fail_times": fail_times,
+            "required_cookie": required_cookie,
         }
 
     for s in range(n_sites):
@@ -98,10 +117,16 @@ def build_site_graph(
         website_id = 1000 + s
         language_id = 1930 if s % 2 == 0 else 1866  # corpus census (SURVEY §1.1)
         rule = RULES[s % len(RULES)]
+        gated = cookie_site == s
+        req_cookie = cookie_value if gated else None
         registry[website_id] = {
             "rule": rule,
             "probe_first": rule == PAGE_PARAM,  # maharashtratimes-style site
         }
+        if gated and registry_has_cookie:
+            # hatawtabloid.py:28,37 — the manually-obtained clearance
+            # cookie carried on every request of that site.
+            registry[website_id]["cookie"] = cookie_value
         menu_url = f"http://{host}/"
         seeds.append({"url": menu_url, "website_id": website_id,
                       "language_id": language_id})
@@ -112,18 +137,24 @@ def build_site_graph(
         for c in range(cats_per_site):
             label = f"cat{s}-{c}"
             n_pages = pages_per_cat + (skew_pages if (s == 0 and c == 0) else 0)
+            cat = {"label": label,
+                   "excluded": c == cats_per_site - 1 and s == 1}
             if rule == NEXT_LINK:
-                first = f"http://{host}/c{c}"
+                cat["href"] = f"http://{host}/c{c}"
             elif rule == PAGE_PARAM:
-                first = f"http://{host}/c{c}?page=1"
+                cat["href"] = f"http://{host}/c{c}?page=1"
             elif rule == OFFSET_PARAM:
-                first = f"http://{host}/c{c}?start=0"
-            else:
-                first = f"http://{host}/api/c{c}?page=1"
-            cats.append({"href": first, "label": label,
-                         "excluded": c == cats_per_site - 1 and s == 1})
+                cat["href"] = f"http://{host}/c{c}?start=0"
+            elif rule == API_PAGE:
+                cat["href"] = f"http://{host}/api/c{c}?page=1"
+            else:  # FORM_PAGE: POST feed, URL constant, body carries page
+                cat["href"] = f"http://{host}/api/feed{c}"
+                cat["method"] = "POST"
+                cat["body"] = "page=1"
+            cats.append(cat)
 
             for p in range(n_pages):
+                method, body = "GET", ""
                 if rule == NEXT_LINK:
                     url = f"http://{host}/c{c}" + (f"?p={p}" if p else "")
                     nxt = f"http://{host}/c{c}?p={p + 1}" if p + 1 < n_pages else None
@@ -131,8 +162,11 @@ def build_site_graph(
                     url = f"http://{host}/c{c}?page={p + 1}"
                 elif rule == OFFSET_PARAM:
                     url = f"http://{host}/c{c}?start={p * 20}"
-                else:
+                elif rule == API_PAGE:
                     url = f"http://{host}/api/c{c}?page={p + 1}"
+                else:  # FORM_PAGE
+                    url = f"http://{host}/api/feed{c}"
+                    method, body = "POST", f"page={p + 1}"
 
                 entries = []
                 # ``jitter_times``: permute entry times WITHIN the page so
@@ -150,7 +184,7 @@ def build_site_graph(
                         a_url = rng.choice(site_articles)  # duplicate link
                     else:
                         a_url = f"http://{host}/a/{s}_{c}_{p}_{e}"
-                        if a_url not in pages:
+                        if page_key(a_url) not in pages:
                             redirect = (len(pages) % 7 == 3)
                             paras = [_para(rng) for _ in range(rng.randint(2, 4))]
                             imgs = [
@@ -170,6 +204,7 @@ def build_site_graph(
                                 },
                                 host,
                                 response_url=(a_url + "?amp=1") if redirect else None,
+                                required_cookie=req_cookie,
                             )
                             site_articles.append(a_url)
                     entries.append(
@@ -186,9 +221,15 @@ def build_site_graph(
                     payload["next"] = nxt
                 else:
                     payload["has_more"] = p + 1 < n_pages
-                add_page(url, "api" if rule == API_PAGE else "list", payload, host)
+                add_page(
+                    url,
+                    "api" if rule in (API_PAGE, FORM_PAGE) else "list",
+                    payload, host, method=method, body=body,
+                    required_cookie=req_cookie,
+                )
 
-        add_page(menu_url, "menu", {"categories": cats}, host)
+        add_page(menu_url, "menu", {"categories": cats}, host,
+                 required_cookie=req_cookie)
 
     return {
         "pages": pages,
@@ -201,8 +242,10 @@ def build_site_graph(
 
 def site_graph_df(spark: SparkSession, graph: dict) -> DataFrame:
     rows = [
-        (p["url"], p["response_url"], p["kind"], json.dumps(p["payload"]),
-         p["host"], p["bytes"], p.get("fail_times", 0))
+        (p["url"], p.get("method", "GET"), p.get("body", ""),
+         p["response_url"], p["kind"], json.dumps(p["payload"]),
+         p["host"], p["bytes"], p.get("fail_times", 0),
+         p.get("required_cookie"))
         for p in graph["pages"].values()
     ]
     return spark.createDataFrame(rows, SITE_GRAPH_SCHEMA)

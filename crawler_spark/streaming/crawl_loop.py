@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crawler_spark.functions.identity import ua_pick_col
 from crawler_spark.functions.urlnorm import canonicalize_col, host_of
 from crawler_spark.operators.dedup import (
     intra_batch_dedup,
@@ -62,8 +63,12 @@ DOC_STRUCT = (
 FRONTIER_COLS = [
     "url", "url_hash", "host", "depth", "priority", "seq", "parse_kind",
     "dont_filter", "meta_json", "website_id", "language_id", "batch_id",
-    "attempt",
+    "attempt", "method", "body",
 ]
+
+# Scrapy's dupefilter fingerprint: POST form pages share one URL and
+# differ only in body (S5), so intra-run dedup keys on all three.
+REQUEST_FP_COLS = ("url", "method", "body")
 
 class CrawlEngine:
     def __init__(
@@ -101,6 +106,16 @@ class CrawlEngine:
         self.base_epoch = base_epoch
         self.compact_every = compact_every
         self._registry_bc = spark.sparkContext.broadcast(registry)
+        # Per-site clearance cookies (hatawtabloid.py:28,37) — a tiny
+        # dimension, broadcast-joined onto admitted rows at fetch time.
+        cookie_rows = [
+            (int(wid), r["cookie"])
+            for wid, r in registry.items() if r.get("cookie")
+        ]
+        self.cookies = (
+            spark.createDataFrame(cookie_rows, "website_id int, cookie string")
+            if cookie_rows else None
+        )
         # Running |url_seen| from per-batch manifest stats — avoids an
         # O(history) recount per batch (recomputed once on resume).
         self._seen_total = 0
@@ -116,7 +131,7 @@ class CrawlEngine:
         rows = [
             (
                 r.url, None, None, 0, f"{i:04d}", "menu", False, "{}",
-                int(r.website_id), int(r.language_id), 0, 0,
+                int(r.website_id), int(r.language_id), 0, 0, "GET", "",
             )
             for i, r in enumerate(seeds.itertuples(index=False))
         ]
@@ -124,7 +139,8 @@ class CrawlEngine:
             rows,
             "url string, url_hash long, host string, depth int,"
             " seq string, parse_kind string, dont_filter boolean, meta_json string,"
-            " website_id int, language_id int, batch_id int, attempt int",
+            " website_id int, language_id int, batch_id int, attempt int,"
+            " method string, body string",
         )
         return (
             df.withColumn("url_hash", F.xxhash64(canonicalize_col(F.col("url"))))
@@ -155,9 +171,10 @@ class CrawlEngine:
         )
 
     def _scheduled_state(self, upto_batch: int) -> DataFrame | None:
-        """Intra-run dupefilter state = projection of the crawl log."""
+        """Intra-run dupefilter state = projection of the crawl log, keyed
+        by the full request fingerprint (url, method, body)."""
         log = self.ckpt.read_deltas("crawl_log", upto_batch) if upto_batch >= 0 else None
-        return None if log is None else log.select("url")
+        return None if log is None else log.select(*REQUEST_FP_COLS)
 
     # -- parse stage -----------------------------------------------------------
 
@@ -186,31 +203,35 @@ class CrawlEngine:
                         rule=rule.get("rule", "next_link"),
                         as_of=as_of,
                         probe_first=rule.get("probe_first", False),
+                        method=row.method,
+                        body=row.body,
                     )
                     if doc is not None:
                         out.append(
                             ("doc", row.url, None, None, None, row.depth,
                              None, row.seq, row.website_id,
-                             row.language_id, json.dumps(doc))
+                             row.language_id, None, None, json.dumps(doc))
                         )
                     for r in reqs:
                         out.append(
                             ("req", r["url"], r["parse_kind"], r["dont_filter"],
                              json.dumps(r["meta"]), r["depth"], r["pub_epoch"],
-                             r["seq"], row.website_id, row.language_id, None)
+                             r["seq"], row.website_id, row.language_id,
+                             r["method"], r["body"], None)
                         )
                 yield pd.DataFrame(
                     out,
                     columns=[
                         "out_kind", "url", "parse_kind", "dont_filter",
                         "meta_json", "depth", "pub_epoch", "seq",
-                        "website_id", "language_id", "doc_json",
+                        "website_id", "language_id", "method", "body",
+                        "doc_json",
                     ],
                 )
 
         cols = [
             "url", "meta_json", "depth", "seq", "website_id",
-            "language_id",
+            "language_id", "method", "body",
             F.col("g_response_url"), F.col("g_kind"), F.col("g_payload"),
         ]
         return fetched.select(*cols).mapInPandas(
@@ -218,7 +239,7 @@ class CrawlEngine:
             "out_kind string, url string, parse_kind string,"
             " dont_filter boolean, meta_json string, depth int,"
             " pub_epoch double, seq string, website_id int,"
-            " language_id int, doc_json string",
+            " language_id int, method string, body string, doc_json string",
         )
 
     # -- one micro-batch -------------------------------------------------------
@@ -236,10 +257,11 @@ class CrawlEngine:
         # never stored (the fetch failed), so dropping it would lose pages.
         retries = frontier.filter(F.col("attempt") > 0)
         fresh = frontier.filter(F.col("attempt") == 0)
-        cands = intra_batch_dedup(fresh)
+        cands = intra_batch_dedup(fresh, key_cols=REQUEST_FP_COLS)
         if scheduled is not None:
             cands = cands.join(
-                scheduled.select("url").distinct(), on="url", how="left_anti"
+                scheduled.select(*REQUEST_FP_COLS).distinct(),
+                on=list(REQUEST_FP_COLS), how="left_anti",
             )
         seen_count = self._seen_total
         bloom_on = (
@@ -275,19 +297,43 @@ class CrawlEngine:
             dedup_out.unpersist()
             return None
         admitted, deferred = admit_per_host(cands, self.batch_seconds)
+
+        # Fetch identity (downloader-middleware semantics, middlewares.py:
+        # 59-62): deterministic UA rotation as a JVM column; per-site
+        # clearance cookie via broadcast join. Stamped at fetch time, never
+        # stored in the frontier — exactly where the reference injects them.
+        admitted = admitted.withColumn("ua", ua_pick_col(F.col("url")))
+        if self.cookies is not None:
+            admitted = admitted.join(
+                F.broadcast(self.cookies), on="website_id", how="left"
+            )
+        else:
+            admitted = admitted.withColumn("cookie", F.lit(None).cast("string"))
         admitted = admitted.persist()
 
-        # 3. fetch — mock web join; broadcast the admitted (small) side onto
-        # the graph or vice versa. Locally the graph is small → broadcast it.
+        # 3. fetch — mock web join on the full request fingerprint
+        # (url, method, body); broadcast the small side (locally the graph).
         graph = self.graph.select(
-            F.col("url"),
+            "url", "method", "body",
             F.col("response_url").alias("g_response_url"),
             F.col("kind").alias("g_kind"),
             F.col("payload").alias("g_payload"),
             F.col("bytes").alias("g_bytes"),
             F.col("fail_times").alias("g_fail_times"),
+            F.col("required_cookie").alias("g_required_cookie"),
         )
-        fetched = admitted.join(F.broadcast(graph), on="url", how="left").persist()
+        fetched = admitted.join(
+            F.broadcast(graph), on=list(REQUEST_FP_COLS), how="left"
+        )
+        # Cloudflare-style gate: the response arrives (counts as fetched,
+        # W3 retry state unaffected) but its payload is unusable without
+        # the clearance cookie — the parse stage sees a null payload.
+        cookie_ok = F.col("g_required_cookie").isNull() | (
+            F.col("cookie") == F.col("g_required_cookie")
+        )
+        fetched = fetched.withColumn(
+            "g_payload", F.when(cookie_ok, F.col("g_payload"))
+        ).persist()
 
         # W3: a fetch succeeds once its prior failures exhaust fail_times;
         # failures re-enqueue with attempt+1, capped at MAX_RETRIES.
@@ -334,6 +380,7 @@ class CrawlEngine:
             .select(
                 "url", "parse_kind", "dont_filter", "meta_json", "depth",
                 "pub_epoch", "seq", "website_id", "language_id",
+                "method", "body",
             )
             # T1 priority scoring — vectorized JVM expression over the
             # Arrow-parsed request rows (never inside the parse Python).
@@ -359,7 +406,7 @@ class CrawlEngine:
         # 5. metrics (SURVEY §2.5 A4) + crawl log
         crawl_log = admitted.select(
             F.lit(b).alias("batch_id"), "url", "url_hash", "host",
-            "priority", "seq", "attempt",
+            "priority", "seq", "attempt", "method", "body", "ua",
         )
         # A4 per-host fetch metrics — measured: ``fetched`` counts only
         # responses actually delivered (page exists and this attempt is past

@@ -88,10 +88,11 @@ def _sim_docs(sim) -> dict[str, dict]:
 
 @pytest.fixture(scope="module")
 def graph():
-    # All four pagination rules, duplicate cross-links, redirects, a
-    # dont_filter probe site, category exclusion, cutoff mid-list, and a
-    # skewed host (site 0 carries extra list pages).
-    return build_site_graph(n_sites=4, cats_per_site=2, pages_per_cat=2,
+    # All five pagination rules (incl. the POST form-paginated feed),
+    # duplicate cross-links, redirects, a dont_filter probe site, category
+    # exclusion, cutoff mid-list, and a skewed host (site 0 carries extra
+    # list pages).
+    return build_site_graph(n_sites=5, cats_per_site=2, pages_per_cat=2,
                             entries_per_page=4, dup_fraction=0.25,
                             skew_pages=2, seed=7)
 
@@ -147,12 +148,17 @@ def test_crawl_with_bloom_identical(spark, graph, sim, tmp_path_factory):
     assert {r.url for r in res["url_seen"].collect()} == sim["url_seen"]
 
 
-def test_no_url_fetched_twice(spark, graph, tmp_path_factory):
+def test_no_request_fetched_twice(spark, graph, tmp_path_factory):
+    """Uniqueness is per request fingerprint (url, method, body) — a POST
+    feed URL legitimately recurs with different bodies (S5), but no
+    fingerprint is ever scheduled twice."""
     ckpt = tmp_path_factory.mktemp("ckpt_once")
     _, res = _run_engine(spark, graph, ckpt)
-    log = _engine_log(res)
-    urls = [u for _, u in log]
-    assert len(urls) == len(set(urls))
+    fps = [
+        (r.url, r.method, r.body)
+        for r in res["crawl_log"].select("url", "method", "body").collect()
+    ]
+    assert len(fps) == len(set(fps))
 
 
 def test_resume_equals_uninterrupted(spark, graph, sim, tmp_path_factory):
@@ -165,9 +171,12 @@ def test_resume_equals_uninterrupted(spark, graph, sim, tmp_path_factory):
     assert _engine_log(res) == sim["crawl_log"]
     assert {r.url for r in res["url_seen"].collect()} == sim["url_seen"]
     assert _engine_docs(res) == _sim_docs(sim)
-    # no double fetch across the kill/resume boundary
-    urls = [u for _, u in _engine_log(res)]
-    assert len(urls) == len(set(urls))
+    # no double fetch across the kill/resume boundary (per fingerprint)
+    fps = [
+        (r.url, r.method, r.body)
+        for r in res["crawl_log"].select("url", "method", "body").collect()
+    ]
+    assert len(fps) == len(set(fps))
 
 
 def test_compaction_preserves_state(spark, graph, sim, tmp_path_factory):
@@ -224,6 +233,62 @@ def test_priority_ordering_matches_simulator(spark, tmp_path_factory):
     # and priorities are genuinely non-trivial (not all equal per batch)
     pr = res["crawl_log"].select("batch_id", "priority").distinct().count()
     assert pr > res["crawl_log"].select("batch_id").distinct().count()
+
+
+def test_form_post_pagination_crawled(spark, graph, sim):
+    """S5: the FORM_PAGE site's feed URL is constant — pages differ only in
+    the POST body — yet every page is fetched exactly once (fingerprint
+    dedup on (url, method, body), never url alone)."""
+    from collections import Counter
+
+    feed_fetches = Counter(
+        u for _, u in sim["crawl_log"] if "/api/feed" in u
+    )
+    assert feed_fetches, "fixture must contain a form-paginated site"
+    assert max(feed_fetches.values()) > 1  # same URL fetched per-page
+    # and the form site actually produced documents
+    assert any("site4" in d["request_url"] for d in _sim_docs(sim).values())
+
+
+def test_ua_rotation_deterministic(spark, graph, tmp_path_factory):
+    """Fetch identity: the engine's vectorized UA pick equals the Python
+    mirror for every logged request (middlewares.py:59 semantics, made
+    deterministic for parity/resume)."""
+    from crawler_spark.functions.identity import ua_pick_py
+
+    ckpt = tmp_path_factory.mktemp("ckpt_ua")
+    _, res = _run_engine(spark, graph, ckpt)
+    rows = res["crawl_log"].select("url", "ua").collect()
+    assert rows
+    assert all(r.ua == ua_pick_py(r.url) for r in rows)
+    assert len({r.ua for r in rows}) > 1  # the pool actually rotates
+
+
+def test_cookie_gate_matches_simulator(spark, tmp_path_factory):
+    """A Cloudflare-gated site yields documents only when the registry
+    carries the clearance cookie (hatawtabloid.py:28,37) — engine and
+    simulator agree byte-for-byte in both worlds."""
+    kw = dict(n_sites=3, cats_per_site=2, pages_per_cat=2,
+              entries_per_page=3, cookie_site=1, seed=31)
+    with_cookie = build_site_graph(registry_has_cookie=True, **kw)
+    without = build_site_graph(registry_has_cookie=False, **kw)
+
+    s_with = simulate_crawl(with_cookie)
+    s_without = simulate_crawl(without)
+
+    def site1_docs(docs):
+        return [d for d in docs.values() if "site1" in d["request_url"]]
+
+    assert site1_docs(_sim_docs(s_with))
+    assert not site1_docs(_sim_docs(s_without))
+
+    for g, s, tag in ((with_cookie, s_with, "ck_y"), (without, s_without, "ck_n")):
+        ckpt = tmp_path_factory.mktemp(f"ckpt_{tag}")
+        _, res = _run_engine(spark, g, ckpt)
+        assert _engine_log(res) == s["crawl_log"]
+        assert {r.url for r in res["url_seen"].collect()} == s["url_seen"]
+        assert _engine_docs(res) == _sim_docs(s)
+        assert _engine_metrics(res) == sorted(s["metrics"])
 
 
 def test_politeness_budget_respected(spark, graph, tmp_path_factory):
