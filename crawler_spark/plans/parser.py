@@ -31,6 +31,7 @@ Faithfully reproduced reference behaviors:
 from __future__ import annotations
 
 import json
+import re
 from datetime import datetime, timezone
 from urllib.parse import urljoin
 
@@ -89,6 +90,83 @@ def next_page_request(rule: str, url: str, body: str,
     )
 
 
+def extract_payload(kind: str, html: str, rules: dict) -> dict:
+    """Raw-HTML extraction driven by per-site rules-as-data — the
+    reference's BeautifulSoup selector surface (demo/已部署/zeenews.py:47,
+    109-148; philboxing.py:104-158) re-expressed as regex rules stored in
+    the site registry, executed by this one generic function. Produces the
+    same payload dict shape the JSON path yields, so every downstream
+    semantic (cutoff break, pagination, span interleaving) is shared.
+
+    Rule keys (all regex strings unless noted):
+      menu:    ``category``  — groups (href, label);
+               ``excluded_labels`` — list, P4 category exclusion
+               (zeenews.py:51: exclusion is crawler config, not page data)
+      list:    ``entry``     — named groups href/title/time and optional
+                               img, one match per list entry IN PAGE ORDER;
+               ``next``      — group 1 = next-page href (zeenews.py:104);
+               ``more``      — presence ⇒ has_more (page-param sites)
+      article: ``title``, ``pub`` (group 1 each), optional ``abstract``;
+               ``block``     — named groups para|src, matched IN DOCUMENT
+                               ORDER: the interleaved text/image span
+                               sequence comes straight from match order
+                               (zeenews.py:119-122's .children walk).
+    """
+    if kind == "menu":
+        excluded = set(rules.get("excluded_labels", ()))
+        cats = []
+        for m in re.finditer(rules["category"], html):
+            href, label = m.group(1), m.group(2)
+            cats.append(
+                {"href": href, "label": label, "excluded": label in excluded}
+            )
+        return {"categories": cats}
+
+    if kind in ("list", "api"):
+        entries = []
+        for m in re.finditer(rules["entry"], html):
+            d = m.groupdict()
+            entries.append(
+                {
+                    "href": d["href"],
+                    "title": d.get("title"),
+                    "pub_time_raw": d.get("time"),
+                    "img": d.get("img") or None,
+                }
+            )
+        out: dict = {"entries": entries}
+        nm = re.search(rules["next"], html) if rules.get("next") else None
+        out["next"] = nm.group(1) if nm else None
+        out["has_more"] = (
+            bool(re.search(rules["more"], html)) if rules.get("more") else False
+        )
+        return out
+
+    # article
+    def first(key):
+        if not rules.get(key):
+            return None
+        m = re.search(rules[key], html)
+        return m.group(1) if m else None
+
+    paras: list[str] = []
+    imgs: list[dict] = []
+    for m in re.finditer(rules["block"], html):
+        d = m.groupdict()
+        if d.get("para") is not None:
+            paras.append(d["para"])
+        elif d.get("src") is not None and paras:
+            # in-body image, interleaved after the paragraph it follows
+            imgs.append({"after_para": len(paras) - 1, "src": d["src"]})
+    return {
+        "title": first("title"),
+        "abstract": first("abstract"),
+        "pub_time_raw": first("pub"),
+        "paras": paras,
+        "imgs": imgs,
+    }
+
+
 def parse_page(
     url: str,
     response_url: str,
@@ -103,17 +181,24 @@ def parse_page(
     probe_first: bool = False,
     method: str = "GET",
     body: str = "",
+    fmt: str = "json",
+    extract: dict | None = None,
 ) -> tuple[dict | None, list[dict]]:
     """One page → (document_row | None, ordered child requests).
 
     Child seq = parent seq + '.' + zero-padded emit index (lineage-stable,
     partition-independent — SURVEY §4 determinism). ``method``/``body``
     are the CURRENT request's identity (S5): FORM_PAGE pagination advances
-    the body while the URL stays constant.
+    the body while the URL stays constant. ``fmt='html'`` routes the raw
+    payload through the per-site extraction rules (``extract``) instead of
+    json.loads — the registry-driven selector surface (SURVEY §2.9).
     """
     if not payload_json:
         return None, []  # fetch miss / 404: reference logs and moves on
-    payload = json.loads(payload_json)
+    if fmt == "html":
+        payload = extract_payload(kind, payload_json, extract or {})
+    else:
+        payload = json.loads(payload_json)
     requests: list[dict] = []
 
     def emit(child_url: str, parse_kind: str, child_meta: dict,
@@ -208,6 +293,9 @@ def parse_page(
             "spans": spans,
             "request_url": url,
             "response_url": response_url,
+            # K2: raw page stored as a documents column (pipelines.py:74-78
+            # folded per SURVEY §1.4) — only meaningful for HTML sites.
+            "html": payload_json if fmt == "html" else None,
         }
         return doc, requests
 

@@ -43,6 +43,8 @@ DOCUMENTS_SCHEMA = T.StructType(
         T.StructField("language_id", T.IntegerType()),
         T.StructField("request_url", T.StringType()),  # dedup key (middlewares.py:51)
         T.StructField("response_url", T.StringType()),  # identity key (pipelines.py:51)
+        T.StructField("html", T.StringType()),  # K2 raw page (pipelines.py:74-78,
+        # folded into the table per SURVEY §1.4); null for API/JSON sites
     ]
 )
 

@@ -173,14 +173,13 @@ def simulate_crawl(
             # without the site's cookie.
             required = page.get("required_cookie")
             cookie_ok = required is None or rule.get("cookie") == required
+            from crawler_spark.sources.mock_web import payload_str
+
             doc, reqs = parse_page(
                 url=r["url"],
                 response_url=page["response_url"],
                 kind=page["kind"],
-                payload_json=(
-                    __import__("json").dumps(page["payload"]) if cookie_ok
-                    else None
-                ),
+                payload_json=payload_str(page) if cookie_ok else None,
                 meta=r["meta"],
                 depth=r["depth"],
                 seq=r["seq"],
@@ -190,6 +189,8 @@ def simulate_crawl(
                 probe_first=rule.get("probe_first", False),
                 method=r.get("method", "GET"),
                 body=r.get("body", ""),
+                fmt=rule.get("format", "json"),
+                extract=rule.get("extract"),
             )
             if doc is not None:
                 doc_id = hashlib.md5(doc["response_url"].encode()).hexdigest()

@@ -52,6 +52,104 @@ def _fmt_pub(dt: datetime) -> str:
     return f"{MONTH_ABBR[dt.month - 1]} {dt.day}, {dt.year}, {dt.hour:02d}:{dt.minute:02d}"
 
 
+# Two deliberately different HTML markups (a zeenews-like article layout
+# and a philboxing-like table-era layout) with their per-site extraction
+# rules — proving the rules-as-data seam: one generic extractor
+# (plans/parser.extract_payload), N site shapes. ``render`` templates are
+# used only by this mock to emit pages; the ``extract`` dicts are what the
+# site registry ships to the engine.
+HTML_SHAPES = [
+    {
+        "menu_item": '<a class="cat" href="{href}">{label}</a>',
+        "entry": ('<div class="entry"><a class="story" href="{href}">{title}'
+                  "</a><time>{time}</time>{img}</div>"),
+        "entry_img": '<img class="lead" src="{img}">',
+        "next": '<a class="next" href="{next}">more</a>',
+        "more": '<span id="more"></span>',
+        "title": "<h1>{title}</h1>",
+        "date": '<span class="date">{raw}</span>',
+        "abstract": '<meta name="description" content="{abstract}">',
+        "para": "<p>{para}</p>",
+        "img": '<img src="{src}">',
+        "extract": {
+            "category": r'<a class="cat" href="([^"]+)">([^<]+)</a>',
+            "entry": (r'<div class="entry"><a class="story" href="(?P<href>[^"]+)">'
+                      r"(?P<title>[^<]*)</a><time>(?P<time>[^<]+)</time>"
+                      r'(?:<img class="lead" src="(?P<img>[^"]+)">)?</div>'),
+            "next": r'<a class="next" href="([^"]+)">',
+            "more": r'<span id="more">',
+            "title": r"<h1>([^<]+)</h1>",
+            "pub": r'<span class="date">([^<]+)</span>',
+            "abstract": r'<meta name="description" content="([^"]+)">',
+            "block": r'<p>(?P<para>[^<]*)</p>|<img src="(?P<src>[^"]+)">',
+        },
+    },
+    {
+        "menu_item": '<td class="menu"><a href="{href}"><b>{label}</b></a></td>',
+        "entry": ('<li class="ni"><a href="{href}">{title}</a>'
+                  "<em>{time}</em>{img}</li>"),
+        "entry_img": '<img src="{img}">',
+        "next": '<a rel="next" href="{next}">&raquo;</a>',
+        "more": '<div class="pager-more">',
+        "title": '<h2 class="headline">{title}</h2>',
+        "date": '<div class="posted">{raw}</div>',
+        "abstract": '<p class="lede">{abstract}</p>',
+        "para": '<font size="2">{para}</font>',
+        "img": '<img border="0" src="{src}">',
+        "extract": {
+            "category": r'<td class="menu"><a href="([^"]+)"><b>([^<]+)</b></a></td>',
+            "entry": (r'<li class="ni"><a href="(?P<href>[^"]+)">(?P<title>[^<]*)'
+                      r"</a><em>(?P<time>[^<]+)</em>"
+                      r'(?:<img src="(?P<img>[^"]+)">)?</li>'),
+            "next": r'<a rel="next" href="([^"]+)">',
+            "more": r'<div class="pager-more">',
+            "title": r'<h2 class="headline">([^<]+)</h2>',
+            "pub": r'<div class="posted">([^<]+)</div>',
+            "abstract": r'<p class="lede">([^<]+)</p>',
+            "block": (r'<font size="2">(?P<para>[^<]*)</font>'
+                      r'|<img border="0" src="(?P<src>[^"]+)">'),
+        },
+    },
+]
+
+
+def render_html(kind: str, payload: dict, shape: dict) -> str:
+    """Render a page payload into the shape's markup (mock-web only)."""
+    if kind == "menu":
+        items = "".join(
+            shape["menu_item"].format(href=c["href"], label=c["label"])
+            for c in payload["categories"]
+        )
+        return f"<html><body><nav>{items}</nav></body></html>"
+    if kind in ("list", "api"):
+        rows = []
+        for e in payload["entries"]:
+            img = shape["entry_img"].format(img=e["img"]) if e.get("img") else ""
+            rows.append(
+                shape["entry"].format(href=e["href"], title=e["title"],
+                                      time=e["pub_time_raw"], img=img)
+            )
+        tail = ""
+        if payload.get("next"):
+            tail += shape["next"].format(next=payload["next"])
+        if payload.get("has_more"):
+            tail += shape["more"]
+        return "<html><body>" + "".join(rows) + tail + "</body></html>"
+    # article — blocks emitted in document order (the span invariant)
+    parts = [
+        shape["title"].format(title=payload["title"]),
+        shape["date"].format(raw=payload["pub_time_raw"]),
+    ]
+    if payload.get("abstract"):
+        parts.append(shape["abstract"].format(abstract=payload["abstract"]))
+    inline = {i["after_para"]: i["src"] for i in payload.get("imgs", [])}
+    for i, p in enumerate(payload["paras"]):
+        parts.append(shape["para"].format(para=p))
+        if i in inline:
+            parts.append(shape["img"].format(src=inline[i]))
+    return "<html><body>" + "".join(parts) + "</body></html>"
+
+
 def _para(rng: random.Random, n: int = 8) -> str:
     return " ".join(rng.choice(WORDS) for _ in range(n))
 
@@ -67,6 +165,7 @@ def build_site_graph(
     jitter_times: bool = False,
     cookie_site: int | None = None,
     registry_has_cookie: bool = True,
+    html_sites: int = 0,
     seed: int = 42,
 ) -> dict:
     """Returns {pages, seeds, registry, cutoff_epoch, as_of}.
@@ -79,6 +178,11 @@ def build_site_graph(
     (False models the un-cleared crawler: the site yields nothing).
     Sites cycle through all FIVE pagination rules, including the POST
     form-paginated feed (FORM_PAGE, yehey.py:70-104).
+    ``html_sites``: the first N sites serve RAW HTML (alternating between
+    the two HTML_SHAPES markups) and their registry entries carry
+    format='html' + the shape's extraction rules — the selector surface
+    as data. HTML pages keep their source payload dict under ``source``
+    so tests can assert the render→extract round trip.
     """
     rng = random.Random(seed)
     pages: dict[tuple, dict] = {}
@@ -93,7 +197,7 @@ def build_site_graph(
     cutoff_epoch = cutoff_dt.replace(tzinfo=timezone.utc).timestamp()
 
     def add_page(url, kind, payload, host, response_url=None,
-                 method="GET", body="", required_cookie=None):
+                 method="GET", body="", required_cookie=None, source=None):
         # Flaky pages fail their first 1-2 fetches, then succeed (exercises
         # the W3 retry path; Scrapy's default retry middleware semantics).
         fail_times = (
@@ -105,9 +209,11 @@ def build_site_graph(
             "body": body,
             "response_url": response_url or url,
             "kind": kind,
-            "payload": payload,
+            "payload": payload,  # dict (JSON site) or raw HTML string
+            "source": source,  # html sites: the pre-render payload dict
             "host": host,
-            "bytes": 500 + len(json.dumps(payload)),
+            "bytes": 500 + (len(payload) if isinstance(payload, str)
+                            else len(json.dumps(payload))),
             "fail_times": fail_times,
             "required_cookie": required_cookie,
         }
@@ -117,12 +223,34 @@ def build_site_graph(
         website_id = 1000 + s
         language_id = 1930 if s % 2 == 0 else 1866  # corpus census (SURVEY §1.1)
         rule = RULES[s % len(RULES)]
+        is_html = s < html_sites
+        shape = HTML_SHAPES[s % len(HTML_SHAPES)] if is_html else None
+        if is_html:
+            # HTML menus carry plain hrefs (no method/body), so HTML sites
+            # use the GET pagination rules; each shape pairs with one.
+            rule = (NEXT_LINK, PAGE_PARAM)[s % len(HTML_SHAPES)]
         gated = cookie_site == s
         req_cookie = cookie_value if gated else None
         registry[website_id] = {
             "rule": rule,
             "probe_first": rule == PAGE_PARAM,  # maharashtratimes-style site
         }
+        if is_html:
+            ex = dict(shape["extract"])
+            # P4 exclusion is crawler-side config (zeenews.py:51), shipped
+            # with the extraction rules, not scraped off the page.
+            ex["excluded_labels"] = (
+                [f"cat{s}-{cats_per_site - 1}"] if s == 1 else []
+            )
+            registry[website_id]["format"] = "html"
+            registry[website_id]["extract"] = ex
+
+        def emit_payload(kind_, payload_):
+            """Render to the site's markup for HTML sites; pass dicts for
+            JSON sites. Returns (payload, source)."""
+            if is_html:
+                return render_html(kind_, payload_, shape), payload_
+            return payload_, None
         if gated and registry_has_cookie:
             # hatawtabloid.py:28,37 — the manually-obtained clearance
             # cookie carried on every request of that site.
@@ -192,19 +320,22 @@ def build_site_graph(
                                 for i in range(len(paras))
                                 if rng.random() < 0.4
                             ]
+                            art = {
+                                "title": f"Article {s}-{c}-{p}-{e}",
+                                "paras": paras,
+                                "imgs": imgs,
+                                "pub_time_raw": _fmt_pub(pub_dt),
+                                "abstract": paras[0] if rng.random() < 0.5 else None,
+                            }
+                            a_payload, a_src = emit_payload("article", art)
                             add_page(
                                 a_url,
                                 "article",
-                                {
-                                    "title": f"Article {s}-{c}-{p}-{e}",
-                                    "paras": paras,
-                                    "imgs": imgs,
-                                    "pub_time_raw": _fmt_pub(pub_dt),
-                                    "abstract": paras[0] if rng.random() < 0.5 else None,
-                                },
+                                a_payload,
                                 host,
                                 response_url=(a_url + "?amp=1") if redirect else None,
                                 required_cookie=req_cookie,
+                                source=a_src,
                             )
                             site_articles.append(a_url)
                     entries.append(
@@ -221,15 +352,17 @@ def build_site_graph(
                     payload["next"] = nxt
                 else:
                     payload["has_more"] = p + 1 < n_pages
+                l_payload, l_src = emit_payload("list", payload)
                 add_page(
                     url,
                     "api" if rule in (API_PAGE, FORM_PAGE) else "list",
-                    payload, host, method=method, body=body,
-                    required_cookie=req_cookie,
+                    l_payload, host, method=method, body=body,
+                    required_cookie=req_cookie, source=l_src,
                 )
 
-        add_page(menu_url, "menu", {"categories": cats}, host,
-                 required_cookie=req_cookie)
+        m_payload, m_src = emit_payload("menu", {"categories": cats})
+        add_page(menu_url, "menu", m_payload, host,
+                 required_cookie=req_cookie, source=m_src)
 
     return {
         "pages": pages,
@@ -240,10 +373,16 @@ def build_site_graph(
     }
 
 
+def payload_str(page: dict) -> str:
+    """Wire form of a page payload: raw HTML as-is, dicts JSON-encoded."""
+    p = page["payload"]
+    return p if isinstance(p, str) else json.dumps(p)
+
+
 def site_graph_df(spark: SparkSession, graph: dict) -> DataFrame:
     rows = [
         (p["url"], p.get("method", "GET"), p.get("body", ""),
-         p["response_url"], p["kind"], json.dumps(p["payload"]),
+         p["response_url"], p["kind"], payload_str(p),
          p["host"], p["bytes"], p.get("fail_times", 0),
          p.get("required_cookie"))
         for p in graph["pages"].values()

@@ -57,7 +57,8 @@ from crawler_spark.streaming.checkpoint import CrawlCheckpoint
 DOC_STRUCT = (
     "struct<title:string, abstract:string, category1:string, category2:string,"
     " pub_time:string, spans:array<struct<kind:string,text:string,"
-    "media_ref:string,offset:int>>, request_url:string, response_url:string>"
+    "media_ref:string,offset:int>>, request_url:string, response_url:string,"
+    " html:string>"
 )
 
 FRONTIER_COLS = [
@@ -205,6 +206,8 @@ class CrawlEngine:
                         probe_first=rule.get("probe_first", False),
                         method=row.method,
                         body=row.body,
+                        fmt=rule.get("format", "json"),
+                        extract=rule.get("extract"),
                     )
                     if doc is not None:
                         out.append(
@@ -373,6 +376,7 @@ class CrawlEngine:
                 "language_id",
                 F.col("d.request_url").alias("request_url"),
                 F.col("d.response_url").alias("response_url"),
+                F.col("d.html").alias("html"),  # K2 raw-page column
             )
         )
         new_reqs = (

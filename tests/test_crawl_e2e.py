@@ -60,6 +60,7 @@ def _engine_docs(res) -> dict[str, dict]:
             "pub_time": r.pub_time.strftime("%Y-%m-%d %H:%M:%S"),
             "request_url": r.request_url,
             "response_url": r.response_url,
+            "html": r.html,
             "spans": [
                 (s.kind, s.text, s.media_ref, s.offset) for s in (r.spans or [])
             ],
@@ -78,6 +79,7 @@ def _sim_docs(sim) -> dict[str, dict]:
             "pub_time": d["pub_time"],
             "request_url": d["request_url"],
             "response_url": d["response_url"],
+            "html": d.get("html"),
             "spans": [
                 (s["kind"], s["text"], s["media_ref"], s["offset"])
                 for s in d["spans"]
@@ -89,12 +91,13 @@ def _sim_docs(sim) -> dict[str, dict]:
 @pytest.fixture(scope="module")
 def graph():
     # All five pagination rules (incl. the POST form-paginated feed),
+    # TWO raw-HTML sites (both markup shapes, extraction rules as data),
     # duplicate cross-links, redirects, a dont_filter probe site, category
     # exclusion, cutoff mid-list, and a skewed host (site 0 carries extra
     # list pages).
     return build_site_graph(n_sites=5, cats_per_site=2, pages_per_cat=2,
                             entries_per_page=4, dup_fraction=0.25,
-                            skew_pages=2, seed=7)
+                            skew_pages=2, html_sites=2, seed=7)
 
 
 @pytest.fixture(scope="module")
@@ -233,6 +236,63 @@ def test_priority_ordering_matches_simulator(spark, tmp_path_factory):
     # and priorities are genuinely non-trivial (not all equal per batch)
     pr = res["crawl_log"].select("batch_id", "priority").distinct().count()
     assert pr > res["crawl_log"].select("batch_id").distinct().count()
+
+
+def test_html_extraction_round_trip(graph):
+    """U1-U3 over raw HTML: for every HTML page, the generic rule-driven
+    extractor must recover exactly the payload the page was rendered from
+    — titles, paragraph order, inline-image positions, entry lists,
+    pagination links (the selector-surface-as-data seam)."""
+    from crawler_spark.plans.parser import extract_payload
+
+    html_pages = [p for p in graph["pages"].values() if p.get("source")]
+    assert len(html_pages) > 10
+    kinds = set()
+    for p in html_pages:
+        wid = 1000 + int(p["host"].split(".")[0][4:])
+        rules = graph["registry"][wid]["extract"]
+        got = extract_payload(p["kind"], p["payload"], rules)
+        src = p["source"]
+        kinds.add(p["kind"])
+        if p["kind"] == "menu":
+            assert [c["href"] for c in got["categories"]] == \
+                [c["href"] for c in src["categories"]]
+            assert [c["label"] for c in got["categories"]] == \
+                [c["label"] for c in src["categories"]]
+        elif p["kind"] == "list":
+            assert [
+                (e["href"], e["title"], e["pub_time_raw"], e.get("img"))
+                for e in got["entries"]
+            ] == [
+                (e["href"], e["title"], e["pub_time_raw"], e.get("img"))
+                for e in src["entries"]
+            ]
+            assert got["next"] == src.get("next")
+            assert got["has_more"] == bool(src.get("has_more"))
+        else:  # article: exact paras in order + inline image positions
+            assert got["title"] == src["title"]
+            assert got["paras"] == src["paras"]
+            assert got["imgs"] == src["imgs"]
+            assert got["pub_time_raw"] == src["pub_time_raw"]
+            assert got["abstract"] == src["abstract"]
+    assert kinds == {"menu", "list", "article"}
+
+
+def test_html_sites_produce_docs_with_html_column(spark, graph, sim):
+    """K2: documents from HTML sites carry the raw page; JSON-site docs
+    carry null. Both engines agree (covered by the parity test); here we
+    assert the fixture exercises both paths."""
+    docs = _sim_docs(sim)
+    html_docs = [d for d in docs.values() if d["html"]]
+    json_docs = [d for d in docs.values() if not d["html"]]
+    assert html_docs and json_docs
+    # raw page round-trip: the stored html is the fetched payload
+    any_doc = html_docs[0]
+    assert any_doc["html"].startswith("<html>")
+    # and HTML-site documents still carry interleaved image spans
+    assert any(
+        s[0] == "image" for d in html_docs for s in d["spans"]
+    )
 
 
 def test_form_post_pagination_crawled(spark, graph, sim):
