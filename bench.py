@@ -75,9 +75,6 @@ def frontier_throughput(spark, sf_dir: str, mult: int = 1) -> dict:
     # BEFORE the expensive canonicalize/hash map or it runs in one task.
     par = spark.sparkContext.defaultParallelism * 4
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).repartition(par)
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
     if mult > 1:
         li = li.withColumn("rep", F.explode(F.expr(f"sequence(0, {mult - 1})")))
     else:
@@ -102,12 +99,19 @@ def frontier_throughput(spark, sf_dir: str, mult: int = 1) -> dict:
     )
     n_urls = cand.count()
 
-    seen = orders.filter(F.col("o_orderkey") % 5 != 0).select(
-        canonicalize_col(
-            F.concat(F.lit("http://site"),
-                     F.pmod(F.col("o_custkey"), F.lit(400)).cast("string"),
-                     F.lit(".example.com/item/"),
-                     F.col("o_orderkey").cast("string"), F.lit("_1"))
+    # Seen set uses the SAME url template as the candidates (rep=0 slice,
+    # 80% of orderkeys): the anti-join really drops ~80% of the rep-0
+    # candidates instead of never matching (ADVICE r1: a seen set with a
+    # different template measured a dedup stage that filtered nothing).
+    li0 = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    seen = li0.filter(F.col("l_orderkey") % 5 != 0).select(
+        F.concat(
+            F.lit("http://site"),
+            F.pmod(F.col("l_suppkey"), F.lit(400)).cast("string"),
+            F.lit(".example.com/item/"), F.col("l_orderkey").cast("string"),
+            F.lit("_"), F.col("l_linenumber").cast("string"), F.lit("_0"),
         ).alias("url")
     )
 

@@ -96,6 +96,32 @@ def url_seen_bloom(spark: SparkSession, url_seen: DataFrame,
     return build_bloom(url_seen, "url_hash", expected_items=expected_items)
 
 
+def url_seen_filter_sharded(
+    spark: SparkSession,
+    candidates: DataFrame,
+    url_seen: DataFrame,
+    bloom_shards: DataFrame,
+    num_shards: int,
+) -> DataFrame:
+    """url_seen_filter with a SHARDED bloom prefilter (the 10^10-URL
+    path): bitsets stay distributed end-to-end — built per shard, probed
+    via cogroup, never collected or broadcast whole (bloom.py
+    build_bloom_sharded/bloom_probe_sharded). Semantics are byte-identical
+    to url_seen_filter: bloom only prefilters; the exact left-anti join
+    decides every drop."""
+    from crawler_spark.operators.bloom import bloom_probe_sharded
+
+    bypass = candidates.filter(F.col("dont_filter"))
+    subject = candidates.filter(~F.col("dont_filter"))
+    maybe = bloom_probe_sharded(subject, bloom_shards, "url_hash", num_shards)
+    definitely_new = maybe.filter(~F.col("_maybe")).drop("_maybe")
+    suspects = maybe.filter(F.col("_maybe")).drop("_maybe")
+    survivors = suspects.join(
+        url_seen.select("url").distinct(), on="url", how="left_anti"
+    )
+    return survivors.unionByName(definitely_new).unionByName(bypass)
+
+
 # ---------------------------------------------------------------------------
 # Corpus near-duplicate operators (documents table: doc_id, text, ...)
 # ---------------------------------------------------------------------------

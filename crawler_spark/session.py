@@ -15,6 +15,24 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+# Minimum free tmpfs space before we trust /dev/shm with shuffle files.
+SHM_MIN_FREE_BYTES = 16 << 30
+
+
+def _pick_local_dir() -> str:
+    """SPARK_GRAFT_LOCAL_DIR if set; else /dev/shm when it has ≥16 GiB
+    free (shuffle on tmpfs is a big win on this sandbox's slow virtual
+    disk); else /tmp."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm"):
+        import shutil
+
+        if shutil.disk_usage("/dev/shm").free >= SHM_MIN_FREE_BYTES:
+            return "/dev/shm/spark-local"
+    return "/tmp"
+
 
 def get_spark(
     app_name: str = "crawler_spark",
@@ -46,14 +64,11 @@ def get_spark(
         )
         # Shuffle/spill files on tmpfs when available: this sandbox's /tmp
         # is a virtual disk whose bandwidth caps shuffle-heavy scaling (on
-        # a real cluster this is local NVMe per executor).
-        .config(
-            "spark.local.dir",
-            os.environ.get(
-                "SPARK_GRAFT_LOCAL_DIR",
-                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
-            ),
-        )
+        # a real cluster this is local NVMe per executor). tmpfs competes
+        # with the JVM heap for RAM, so fall back to /tmp unless /dev/shm
+        # has comfortable headroom (ENOSPC on tmpfs kills the job where a
+        # disk spill would have succeeded).
+        .config("spark.local.dir", _pick_local_dir())
         # AQE: runtime coalescing + skew-join splitting; essential at 100 TB,
         # harmless locally.
         .config("spark.sql.adaptive.enabled", "true")

@@ -124,15 +124,27 @@ class CrawlCheckpoint:
         invisible. A 10^10-URL deployment runs this every k batches (or
         lets Iceberg do it natively via the SnapshotTable seam)."""
         for name in names:
+            out = self._compact_dir(name, upto_batch)
+            if os.path.exists(os.path.join(out, "_COMMITTED")):
+                # Already compacted to exactly this batch: re-running would
+                # select this directory as its own (lazy) read base and then
+                # destroy it before the rewrite executes. Short-circuit.
+                continue
             df = self.read_deltas(name, upto_batch)
             if df is None:
                 continue
-            out = self._compact_dir(name, upto_batch)
-            if os.path.exists(out):
-                shutil.rmtree(out)
+            # Write to a temp dir first: the lazy ``df`` may read the
+            # previous compaction, which must stay intact until the new
+            # snapshot is fully on disk. Swap + marker after the write.
+            tmp_out = out + ".tmp"
+            if os.path.exists(tmp_out):
+                shutil.rmtree(tmp_out)
             df.coalesce(max(self.write_partitions, 1)).write.mode(
                 "overwrite"
-            ).parquet(out)
+            ).parquet(tmp_out)
+            if os.path.exists(out):
+                shutil.rmtree(out)
+            os.rename(tmp_out, out)
             tmp = os.path.join(out, "_COMMITTED.tmp")
             with open(tmp, "w") as fh:
                 fh.write(str(upto_batch))

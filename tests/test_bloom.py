@@ -30,3 +30,57 @@ def test_partitioned_build_matches_single_partition(spark):
     b_one = build_bloom(df.coalesce(1), "h", expected_items=2000)
     assert np.array_equal(b_many.bits, b_one.bits)
     assert b_many.num_hashes == b_one.num_hashes
+
+
+def test_sharded_probe_no_false_negatives(spark):
+    """The 10^10-scale seam: per-shard bitsets built distributed (no
+    driver merge), probed via cogroup. Invariants: every member probes
+    positive in the sharded filter too, and FP rate stays bounded."""
+    from crawler_spark.operators.bloom import (
+        bloom_probe_sharded,
+        build_bloom_sharded,
+    )
+
+    n, shards = 5000, 4
+    members = spark.range(n).select(F.xxhash64("id").alias("url_hash"))
+    bl = build_bloom_sharded(members, "url_hash", num_shards=shards,
+                             expected_items=n, fpp=0.01)
+    assert bl.count() == shards
+
+    pos = bloom_probe_sharded(members, bl, "url_hash", shards)
+    assert pos.filter(~F.col("_maybe")).count() == 0
+
+    non = spark.range(n, 3 * n).select(F.xxhash64("id").alias("url_hash"))
+    fp = bloom_probe_sharded(non, bl, "url_hash", shards).filter(
+        F.col("_maybe")
+    ).count()
+    assert fp / (2 * n) < 0.05
+
+
+def test_sharded_url_seen_filter_matches_unsharded(spark):
+    """url_seen_filter_sharded must produce the exact survivor set of the
+    unsharded (and bloom-less) paths — bloom is a prefilter either way;
+    the exact anti-join decides (num_shards > 1, VERDICT r1 #10)."""
+    from crawler_spark.functions.urlnorm import canonicalize_col
+    from crawler_spark.operators.bloom import build_bloom_sharded
+    from crawler_spark.operators.dedup import (
+        url_seen_filter,
+        url_seen_filter_sharded,
+    )
+
+    seen = spark.createDataFrame(
+        [(f"http://s/{i}",) for i in range(400)], "url string"
+    ).withColumn("url_hash", F.xxhash64(canonicalize_col(F.col("url"))))
+    cands = spark.createDataFrame(
+        [(f"http://s/{i}", i % 17 == 0, f"{i:05d}") for i in range(300, 700)],
+        "url string, dont_filter boolean, seq string",
+    ).withColumn("url_hash", F.xxhash64(canonicalize_col(F.col("url"))))
+
+    plain = {r.url for r in
+             url_seen_filter(spark, cands, seen, bloom=None).collect()}
+    bl = build_bloom_sharded(seen, "url_hash", num_shards=4,
+                             expected_items=400)
+    sharded = {r.url for r in
+               url_seen_filter_sharded(spark, cands, seen, bl, 4).collect()}
+    assert sharded == plain
+    assert plain  # non-degenerate fixture
