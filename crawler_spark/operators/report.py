@@ -37,18 +37,25 @@ def daily_report(
         .join(F.broadcast(websites), on="website_id", how="left")
         .join(F.broadcast(languages), websites.lan_id == languages.language_id, "left")
         .join(F.broadcast(countries), on="country_id", how="left")
-        .select(
-            "website_id",
-            F.col("url"),
-            F.col("e_name"),
-            F.col("num"),
-            F.col("developer"),
-            F.col("lang_name"),
-            F.col("country_name"),
-            F.col("start_time"),
-        )
+        .select(*_REPORT_COLS)
         .orderBy("website_id")
     )
+
+
+# baogao.py:56/73 select list, name-for-name: website_id, url,
+# website.c_name, website.e_name, count → num, developer,
+# language.c_name → language, country.name → country, start_time.
+_REPORT_COLS = (
+    "website_id",
+    "url",
+    "c_name",
+    "e_name",
+    "num",
+    "developer",
+    "language",
+    "country",
+    "start_time",
+)
 
 
 def cumulative_report(
@@ -64,9 +71,6 @@ def cumulative_report(
         .join(F.broadcast(websites), on="website_id", how="left")
         .join(F.broadcast(languages), websites.lan_id == languages.language_id, "left")
         .join(F.broadcast(countries), on="country_id", how="left")
-        .select(
-            "website_id", "url", "e_name", "num", "developer",
-            "lang_name", "country_name", "start_time",
-        )
+        .select(*_REPORT_COLS)
         .orderBy("website_id")
     )

@@ -1,0 +1,71 @@
+"""The baogao.py report operators over reference-shaped dimension tables —
+exact column list parity with baogao.py:56/73 (website_id, url, c_name,
+e_name, num, developer, language, country, start_time) and broadcast-join
+plan shape."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.report import cumulative_report, daily_report
+
+
+def _fixture(spark):
+    docs = spark.createDataFrame(
+        [
+            (1000, datetime(2021, 6, 1, 5)),
+            (1000, datetime(2021, 6, 1, 7)),
+            (1001, datetime(2021, 6, 1, 9)),
+            (1001, datetime(2021, 5, 31, 9)),  # outside the daily window
+            (1002, datetime(2021, 6, 1, 3)),
+        ],
+        "website_id int, cole_time timestamp",
+    )
+    websites = spark.createDataFrame(
+        [
+            (1000, "http://site0/", "站点零", "site zero", "dev-a", 1930, 1,
+             datetime(2020, 1, 1)),
+            (1001, "http://site1/", "站点一", "site one", "dev-b", 1866, 2,
+             datetime(2020, 2, 1)),
+            (1002, "http://site2/", "站点二", "site two", "dev-a", 1930, 1,
+             None),
+        ],
+        "website_id int, url string, c_name string, e_name string,"
+        " developer string, lan_id int, country_id int, start_time timestamp",
+    )
+    languages = spark.createDataFrame(
+        [(1930, "印地语"), (1866, "英语")],
+        "language_id int, language string",
+    )
+    countries = spark.createDataFrame(
+        [(1, "India"), (2, "Philippines")], "country_id int, country string"
+    )
+    return docs, websites, languages, countries
+
+
+EXPECT_COLS = ["website_id", "url", "c_name", "e_name", "num", "developer",
+               "language", "country", "start_time"]
+
+
+def test_daily_report_columns_and_counts(spark):
+    docs, w, l, c = _fixture(spark)
+    out = daily_report(docs, w, l, c,
+                       datetime(2021, 6, 1), datetime(2021, 6, 2))
+    assert out.columns == EXPECT_COLS
+    rows = {r.website_id: r for r in out.collect()}
+    assert rows[1000].num == 2 and rows[1001].num == 1 and rows[1002].num == 1
+    assert rows[1000].c_name == "站点零"  # website.c_name (baogao.py:56)
+    assert rows[1000].language == "印地语"  # language.c_name
+    assert rows[1001].country == "Philippines"
+    assert rows[1002].start_time is None  # left joins keep null dims
+
+
+def test_cumulative_report_and_broadcast_plan(spark):
+    docs, w, l, c = _fixture(spark)
+    out = cumulative_report(docs, w, l, c)
+    assert out.columns == EXPECT_COLS
+    rows = {r.website_id: r.num for r in out.collect()}
+    assert rows == {1000: 2, 1001: 2, 1002: 1}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
