@@ -59,6 +59,8 @@ from crawler_spark.operators.politeness import (
 from crawler_spark.operators.similarity import (
     brute_force_topk,
     hyperplanes,
+    ivf_centroids,
+    ivf_topk,
     lsh_topk,
 )
 from crawler_spark.schema import ROBOTS_SCHEMA
@@ -559,6 +561,19 @@ def q_similarity_lsh(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_similarity_ivf(spark, sf_dir):
+    """IVF-style ANN top-k (inverted coarse cells, nprobe=2) — the
+    alternative sub-quadratic scale path to sign-LSH. Deterministic
+    literal centroids → exact DuckDB oracle."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(
+        emb, qs, k=5, n_cells=8, nprobe=2, dim=64,
+        id_col="vec_id", vec_col="embedding",
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Streaming-shaped + interleaved-span + multimodal operators
 # ---------------------------------------------------------------------------
@@ -675,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
         "event_hourly_agg": q_event_hourly_agg,
         "interleaved_spans": q_interleaved_spans,
         "multimodal_features": q_multimodal_features,
@@ -816,6 +832,49 @@ def _similarity_lsh_sql(k: int = 5, n_planes: int = 8, dim: int = 64,
                    AS cosine
           FROM probes p JOIN bk c
             ON c.bucket = p.bucket AND c.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id,
+               cast(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS int)
+                 AS rank,
+               cosine
+        FROM sc QUALIFY rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+def _similarity_ivf_sql(k: int = 5, n_cells: int = 8, nprobe: int = 2,
+                        dim: int = 64, seed: int = 99) -> str:
+    cents = ivf_centroids(dim, n_cells, seed)
+    values = ", ".join(
+        f"({i}, {_sql_plane(c)})" for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH n AS (
+          SELECT vec_id, embedding::double[] AS e,
+                 sqrt(list_inner_product(embedding::double[],
+                                         embedding::double[])) AS nrm
+          FROM embeddings),
+        cents(cell, c) AS (VALUES {values}),
+        dots AS (
+          SELECT n.vec_id, n.e, n.nrm, cents.cell,
+                 round(list_inner_product(n.e, cents.c), 6) AS cdot
+          FROM n CROSS JOIN cents),
+        corpus AS (
+          SELECT vec_id AS neighbor_id, e AS ce, nrm AS cnrm, cell
+          FROM dots
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cdot DESC, cell) = 1),
+        qs AS (
+          SELECT vec_id AS query_id, e AS qe, nrm AS qn, cell
+          FROM dots WHERE vec_id < 8
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cdot DESC, cell) <= {nprobe}),
+        sc AS (
+          SELECT DISTINCT q.query_id, c.neighbor_id,
+                 round(list_inner_product(q.qe, c.ce) / (q.qn * c.cnrm), 6)
+                   AS cosine
+          FROM qs q JOIN corpus c
+            ON c.cell = q.cell AND c.neighbor_id <> q.query_id)
         SELECT query_id, neighbor_id,
                cast(row_number() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, neighbor_id) AS int)
@@ -1084,6 +1143,8 @@ def oracle_sql() -> dict[str, str]:
                                         threshold=0.3),
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "similarity_lsh": _similarity_lsh_sql(k=5, n_planes=8, dim=64),
+        "similarity_ivf": _similarity_ivf_sql(k=5, n_cells=8, nprobe=2,
+                                              dim=64),
         "token_stats": f"""
             SELECT doc_id,
                    cast(len(string_split(text, ' ')) AS bigint) AS n_ws_tokens,

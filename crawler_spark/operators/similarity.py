@@ -110,6 +110,90 @@ def probe_buckets(n_planes: int, bucket_col_name: str = "bucket"):
     )
 
 
+def ivf_centroids(dim: int, k: int = 8, seed: int = 99) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids (numpy PCG64, fixed seed),
+    rounded to 6 dp and inlined as literals — no RNG and no training step
+    inside the plan, so the same plan is produced on every run. A real
+    deployment would k-means these offline; the cell-assignment and probe
+    machinery below is unchanged either way."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((k, dim)).round(6).tolist()
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]], nprobe: int,
+               id_alias: str, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """(id, vec, nrm, cell): the ``nprobe`` nearest coarse cells per vector
+    by ROUNDED centroid dot product (cross-engine-stable, ties broken by
+    cell index). Relational formulation — posexplode + row_number — so the
+    DuckDB oracle renders the identical argmax semantics."""
+    dots = F.array(*[
+        F.round(
+            F.expr(
+                f"aggregate(zip_with({vec_col}, array("
+                + ",".join(f"{x:.6f}D" for x in c)
+                + "), (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)"
+            ),
+            6,
+        )
+        for c in centroids
+    ])
+    base = df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias("vec"),
+        _norm(vec_col).alias("nrm"),
+        F.posexplode(dots).alias("cell", "cdot"),
+    )
+    w = Window.partitionBy(id_alias).orderBy(F.desc("cdot"), F.asc("cell"))
+    return (
+        base.withColumn("_crk", F.row_number().over(w))
+        .filter(F.col("_crk") <= nprobe)
+        .drop("_crk", "cdot")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+    seed: int = 99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate cosine top-k — the inverted-file alternative
+    to sign-LSH: corpus vectors live in their single nearest coarse cell;
+    each query probes its ``nprobe`` nearest cells; only same-cell pairs
+    are scored exactly. Sub-quadratic via a pure equi-join on the cell id;
+    deterministic literal centroids → exact DuckDB oracle."""
+    cents = ivf_centroids(dim, n_cells, seed)
+    corpus = ivf_assign(emb, cents, 1, "neighbor_id", vec_col, id_col).select(
+        "neighbor_id", F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cnrm"), "cell",
+    )
+    qs = ivf_assign(queries, cents, nprobe, "query_id", vec_col, id_col).select(
+        "query_id", F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"), "cell",
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm")), 6),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
