@@ -101,7 +101,7 @@ def url_seen_filter_sharded(
     candidates: DataFrame,
     url_seen: DataFrame,
     bloom_shards: DataFrame,
-    num_shards: int,
+    num_shards: int | None = None,
 ) -> DataFrame:
     """url_seen_filter with a SHARDED bloom prefilter (the 10^10-URL
     path): bitsets stay distributed end-to-end — built per shard, probed

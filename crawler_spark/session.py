@@ -20,9 +20,11 @@ SHM_MIN_FREE_BYTES = 16 << 30
 
 
 def _pick_local_dir() -> str:
-    """SPARK_GRAFT_LOCAL_DIR if set; else /dev/shm when it has ≥16 GiB
-    free (shuffle on tmpfs is a big win on this sandbox's slow virtual
-    disk); else /tmp."""
+    """SPARK_GRAFT_LOCAL_DIR if set; else '/dev/shm/spark-local,/tmp' when
+    tmpfs has ≥16 GiB free (shuffle on tmpfs is a big win on this sandbox's
+    slow virtual disk — and the /tmp fallback entry lets Spark overflow
+    shuffle files to disk if tmpfs fills mid-job instead of dying on
+    ENOSPC); else /tmp alone."""
     env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if env:
         return env
@@ -30,7 +32,7 @@ def _pick_local_dir() -> str:
         import shutil
 
         if shutil.disk_usage("/dev/shm").free >= SHM_MIN_FREE_BYTES:
-            return "/dev/shm/spark-local"
+            return "/dev/shm/spark-local,/tmp"
     return "/tmp"
 
 

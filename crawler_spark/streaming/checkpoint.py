@@ -77,9 +77,14 @@ class CrawlCheckpoint:
     def read_part(self, batch_id: int, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._batch_dir(batch_id), name))
 
-    def read_deltas(self, name: str, upto_batch: int) -> DataFrame | None:
-        """Union of a delta part across batches 0..upto_batch, starting
-        from the newest compacted snapshot at or below upto_batch."""
+    def has_part(self, batch_id: int, name: str) -> bool:
+        return os.path.exists(os.path.join(self._batch_dir(batch_id), name))
+
+    def delta_paths(self, name: str, upto_batch: int) -> list[str]:
+        """The directories a read_deltas(name, upto_batch) will touch —
+        one compacted snapshot (if any) plus the per-batch tail. With
+        periodic compaction this list is bounded by compact_every + 1
+        regardless of history length (asserted in tests)."""
         base = None
         start = 0
         snap = self._newest_compaction(name, upto_batch)
@@ -92,6 +97,12 @@ class CrawlCheckpoint:
         ]
         if base is not None:
             paths = [base] + paths
+        return paths
+
+    def read_deltas(self, name: str, upto_batch: int) -> DataFrame | None:
+        """Union of a delta part across batches 0..upto_batch, starting
+        from the newest compacted snapshot at or below upto_batch."""
+        paths = self.delta_paths(name, upto_batch)
         if not paths:
             return None
         return self.spark.read.parquet(*paths)

@@ -57,6 +57,72 @@ def test_sharded_probe_no_false_negatives(spark):
     assert fp / (2 * n) < 0.05
 
 
+def test_incremental_merge_matches_from_scratch(spark):
+    """merge_bloom_shards (the crawl loop's per-batch maintenance path)
+    must be BITWISE identical to a from-scratch build over the union —
+    OR is commutative, parameters are pinned, so the shard bitsets agree
+    exactly."""
+    from crawler_spark.operators.bloom import (
+        build_bloom_sharded,
+        merge_bloom_shards,
+        sharded_params,
+    )
+
+    shards, capacity = 4, 4000
+    num_bits, k = sharded_params(shards, capacity)
+    base = spark.range(1000).select(F.xxhash64("id").alias("url_hash"))
+    d1 = spark.range(1000, 1600).select(F.xxhash64("id").alias("url_hash"))
+    d2 = spark.range(1600, 2000).select(F.xxhash64("id").alias("url_hash"))
+
+    inc = build_bloom_sharded(base, "url_hash", shards, expected_items=capacity)
+    for d in (d1, d2):
+        inc = merge_bloom_shards(inc, d, "url_hash", shards, num_bits, k)
+
+    full = build_bloom_sharded(
+        spark.range(2000).select(F.xxhash64("id").alias("url_hash")),
+        "url_hash", shards, expected_items=capacity,
+    )
+    got = {r.shard: (r.bits, r.num_hashes, r.num_bits) for r in inc.collect()}
+    want = {r.shard: (r.bits, r.num_hashes, r.num_bits) for r in full.collect()}
+    assert got == want
+    assert len(got) == shards
+
+
+def test_probe_shard_count_mismatch_raises(spark):
+    """A probe modulus that disagrees with the build modulus must fail
+    loudly instead of silently producing bloom false negatives (ADVICE r2
+    #1)."""
+    import pytest
+
+    from crawler_spark.operators.bloom import (
+        bloom_probe_sharded,
+        build_bloom_sharded,
+    )
+
+    members = spark.range(500).select(F.xxhash64("id").alias("url_hash"))
+    bl = build_bloom_sharded(members, "url_hash", num_shards=4,
+                             expected_items=500)
+    with pytest.raises(Exception, match="shard-count mismatch"):
+        bloom_probe_sharded(members, bl, "url_hash", 8).filter(
+            ~F.col("_maybe")
+        ).count()
+
+
+def test_probe_derives_num_shards(spark):
+    """num_shards=None derives the modulus from the stored shard rows —
+    callers cannot desynchronize what they never supply."""
+    from crawler_spark.operators.bloom import (
+        bloom_probe_sharded,
+        build_bloom_sharded,
+    )
+
+    members = spark.range(500).select(F.xxhash64("id").alias("url_hash"))
+    bl = build_bloom_sharded(members, "url_hash", num_shards=4,
+                             expected_items=500)
+    pos = bloom_probe_sharded(members, bl, "url_hash")
+    assert pos.filter(~F.col("_maybe")).count() == 0
+
+
 def test_sharded_url_seen_filter_matches_unsharded(spark):
     """url_seen_filter_sharded must produce the exact survivor set of the
     unsharded (and bloom-less) paths — bloom is a prefilter either way;

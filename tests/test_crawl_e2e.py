@@ -22,7 +22,7 @@ from crawler_spark.streaming.crawl_loop import CrawlEngine
 
 
 def _run_engine(spark, graph, ckpt_dir, resume=False, max_batches=1000,
-                use_bloom=None, compact_every=0):
+                use_bloom=None, compact_every=0, **kw):
     eng = CrawlEngine(
         spark,
         site_graph=site_graph_df(spark, graph),
@@ -33,6 +33,7 @@ def _run_engine(spark, graph, ckpt_dir, resume=False, max_batches=1000,
         checkpoint_dir=str(ckpt_dir),
         use_bloom=use_bloom,
         compact_every=compact_every,
+        **kw,
     )
     return eng, eng.run(max_batches=max_batches, resume=resume)
 
@@ -142,13 +143,73 @@ def test_crawl_matches_simulator(spark, graph, sim, tmp_path_factory):
     )
 
 
-def test_crawl_with_bloom_identical(spark, graph, sim, tmp_path_factory):
+def test_crawl_with_bloom_identical(spark, graph, sim, tmp_path_factory,
+                                    monkeypatch):
     """Forcing the bloom prefilter on must not change any outcome —
-    bloom is a prefilter, the exact anti-join decides (SURVEY §7.4)."""
+    bloom is a prefilter, the exact anti-join decides (SURVEY §7.4).
+    The active path must be the SHARDED one end-to-end: the driver-merged
+    build (build_bloom's whole-bitset collect) is poisoned for the whole
+    run (VERDICT r2 'Next round #1')."""
+    import crawler_spark.operators.bloom as bloom_mod
+    import crawler_spark.operators.dedup as dedup_mod
+
+    def _poisoned(*a, **k):
+        raise AssertionError(
+            "driver-merged build_bloom must not run in the crawl loop"
+        )
+
+    monkeypatch.setattr(bloom_mod, "build_bloom", _poisoned)
+    monkeypatch.setattr(dedup_mod, "build_bloom", _poisoned)
+
     ckpt = tmp_path_factory.mktemp("ckpt_bloom")
-    _, res = _run_engine(spark, graph, ckpt, use_bloom=True)
+    eng, res = _run_engine(spark, graph, ckpt, use_bloom=True)
     assert _engine_log(res) == sim["crawl_log"]
     assert {r.url for r in res["url_seen"].collect()} == sim["url_seen"]
+
+    # The incrementally-maintained shard bitsets must equal a from-scratch
+    # distributed build over the final seen set, bit for bit.
+    from crawler_spark.operators.bloom import build_bloom_sharded
+
+    last = eng.ckpt.last_complete_batch()
+    assert eng.ckpt.has_part(last, "bloom")
+    p = eng.ckpt.stats(last)["bloom"]
+    stored = {
+        r.shard: r.bits for r in eng.ckpt.read_part(last, "bloom").collect()
+    }
+    scratch = {
+        r.shard: r.bits
+        for r in build_bloom_sharded(
+            res["url_seen"], "url_hash", p["num_shards"],
+            expected_items=p["capacity"],
+        ).collect()
+    }
+    assert stored == scratch
+    assert stored  # non-degenerate
+
+
+def test_bloom_auto_activates_and_stays_sharded(spark, tmp_path_factory,
+                                                monkeypatch):
+    """With the default auto mode, once |url_seen| crosses the threshold
+    the engine switches to the sharded bloom mid-run (building once from
+    the seen set, then maintaining incrementally) — and never touches the
+    driver-merged path. Parity must hold across the activation boundary."""
+    import crawler_spark.operators.bloom as bloom_mod
+
+    monkeypatch.setattr(
+        bloom_mod, "build_bloom",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("driver merge")),
+    )
+    g = build_site_graph(n_sites=3, cats_per_site=2, pages_per_cat=2,
+                         entries_per_page=4, dup_fraction=0.3, seed=17)
+    s = simulate_crawl(g)
+    ckpt = tmp_path_factory.mktemp("ckpt_auto")
+    # Threshold low enough that activation happens mid-crawl.
+    eng, res = _run_engine(spark, g, ckpt, use_bloom=None, bloom_threshold=10)
+    assert _engine_log(res) == s["crawl_log"]
+    assert {r.url for r in res["url_seen"].collect()} == s["url_seen"]
+    assert _engine_docs(res) == _sim_docs(s)
+    last = eng.ckpt.last_complete_batch()
+    assert eng.ckpt.has_part(last, "bloom")  # sharded state was maintained
 
 
 def test_no_request_fetched_twice(spark, graph, tmp_path_factory):
@@ -180,6 +241,27 @@ def test_resume_equals_uninterrupted(spark, graph, sim, tmp_path_factory):
         for r in res["crawl_log"].select("url", "method", "body").collect()
     ]
     assert len(fps) == len(set(fps))
+
+
+def test_compaction_bounds_read_fanout(spark, tmp_path_factory):
+    """Default-on compaction (compact_every=8) over a LONG crawl (≥20
+    batches): per-batch state derivation must touch one snapshot + a
+    bounded tail, never O(batches) directories (VERDICT r2 'Next round
+    #2'). A deep next-link chain forces one list page per batch."""
+    g = build_site_graph(n_sites=1, cats_per_site=1, pages_per_cat=35,
+                         entries_per_page=2, dup_fraction=0.0, seed=11)
+    s = simulate_crawl(g)
+    assert s["batches"] >= 20, "fixture must produce a long crawl"
+    ckpt = tmp_path_factory.mktemp("ckpt_fanout")
+    eng, res = _run_engine(spark, g, ckpt, compact_every=8)
+    assert _engine_log(res) == s["crawl_log"]
+    assert {r.url for r in res["url_seen"].collect()} == s["url_seen"]
+    last = eng.ckpt.last_complete_batch()
+    assert last >= 19
+    # Bounded fanout: ≤ 1 snapshot + compact_every tail dirs, despite 20+
+    # batches of history (url_seen derivation reads the docs delta chain).
+    for name in ("docs", "crawl_log", "metrics"):
+        assert len(eng.ckpt.delta_paths(name, last)) <= 8 + 1
 
 
 def test_compaction_preserves_state(spark, graph, sim, tmp_path_factory):
