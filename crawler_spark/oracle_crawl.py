@@ -1,0 +1,268 @@
+"""Crawl-lifecycle correctness fixtures for the driver's DuckDB oracle.
+
+VERDICT r2 'Next round #3': the crawl-engine operators (S1-S6, U1-U4, W3,
+W6, K1-K2, P1/P2/P4, J3) were verified only by the pytest parity suite —
+the driver's oracle gate never saw them. This module closes that gap by
+materializing BOTH sides of the parity check as tables the gate can
+compare:
+
+- the SPARK side: run the micro-batch CrawlEngine (streaming/crawl_loop.py)
+  on a fixed deterministic mock-web fixture and expose its outputs
+  (documents, per-span rows, the canonically-ordered crawl log, per-host
+  fetch metrics) as DataFrames;
+- the ORACLE side: run the single-threaded reference-semantics simulator
+  (simulator.py — exact middlewares.py:50-68 dedup + settings.py:28
+  politeness + zeenews.py:96-101 cutoff semantics) on the SAME fixture and
+  write its outputs as parquet that the DuckDB oracle SQL reads with
+  read_parquet().
+
+Everything is deterministic (seeded fixture, no wall clock), so the
+comparison is exact: row counts, schemas, and values must agree
+byte-for-byte — the same invariant the e2e pytest suite asserts, now
+enforced by the driver's own gate.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.identity import ua_pick_py
+from crawler_spark.simulator import simulate_crawl
+from crawler_spark.sources.mock_web import (
+    build_site_graph,
+    seeds_df,
+    site_graph_df,
+)
+from crawler_spark.streaming.crawl_loop import CrawlEngine
+
+# The shared fixture: all five pagination rules (incl. the POST
+# form-paginated feed), two raw-HTML markup shapes, duplicate cross-links,
+# redirects, a dont_filter probe site, a cutoff mid-list — the full
+# semantic surface at small scale.
+FIXTURE_KW = dict(
+    n_sites=5,
+    cats_per_site=2,
+    pages_per_cat=2,
+    entries_per_page=3,
+    dup_fraction=0.25,
+    html_sites=2,
+    seed=97,
+)
+
+# Fixed path the oracle SQL reads — fingerprinted on the fixture config so
+# a stale parquet set from an older code version can never be compared.
+import hashlib as _hashlib  # noqa: E402
+
+_FP = _hashlib.md5(repr(sorted(FIXTURE_KW.items())).encode()).hexdigest()[:10]
+SIM_ORACLE_DIR = f"/tmp/crawler_spark_sim_oracle_{_FP}"
+
+
+def fixture_graph() -> dict:
+    return build_site_graph(**FIXTURE_KW)
+
+
+# ---------------------------------------------------------------------------
+# Oracle side: simulator outputs → parquet for DuckDB
+# ---------------------------------------------------------------------------
+
+def _docs_tables(sim: dict) -> tuple[pa.Table, pa.Table]:
+    """(sim_docs, sim_spans) with types matching the engine's schemas
+    exactly (int32 where Spark emits int, so the pandas dtypes the gate
+    reprs agree)."""
+    doc_rows = sorted(sim["docs"].items())
+    docs = pa.table(
+        {
+            "doc_id": pa.array([k for k, _ in doc_rows], pa.string()),
+            "title": pa.array([d["title"] for _, d in doc_rows], pa.string()),
+            "abstract": pa.array(
+                [d["abstract"] for _, d in doc_rows], pa.string()
+            ),
+            "category1": pa.array(
+                [d["category1"] for _, d in doc_rows], pa.string()
+            ),
+            "category2": pa.array(
+                [d["category2"] for _, d in doc_rows], pa.string()
+            ),
+            "pub_time": pa.array(
+                [d["pub_time"] for _, d in doc_rows], pa.string()
+            ),
+            "request_url": pa.array(
+                [d["request_url"] for _, d in doc_rows], pa.string()
+            ),
+            "response_url": pa.array(
+                [d["response_url"] for _, d in doc_rows], pa.string()
+            ),
+            "website_id": pa.array(
+                [d["website_id"] for _, d in doc_rows], pa.int32()
+            ),
+            "language_id": pa.array(
+                [d["language_id"] for _, d in doc_rows], pa.int32()
+            ),
+            "html": pa.array([d.get("html") for _, d in doc_rows], pa.string()),
+        }
+    )
+    span_cols: dict[str, list] = {
+        "doc_id": [], "offset": [], "kind": [], "text": [], "media_ref": []
+    }
+    for doc_id, d in doc_rows:
+        for s in d["spans"]:
+            span_cols["doc_id"].append(doc_id)
+            span_cols["offset"].append(s["offset"])
+            span_cols["kind"].append(s["kind"])
+            span_cols["text"].append(s["text"])
+            span_cols["media_ref"].append(s["media_ref"])
+    spans = pa.table(
+        {
+            "doc_id": pa.array(span_cols["doc_id"], pa.string()),
+            "offset": pa.array(span_cols["offset"], pa.int32()),
+            "kind": pa.array(span_cols["kind"], pa.string()),
+            "text": pa.array(span_cols["text"], pa.string()),
+            "media_ref": pa.array(span_cols["media_ref"], pa.string()),
+        }
+    )
+    return docs, spans
+
+
+def _log_table(sim: dict) -> pa.Table:
+    """The ordered crawl log with its canonical rank materialized as data —
+    the crawl-ORDERING invariant, comparable by an order-insensitive gate."""
+    rows = sim["crawl_log_full"]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(rows) + 1), pa.int32()),
+            "batch_id": pa.array([r["batch_id"] for r in rows], pa.int32()),
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "host": pa.array([r["host"] for r in rows], pa.string()),
+            "method": pa.array([r["method"] for r in rows], pa.string()),
+            "body": pa.array([r["body"] for r in rows], pa.string()),
+            "attempt": pa.array([r["attempt"] for r in rows], pa.int32()),
+            "ua": pa.array([ua_pick_py(r["url"]) for r in rows], pa.string()),
+        }
+    )
+
+
+def _metrics_table(sim: dict) -> pa.Table:
+    rows = sorted(sim["metrics"])
+    return pa.table(
+        {
+            "batch_id": pa.array([r[0] for r in rows], pa.int32()),
+            "host": pa.array([r[1] for r in rows], pa.string()),
+            "scheduled": pa.array([r[2] for r in rows], pa.int64()),
+            "deduped": pa.array([r[3] for r in rows], pa.int64()),
+            "fetched": pa.array([r[4] for r in rows], pa.int64()),
+            "bytes": pa.array([r[5] for r in rows], pa.int64()),
+            "max_depth": pa.array([r[6] for r in rows], pa.int32()),
+        }
+    )
+
+
+def ensure_sim_outputs(out_dir: str = SIM_ORACLE_DIR) -> str:
+    """Run the simulator on the fixture and write its outputs as parquet
+    (idempotent: skipped when the marker file exists). Pure Python + Arrow
+    — milliseconds, no Spark."""
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    sim = simulate_crawl(fixture_graph())
+    tmp = tempfile.mkdtemp(prefix="sim_oracle_", dir="/tmp")
+    docs, spans = _docs_tables(sim)
+    pq.write_table(docs, os.path.join(tmp, "sim_docs.parquet"))
+    pq.write_table(spans, os.path.join(tmp, "sim_spans.parquet"))
+    pq.write_table(_log_table(sim), os.path.join(tmp, "sim_log.parquet"))
+    pq.write_table(_metrics_table(sim), os.path.join(tmp, "sim_metrics.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+    # Atomic publish: another process may be racing; first rename wins.
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        pass  # already published
+    return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Spark side: engine outputs as DataFrames (one engine run per process)
+# ---------------------------------------------------------------------------
+
+_ENGINE_CACHE: dict[str, dict] = {}
+
+
+def engine_results(spark: SparkSession) -> dict:
+    """Run the CrawlEngine once on the fixture (memoized per process) and
+    return its results dict (docs / crawl_log / metrics DataFrames)."""
+    key = "r"
+    if key in _ENGINE_CACHE:
+        return _ENGINE_CACHE[key]
+    graph = fixture_graph()
+    ckpt = tempfile.mkdtemp(prefix="crawl_oracle_ckpt_")
+    eng = CrawlEngine(
+        spark,
+        site_graph=site_graph_df(spark, graph),
+        registry=graph["registry"],
+        seeds=seeds_df(spark, graph),
+        cutoff_epoch=graph["cutoff_epoch"],
+        as_of=graph["as_of"],
+        checkpoint_dir=ckpt,
+    )
+    res = eng.run()
+    _ENGINE_CACHE[key] = res
+    return res
+
+
+def engine_docs(spark: SparkSession) -> DataFrame:
+    res = engine_results(spark)
+    return res["docs"].select(
+        "doc_id",
+        "title",
+        "abstract",
+        "category1",
+        "category2",
+        F.date_format("pub_time", "yyyy-MM-dd HH:mm:ss").alias("pub_time"),
+        "request_url",
+        "response_url",
+        "website_id",
+        "language_id",
+        "html",
+    )
+
+
+def engine_spans(spark: SparkSession) -> DataFrame:
+    res = engine_results(spark)
+    return (
+        res["docs"]
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+
+def engine_log(spark: SparkSession) -> DataFrame:
+    """Crawl log with the canonical rank (batch_id, priority desc, seq)
+    materialized — the ordering contract as data. The global window is an
+    oracle-fixture artifact (the log is a few hundred rows); production
+    consumers sort on the same keys instead."""
+    res = engine_results(spark)
+    w = Window.orderBy("batch_id", F.desc("priority"), "seq")
+    return res["crawl_log"].select(
+        F.row_number().over(w).alias("rank"),
+        "batch_id", "url", "host", "method", "body", "attempt", "ua",
+    )
+
+
+def engine_metrics(spark: SparkSession) -> DataFrame:
+    res = engine_results(spark)
+    return res["metrics"].select(
+        "batch_id", "host", "scheduled", "deduped", "fetched", "bytes",
+        "max_depth",
+    )

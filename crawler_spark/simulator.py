@@ -82,6 +82,11 @@ def simulate_crawl(
     url_seen: set[str] = set(url_seen_init or ())
     scheduled: set[str] = set()
     crawl_log: list[tuple[int, str]] = []
+    # Full-fidelity log rows (method/body/attempt/host per admission, in
+    # the same canonical order) — the richer shape the oracle fixture
+    # needs; crawl_log keeps its (batch_id, url) tuples for the many
+    # byte-for-byte parity tests keyed on it.
+    crawl_log_full: list[dict] = []
     docs: dict[str, dict] = {}
     metrics: list[tuple] = []
     fetch_count = 0
@@ -134,6 +139,16 @@ def simulate_crawl(
         for r in admitted:
             scheduled.add(_fp(r))
             crawl_log.append((batch_id, r["url"]))
+            crawl_log_full.append(
+                {
+                    "batch_id": batch_id,
+                    "url": r["url"],
+                    "host": _host(r["url"]),
+                    "method": r.get("method", "GET"),
+                    "body": r.get("body", ""),
+                    "attempt": r.get("attempt", 0),
+                }
+            )
 
         # --- A4 fetch metrics (mirrors crawl_loop.run_batch exactly) ---
         sched_c = Counter(_host(r["url"]) for r in admitted)
@@ -214,6 +229,7 @@ def simulate_crawl(
 
     return {
         "crawl_log": crawl_log,
+        "crawl_log_full": crawl_log_full,
         "url_seen": url_seen,
         "docs": docs,
         "metrics": metrics,
