@@ -39,6 +39,16 @@ HINDI_MONTHS = {
     "सितंबर": "Sept", "अक्टूबर": "Oct", "नवंबर": "Nov", "दिसंबर": "Dec",
 }
 
+# aajtak.py:24-37 — the SAME Hindi months mapped onto a different English
+# spelling set (full names, 'मार्च' for March where zeenews has 'जुलूस');
+# each spider ships its own table, so we keep both.
+AAJTAK_HINDI_MONTHS = {
+    "जनवरी": "Jan", "फ़रवरी": "Feb", "मार्च": "March", "अप्रैल": "April",
+    "मई": "May", "जून": "June", "जुलाई": "July", "अगस्त": "August",
+    "सितंबर": "September", "अक्टूबर": "October", "नवंबर": "November",
+    "दिसंबर": "December",
+}
+
 _SPLIT = re.compile(r"/| |,|:|\n|\r|\f|\t|\v")  # util.py:45 token split
 _REL_UNITS = [  # util.py:59-83 branch order and unit sizes
     (re.compile(r"\d+ hours? ago"), 3600),

@@ -74,8 +74,15 @@ def fixture_graph() -> dict:
 def _docs_tables(sim: dict) -> tuple[pa.Table, pa.Table]:
     """(sim_docs, sim_spans) with types matching the engine's schemas
     exactly (int32 where Spark emits int, so the pandas dtypes the gate
-    reprs agree)."""
-    doc_rows = sorted(sim["docs"].items())
+    reprs agree). Built from docs_rows — the exact stored-table content,
+    duplicates included (pipelines.py INSERTs one row per item with no
+    unique key)."""
+    doc_rows = sorted(
+        ((d["doc_id"], d) for d in sim["docs_rows"]),
+        key=lambda kv: (kv[0], repr(sorted(
+            (k, v) for k, v in kv[1].items() if k != "spans"
+        ))),
+    )
     docs = pa.table(
         {
             "doc_id": pa.array([k for k, _ in doc_rows], pa.string()),

@@ -35,7 +35,11 @@ import re
 from datetime import datetime, timezone
 from urllib.parse import urljoin
 
-from crawler_spark.functions.dates import format_time2_py
+from crawler_spark.functions.dates import (
+    AAJTAK_HINDI_MONTHS,
+    MONTHS,
+    format_time2_py,
+)
 
 # Pagination rule names (the 5 corpus types).
 NEXT_LINK = "next_link"  # payload carries an explicit next href
@@ -43,12 +47,78 @@ PAGE_PARAM = "page_param"  # ?page=N increment while has_more
 OFFSET_PARAM = "offset_param"  # ?start=N*20 while has_more
 API_PAGE = "api_page"  # JSON endpoint with page param while has_more
 FORM_PAGE = "form_page"  # POST form body page=N while has_more (yehey.py:70-104)
+API_TEMPLATE = "api_template"  # templated API url w/ page & totItems bound
+#                                (manila.py:24,66,80-82)
 
 PAGE_SIZE = 20  # offset step (shangbao.py:50-51 uses start=N*20)
+API_PAGE_SIZE = 10  # manila.py:80: (page-1)*10 vs totItems
 
 
-def _epoch(dt_str_or_none, as_of: datetime, raw: str | None) -> float:
-    return format_time2_py(raw, as_of).replace(tzinfo=timezone.utc).timestamp()
+def parse_site_date(raw: str | None, style: str | None,
+                    as_of: datetime) -> datetime:
+    """Per-site date normalization styles found across the spider corpus —
+    the F2/F5 surface as data:
+
+    - None/'fuzzy': Util.format_time2's branch cascade (util.py:43-85),
+      incl. Hindi month pre-translation (zeenews.py:22-35,91).
+    - 'month_switch': the hand-rolled 12-branch month switch building
+      'YYYY-MM-DD 00:00:00' from the text's last 'D Mon YYYY' tokens
+      (philboxing.py:69-94,116-139; the branch table is MONTHS data here,
+      the token positions are the semantics).
+    - 'ymd': already-normalized '%Y-%m-%d %H:%M:%S' strings consumed
+      directly (shangbao.py:41 feeds list times straight to format_time3).
+    - 'isoT': ISO 'YYYY-MM-DDTHH:MM:SS+ZZ:ZZ' attribute values split on
+      T/+ exactly like yehey.py:95-98,136-139 (the zone is DISCARDED, as
+      the reference does — bug-faithful).
+    - 'dmy_hms': 'D MonthName YYYY, HH:MM:SS' strings rebuilt through the
+      month-name table (maharashtratimes.py:50-51,68-69's
+      datetime(year, Util.month[name], day) + time-of-day suffix).
+    Unparseable input falls back to ``as_of`` (the reference's fallback-now,
+    util.py:85).
+    """
+    if raw is None:
+        return as_of.replace(microsecond=0)
+    try:
+        if style == "dmy_hms":
+            m = re.search(r"(\d+) (\S+) (\d+), (\d+):(\d+):(\d+)", raw)
+            if m and m.group(2) in MONTHS:
+                return datetime(
+                    int(m.group(3)), MONTHS[m.group(2)], int(m.group(1)),
+                    int(m.group(4)), int(m.group(5)), int(m.group(6)),
+                )
+            return as_of.replace(microsecond=0)
+        if style == "month_switch":
+            toks = raw.split(" ")
+            day, mon, year = toks[-3], toks[-2], toks[-1]
+            if mon in MONTHS:
+                return datetime(int(year), MONTHS[mon], int(day))
+            return as_of.replace(microsecond=0)
+        if style == "ymd":
+            return datetime.strptime(raw.strip(), "%Y-%m-%d %H:%M:%S")
+        if style == "hindi_dmy":
+            # aajtak.py:92-94: '09 जनवरी 2021' → month translated via the
+            # spider's own table, then REORDERED to 'Jan 09 2021' before
+            # format_time2 (the D-M-Y order would not parse otherwise).
+            toks = raw.split()
+            mon = AAJTAK_HINDI_MONTHS.get(toks[1], toks[1])
+            return format_time2_py(f"{mon} {toks[0]} {toks[2]}", as_of)
+        if style == "isoT":
+            parts = re.split(r"T|\+", raw.strip())
+            return datetime.strptime(
+                parts[0] + " " + parts[1], "%Y-%m-%d %H:%M:%S"
+            )
+    except (IndexError, ValueError):
+        return as_of.replace(microsecond=0)
+    return format_time2_py(raw, as_of)
+
+
+def _epoch(dt_str_or_none, as_of: datetime, raw: str | None,
+           style: str | None = None) -> float:
+    return (
+        parse_site_date(raw, style, as_of)
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+    )
 
 
 def next_page_request(rule: str, url: str, body: str,
@@ -90,7 +160,21 @@ def next_page_request(rule: str, url: str, body: str,
     )
 
 
-def extract_payload(kind: str, html: str, rules: dict) -> dict:
+def _effective_rules(rules: dict, url: str) -> dict:
+    """URL-shape rule dispatch (P5 as data): a rules dict may carry
+    ``variants`` = [{'match': regex-on-url, <rule overrides>}, ...]; the
+    FIRST matching variant's keys override the base rules — the
+    re.match(r'.*photo-gallery.*', response.url) branch cascade of
+    zeenews.py:57,72 and aajtak.py:129,140,147 expressed declaratively."""
+    for v in rules.get("variants", ()):
+        if re.search(v["match"], url):
+            merged = dict(rules)
+            merged.update({k: val for k, val in v.items() if k != "match"})
+            return merged
+    return rules
+
+
+def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
     """Raw-HTML extraction driven by per-site rules-as-data — the
     reference's BeautifulSoup selector surface (demo/已部署/zeenews.py:47,
     109-148; philboxing.py:104-158) re-expressed as regex rules stored in
@@ -101,30 +185,68 @@ def extract_payload(kind: str, html: str, rules: dict) -> dict:
     Rule keys (all regex strings unless noted):
       menu:    ``category``  — groups (href, label);
                ``excluded_labels`` — list, P4 category exclusion
-               (zeenews.py:51: exclusion is crawler config, not page data)
-      list:    ``entry``     — named groups href/title/time and optional
-                               img, one match per list entry IN PAGE ORDER;
+               (zeenews.py:51: exclusion is crawler config, not page data);
+               ``excluded_slugs``  — list, exclusion on the href's LAST
+               path segment (zeenews.py:51 checks url.split('/')[-1])
+      menu2:   ``category2`` — groups (href, label): second-level section
+               links (aajtak.py:68-70 .widget-title, yehey.py:42-47
+               sub-menu, manila.py:49-54 category table)
+      list:    ``entry``     — named groups href/title and optional
+                               time/img/abstract, one match per list entry
+                               IN PAGE ORDER (philboxing carries the
+                               abstract on the list page, philboxing.py:
+                               44-45,59-60);
                ``next``      — group 1 = next-page href (zeenews.py:104);
-               ``more``      — presence ⇒ has_more (page-param sites)
-      article: ``title``, ``pub`` (group 1 each), optional ``abstract``;
+               ``more``      — presence ⇒ has_more (page-param sites);
+               ``page_time`` — group 1 = a PAGE-level date gating
+                               pagination only (philboxing.py:67-95 reads
+                               the page's last story date; entries are
+                               never individually gated there);
+               ``api_params``  — named groups (any) captured off the page
+                               and used to instantiate api_url_template
+                               (manila.py:61-66 reads the load-more
+                               button's onclick params);
+               ``form_params`` — same for POST form bootstrap fields
+                               (yehey.py:63-69 scrapes currentday out of a
+                               script tag)
+      article: ``title``, ``pub`` (group 1 each), optional ``abstract``,
+               ``cat1``/``cat2`` — categories read off the ARTICLE page
+               (breadcrumbs: maharashtratimes.py:79-81, shangbao.py:67-71)
+               instead of ridden down in meta;
                ``block``     — named groups para|src, matched IN DOCUMENT
                                ORDER: the interleaved text/image span
                                sequence comes straight from match order
                                (zeenews.py:119-122's .children walk).
     """
-    if kind == "menu":
+    rules = _effective_rules(rules, url)
+    if kind in ("menu", "menu2"):
+        # A menu2 page that matches the list marker is an article section:
+        # it bootstraps a ?curpg=1 list chain instead of linking deeper
+        # (maharashtratimes.py:33-34's data-tn check).
+        if (kind == "menu2" and rules.get("list_marker")
+                and re.search(rules["list_marker"], html)):
+            return {"categories": [], "list_bootstrap": True}
+        key = "category2" if kind == "menu2" else "category"
         excluded = set(rules.get("excluded_labels", ()))
+        excluded_slugs = set(rules.get("excluded_slugs", ()))
         cats = []
-        for m in re.finditer(rules["category"], html):
+        for m in re.finditer(rules[key], html):
             href, label = m.group(1), m.group(2)
+            slug = href.rstrip("/").rsplit("/", 1)[-1]
             cats.append(
-                {"href": href, "label": label, "excluded": label in excluded}
+                {
+                    "href": href,
+                    "label": label,
+                    "excluded": label in excluded or slug in excluded_slugs,
+                }
             )
         return {"categories": cats}
 
     if kind in ("list", "api"):
         entries = []
-        for m in re.finditer(rules["entry"], html):
+        # ``entry`` is optional: manila's category pages carry no article
+        # links at all — only the load-more API params (manila.py:59-67).
+        for m in re.finditer(rules["entry"], html) if rules.get("entry") else ():
             d = m.groupdict()
             entries.append(
                 {
@@ -132,6 +254,7 @@ def extract_payload(kind: str, html: str, rules: dict) -> dict:
                     "title": d.get("title"),
                     "pub_time_raw": d.get("time"),
                     "img": d.get("img") or None,
+                    "abstract": d.get("abstract") or None,
                 }
             )
         out: dict = {"entries": entries}
@@ -140,6 +263,14 @@ def extract_payload(kind: str, html: str, rules: dict) -> dict:
         out["has_more"] = (
             bool(re.search(rules["more"], html)) if rules.get("more") else False
         )
+        if rules.get("page_time"):
+            pm = re.search(rules["page_time"], html)
+            out["page_time_raw"] = pm.group(1) if pm else None
+        for pkey in ("api_params", "form_params"):
+            if rules.get(pkey):
+                pm = re.search(rules[pkey], html)
+                if pm:
+                    out[pkey] = pm.groupdict()
         return out
 
     # article
@@ -153,15 +284,24 @@ def extract_payload(kind: str, html: str, rules: dict) -> dict:
     imgs: list[dict] = []
     for m in re.finditer(rules["block"], html):
         d = m.groupdict()
+        # Python regexes forbid reusing a group name across alternation
+        # branches, so a block rule may carry src/src2/src3 image branches
+        # (yehey has header AND in-content image markups, yehey.py:128-134).
+        img_src = d.get("src") or d.get("src2") or d.get("src3")
         if d.get("para") is not None:
             paras.append(d["para"])
-        elif d.get("src") is not None and paras:
-            # in-body image, interleaved after the paragraph it follows
-            imgs.append({"after_para": len(paras) - 1, "src": d["src"]})
+        elif img_src is not None:
+            # Interleaved after the paragraph it follows; an image BEFORE
+            # any paragraph is a header image, kept first (after_para=-1 —
+            # yehey.py:128-130 appends the primary-header img before the
+            # in-paragraph ones).
+            imgs.append({"after_para": len(paras) - 1, "src": img_src})
     return {
         "title": first("title"),
         "abstract": first("abstract"),
         "pub_time_raw": first("pub"),
+        "cat1": first("cat1"),
+        "cat2": first("cat2"),
         "paras": paras,
         "imgs": imgs,
     }
@@ -183,6 +323,8 @@ def parse_page(
     body: str = "",
     fmt: str = "json",
     extract: dict | None = None,
+    site: dict | None = None,
+    req_kind: str | None = None,
 ) -> tuple[dict | None, list[dict]]:
     """One page → (document_row | None, ordered child requests).
 
@@ -191,12 +333,35 @@ def parse_page(
     are the CURRENT request's identity (S5): FORM_PAGE pagination advances
     the body while the URL stays constant. ``fmt='html'`` routes the raw
     payload through the per-site extraction rules (``extract``) instead of
-    json.loads — the registry-driven selector surface (SURVEY §2.9).
+    json.loads; ``fmt='json_html'`` parses a JSON envelope whose ``data``
+    field is HTML (manila.py:71's load-more API). ``site`` is the full
+    registry entry (date_style / menu_child_kind / probe_last /
+    api_url_template / ...); ``req_kind`` is the REQUEST's parse_kind —
+    Scrapy dispatches on the request's callback, not on page content, and
+    a 'probe' request parses an article page differently
+    (maharashtratimes.py:45 parse_page vs :59 parse_detail).
     """
+    site = site or {}
+    date_style = site.get("date_style")
     if not payload_json:
         return None, []  # fetch miss / 404: reference logs and moves on
+    eff_kind = "probe" if req_kind == "probe" else kind
+    # A site's API endpoints may speak a different format than its pages:
+    # manila's load-more returns JSON wrapping HTML (manila.py:71), yehey's
+    # infinite scroll returns plain JSON (yehey.py:78-97) while both sites'
+    # pages are HTML.
+    if kind == "api":
+        fmt = site.get("api_format", fmt)
     if fmt == "html":
-        payload = extract_payload(kind, payload_json, extract or {})
+        payload = extract_payload(
+            "article" if eff_kind == "probe" else eff_kind,
+            payload_json, extract or {}, url,
+        )
+    elif fmt == "json_html":
+        outer = json.loads(payload_json)
+        payload = extract_payload(
+            "api", outer.get("data") or "", extract or {}, url
+        )
     else:
         payload = json.loads(payload_json)
     requests: list[dict] = []
@@ -223,26 +388,74 @@ def parse_page(
             }
         )
 
-    if kind == "menu":
-        # U1 (zeenews.py:46-52): menu page → category list links + labels.
+    if eff_kind == "menu":
+        # U1 (zeenews.py:46-52): menu page → category links + labels.
         # A category may declare a POST entry point (form-paginated feeds,
         # yehey.py:70-71) via method/body fields on the menu entry.
+        # Two-level sites (aajtak.py:59-70, manila.py:30-54, yehey.py:
+        # 29-47) route menu children to second-level menu pages instead.
+        child_kind = site.get("menu_child_kind", "list")
         for cat in payload.get("categories", []):
             if cat.get("excluded"):  # P4 category exclusion (zeenews.py:51)
                 continue
             emit(
                 cat["href"],
-                "list",
+                child_kind,
                 {"category1": cat["label"], "category2": cat.get("label2")},
                 child_method=cat.get("method", "GET"),
                 child_body=cat.get("body", ""),
             )
         return None, requests
 
-    if kind in ("list", "api"):
+    if eff_kind == "menu2":
+        # Second-level menus: section links stamp category2 onto the meta
+        # lineage (aajtak.py:68-70, yehey.py:42-47, manila.py:49-54).
+        # A menu2 page may instead carry a list bootstrap marker
+        # (maharashtratimes.py:33-34: sections with articles start their
+        # ?curpg=1 list chain; sections without recurse into submenus).
+        if payload.get("list_bootstrap"):
+            nmeta = dict(meta)
+            nmeta["page"] = "1"
+            nmeta["list_url"] = url
+            fmt_url = site.get("page_url_fmt", "{base}?curpg={page}")
+            emit(fmt_url.format(base=url, page=1), "list", nmeta)
+            return None, requests
+        child_kind = site.get("menu2_child_kind", "list")
+        for cat in payload.get("categories", []):
+            if cat.get("excluded"):
+                continue
+            m2 = dict(meta)
+            m2["category2"] = cat["label"]
+            emit(cat["href"], child_kind, m2)
+        return None, requests
+
+    if eff_kind == "probe":
+        # maharashtratimes.py:47-59: the dont_filter-probed LAST list entry
+        # decides pagination off its own article date, then re-yields
+        # itself as a normal article request (Scrapy's dupefilter never
+        # recorded the dont_filter fetch, so the refetch goes through).
+        pub_raw = payload.get("pub_time_raw") or meta.get("pub_time_raw")
+        pt = _epoch(None, as_of, pub_raw, date_style)
+        if cutoff_epoch is None or pt >= cutoff_epoch:
+            base = meta.get("list_url")
+            if base:
+                page = int(meta.get("page", "1")) + 1
+                nmeta = dict(meta)
+                nmeta["page"] = str(page)
+                fmt_url = site.get("page_url_fmt", "{base}?curpg={page}")
+                emit(fmt_url.format(base=base, page=page), "list", nmeta)
+        amet = dict(meta)
+        emit(url, "article", amet, pub_epoch=pt)
+        return None, requests
+
+    if eff_kind in ("list", "api"):
         # U2/U4: entries newest-first; cutoff stops entries AND pagination.
+        entries = payload.get("entries", [])
+        probe_last = site.get("probe_last", False)
         flag = True
-        for i, entry in enumerate(payload.get("entries", [])):
+        for i, entry in enumerate(entries):
+            if probe_last and i == len(entries) - 1:
+                break  # the last entry becomes the pagination probe below
             entry_meta = dict(meta)
             entry_meta.update(
                 {
@@ -251,23 +464,94 @@ def parse_page(
                     "lead_img": entry.get("img"),
                 }
             )
-            pt = _epoch(None, as_of, entry.get("pub_time_raw"))
+            if entry.get("abstract") is not None:
+                # list-page abstracts ride down in meta (philboxing.py:44-45)
+                entry_meta["abstract"] = entry["abstract"]
+            pt = _epoch(None, as_of, entry.get("pub_time_raw"), date_style)
             if cutoff_epoch is None or pt >= cutoff_epoch:
-                dont_filter = probe_first and i == 0  # maharashtratimes.py:43-49
+                dont_filter = probe_first and i == 0  # maharashtratimes-style
                 emit(entry["href"], "article", entry_meta,
                      dont_filter=dont_filter, pub_epoch=pt)
             else:
                 flag = False  # '时间截止' — zeenews.py:96-101
                 break
-        if flag:
-            nxt = next_page_request(rule, url, body, payload)
-            if nxt:
-                n_url, n_method, n_body = nxt
-                emit(n_url, kind, dict(meta),
-                     child_method=n_method, child_body=n_body)
+        # API bootstrap (manila.py:59-67): params scraped off the page
+        # instantiate the load-more API URL; the chain continues under the
+        # API_TEMPLATE rule below.
+        if flag and payload.get("api_params") and site.get("api_url_template"):
+            params = {k: v for k, v in payload["api_params"].items()}
+            params.setdefault("page", "1")
+            api_meta = dict(meta)
+            api_meta.update(params)
+            emit(
+                site["api_url_template"].format(
+                    currentItems=(int(params["page"]) - 1) * API_PAGE_SIZE,
+                    **params,
+                ),
+                "api", api_meta,
+            )
+        # FORM bootstrap (yehey.py:55-71): a POST infinite-scroll feed
+        # seeded with fields scraped off the page (currentday) plus the
+        # category slug regexed out of the list URL.
+        if flag and payload.get("form_params") and site.get("form_api_url"):
+            params = {k: v for k, v in payload["form_params"].items()}
+            params["page"] = "2"
+            if site.get("url_cat_re"):
+                m = re.search(site["url_cat_re"], url)
+                if m:
+                    params["query_args"] = m.group(1)
+            fbody = "&".join(f"{k}={v}" for k, v in sorted(params.items()))
+            fmeta = dict(meta)
+            emit(site["form_api_url"], "api", fmeta,
+                 child_method="POST", child_body=fbody)
+        # Last-entry dont_filter probe (maharashtratimes.py:43-45): the
+        # probe inherits list_url/page from meta and drives pagination.
+        if probe_last and entries:
+            last = entries[-1]
+            pmeta = dict(meta)
+            pmeta.update(
+                {"title": last.get("title"),
+                 "pub_time_raw": last.get("pub_time_raw"),
+                 "lead_img": last.get("img")}
+            )
+            emit(last["href"], "probe", pmeta, dont_filter=True)
+        # Page-level time gate (philboxing.py:67-95, yehey.py:92-101):
+        # pagination is decided by a page-level date, not per entry; no
+        # parseable page date → no next page (philboxing's `if time and`).
+        if "page_time_raw" in payload:
+            ptr = payload["page_time_raw"]
+            if ptr is None:
+                flag = False
+            elif cutoff_epoch is not None:
+                flag = flag and (
+                    _epoch(None, as_of, ptr, date_style) >= cutoff_epoch
+                )
+        if flag and not probe_last:
+            if rule == API_TEMPLATE:
+                # manila.py:80-82: page+1 while (page-1)*10 ≤ totItems.
+                page = int(meta.get("page", "1"))
+                tot = int(meta.get("totItems", "0"))
+                if (page - 1) * API_PAGE_SIZE <= tot:
+                    nmeta = dict(meta)
+                    nmeta["page"] = str(page + 1)
+                    emit(
+                        site["api_url_template"].format(
+                            page=page + 1,
+                            category=meta.get("category", ""),
+                            totItems=tot,
+                            currentItems=page * API_PAGE_SIZE,
+                        ),
+                        "api", nmeta,
+                    )
+            else:
+                nxt = next_page_request(rule, url, body, payload)
+                if nxt:
+                    n_url, n_method, n_body = nxt
+                    emit(n_url, kind, dict(meta),
+                         child_method=n_method, child_body=n_body)
         return None, requests
 
-    if kind == "article":
+    if eff_kind == "article":
         # U3 (zeenews.py:109-148): one document with interleaved spans.
         spans = []
         lead = meta.get("lead_img")
@@ -275,21 +559,51 @@ def parse_page(
             spans.append({"kind": "image", "text": None,
                           "media_ref": lead, "offset": 0})
         paras = payload.get("paras", [])
-        inline = {img["after_para"]: img["src"] for img in payload.get("imgs", [])}
+        inline: dict[int, list[str]] = {}
+        for img in payload.get("imgs", []):
+            inline.setdefault(img["after_para"], []).append(img["src"])
+        # Page-level header images (after_para = -1) come before the first
+        # paragraph, after any list-page lead image.
+        for src in inline.get(-1, []):
+            spans.append({"kind": "image", "text": None,
+                          "media_ref": urljoin(url, src),
+                          "offset": len(spans)})
         for i, p in enumerate(paras):
             spans.append({"kind": "text", "text": p,
                           "media_ref": None, "offset": len(spans)})
-            if i in inline:
+            for src in inline.get(i, []):
                 spans.append({"kind": "image", "text": None,
-                              "media_ref": urljoin(url, inline[i]),
+                              "media_ref": urljoin(url, src),
                               "offset": len(spans)})
-        pub_raw = meta.get("pub_time_raw") or payload.get("pub_time_raw")
+        # Which side wins when both the list entry and the article page
+        # carry a date: zeenews trusts the list-scraped meta
+        # (zeenews.py:116), manila/maharashtratimes/yehey re-read it off
+        # the article page (manila.py:94-96) — site data, not a constant.
+        if site.get("article_pub_priority") == "page":
+            pub_raw = payload.get("pub_time_raw") or meta.get("pub_time_raw")
+        else:
+            pub_raw = meta.get("pub_time_raw") or payload.get("pub_time_raw")
+        # Title source is per-site: zeenews/aajtak trust the list-scraped
+        # meta (zeenews.py:114, aajtak.py:125); philboxing/manila/yehey/
+        # maharashtratimes/shangbao re-read it off the article page
+        # (philboxing.py:112, manila.py:92).
+        if site.get("title_priority") == "page":
+            title = payload.get("title") or meta.get("title")
+        else:
+            title = meta.get("title") or payload.get("title")
         doc = {
-            "title": meta.get("title") or payload.get("title"),
-            "abstract": payload.get("abstract") or (paras[0] if paras else None),
-            "category1": meta.get("category1"),
-            "category2": meta.get("category2"),
-            "pub_time": format_time2_py(pub_raw, as_of).strftime("%Y-%m-%d %H:%M:%S"),
+            "title": title,
+            # Precedence: list-page abstract in meta (philboxing.py:110) >
+            # article-extracted (zeenews.py:123 fallback) > first paragraph
+            # (items.py:8 default).
+            "abstract": meta.get("abstract") or payload.get("abstract")
+            or (paras[0] if paras else None),
+            # Breadcrumb categories off the article page override the meta
+            # lineage (maharashtratimes.py:79-81, shangbao.py:67-71).
+            "category1": payload.get("cat1") or meta.get("category1"),
+            "category2": payload.get("cat2") or meta.get("category2"),
+            "pub_time": parse_site_date(pub_raw, date_style, as_of)
+            .strftime("%Y-%m-%d %H:%M:%S"),
             "spans": spans,
             "request_url": url,
             "response_url": response_url,

@@ -88,6 +88,13 @@ def simulate_crawl(
     # byte-for-byte parity tests keyed on it.
     crawl_log_full: list[dict] = []
     docs: dict[str, dict] = {}
+    # Every stored row, duplicates included: the reference INSERTs one
+    # news row per item with no unique key (pipelines.py:29-47), so an
+    # article fetched twice in one batch (a dont_filter probe racing a
+    # normal request — possible since neither sees the other in the
+    # dupefilter) is stored twice. ``docs`` keeps dict-by-id for the
+    # site-semantics tests; ``docs_rows`` is the exact table content.
+    docs_rows: list[dict] = []
     metrics: list[tuple] = []
     fetch_count = 0
     batch_id = 0
@@ -98,16 +105,24 @@ def simulate_crawl(
         # Scrapy's retry middleware re-scheduling with dont_filter. ---
         retry_rows = [r for r in frontier if r.get("attempt", 0) > 0]
         fresh_rows = [r for r in frontier if r.get("attempt", 0) == 0]
+        # dont_filter requests bypass Scrapy's dupefilter entirely — both
+        # the intra-batch dedup and the scheduled-fingerprint check — and
+        # are never recorded in it (RFPDupeFilter only records inside
+        # request_seen(), which dont_filter requests skip). This is what
+        # lets maharashtratimes probe an article with dont_filter and then
+        # refetch it normally (maharashtratimes.py:45,59).
+        df_rows = [r for r in fresh_rows if r["dont_filter"]]
+        nf_rows = [r for r in fresh_rows if not r["dont_filter"]]
         by_fp: dict[tuple, dict] = {}
-        for r in sorted(fresh_rows, key=lambda r: r["seq"]):
+        for r in sorted(nf_rows, key=lambda r: r["seq"]):
             if _fp(r) not in by_fp:
                 by_fp[_fp(r)] = r
         fresh_kept = [
             r
             for r in by_fp.values()
             if _fp(r) not in scheduled  # intra-run dupefilter (D3), by fp
-            and (r["dont_filter"] or r["url"] not in url_seen)  # D1/D2: url only
-        ]
+            and r["url"] not in url_seen  # D1: url only
+        ] + df_rows
         # A4: per-host dedup drop counts (all three tiers), measured.
         n_in = Counter(_host(r["url"]) for r in fresh_rows)
         n_kept = Counter(_host(r["url"]) for r in fresh_kept)
@@ -137,7 +152,8 @@ def simulate_crawl(
             break  # all remaining rows are undeliverable
 
         for r in admitted:
-            scheduled.add(_fp(r))
+            if not r["dont_filter"]:
+                scheduled.add(_fp(r))
             crawl_log.append((batch_id, r["url"]))
             crawl_log_full.append(
                 {
@@ -206,6 +222,8 @@ def simulate_crawl(
                 body=r.get("body", ""),
                 fmt=rule.get("format", "json"),
                 extract=rule.get("extract"),
+                site=rule,
+                req_kind=r.get("parse_kind"),
             )
             if doc is not None:
                 doc_id = hashlib.md5(doc["response_url"].encode()).hexdigest()
@@ -213,6 +231,7 @@ def simulate_crawl(
                 doc["website_id"] = r["website_id"]
                 doc["language_id"] = r["language_id"]
                 docs[doc_id] = doc
+                docs_rows.append(doc)
                 url_seen.add(doc["request_url"])  # pipelines.py insert → probe hit
             for child in reqs:
                 child["website_id"] = r["website_id"]
@@ -232,6 +251,7 @@ def simulate_crawl(
         "crawl_log_full": crawl_log_full,
         "url_seen": url_seen,
         "docs": docs,
+        "docs_rows": docs_rows,
         "metrics": metrics,
         "fetch_count": fetch_count,
         "batches": batch_id,

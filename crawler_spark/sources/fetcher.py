@@ -1,0 +1,184 @@
+"""The fetch seam — S3 as a pluggable stage (VERDICT r2 'Next round #5').
+
+The reference's downloader is Twisted HTTP with a 30 s timeout and retry
+middleware (demo/settings.py:28-29); this engine's fetch stage is a
+contract, not a hardwired join:
+
+    admitted frontier rows (url, method, body, ua, cookie, attempt, ...)
+        → the same rows + (g_response_url, g_kind, g_payload, g_bytes,
+                           f_status)
+
+where ``f_status`` ∈ {'ok', 'retryable', 'gone'}: 'ok' = response
+delivered (counts as fetched in A4 metrics), 'retryable' = transient
+failure the engine re-enqueues with attempt+1 up to MAX_RETRIES (Scrapy's
+retry middleware semantics), 'gone' = permanent miss (404 — logged and
+dropped, no retry).
+
+Two implementations ship:
+
+- ``MockWebFetcher`` — a broadcast join against the deterministic mock
+  site graph. Transient failures (``fail_times``) and the Cloudflare-style
+  cookie gate (hatawtabloid.py:28,37: response arrives but the payload is
+  unusable without the clearance cookie) live HERE, because they simulate
+  network behavior, not crawl dataflow.
+- ``HttpFetcher`` — real HTTP over urllib inside mapInPandas: one Arrow
+  batch of URLs per Python invocation, per-request UA/Cookie headers
+  (middlewares.py:59-62), 30 s timeout (settings.py:29), redirects
+  followed (request_url vs response_url, middlewares.py:25-26). 5xx and
+  timeouts are 'retryable'; 4xx are 'gone'.
+
+Both pass the same contract test (tests/test_fetcher.py) — the HTTP one
+against a loopback server serving the mock graph, so the two
+implementations are interchangeable behind ``CrawlEngine(fetcher=...)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FETCH_TIMEOUT_S = 30.0  # settings.py:29 DOWNLOAD_TIMEOUT
+
+# Columns every fetcher appends to the admitted rows.
+FETCH_COLS = ("g_response_url", "g_kind", "g_payload", "g_bytes", "f_status")
+
+
+class MockWebFetcher:
+    """Fetch = broadcast join against the (small) mock site graph on the
+    full request fingerprint (url, method, body). On a real deployment the
+    graph side does not exist — HttpFetcher replaces this class wholesale;
+    the engine never sees the difference."""
+
+    def __init__(self, spark: SparkSession, site_graph: DataFrame):
+        self.graph = site_graph.select(
+            "url", "method", "body",
+            F.col("response_url").alias("g_response_url"),
+            F.col("kind").alias("g_kind"),
+            F.col("payload").alias("g_payload"),
+            F.col("bytes").alias("g_bytes"),
+            F.col("fail_times").alias("g_fail_times"),
+            F.col("required_cookie").alias("g_required_cookie"),
+        ).persist()
+
+    def fetch(self, admitted: DataFrame) -> DataFrame:
+        out = admitted.join(
+            F.broadcast(self.graph), on=["url", "method", "body"], how="left"
+        )
+        # Cloudflare-style gate: the response arrives (still 'ok' — W3
+        # retry state unaffected) but its payload is unusable without the
+        # clearance cookie — the parse stage sees a null payload.
+        cookie_ok = F.col("g_required_cookie").isNull() | (
+            F.col("cookie") == F.col("g_required_cookie")
+        )
+        status = (
+            F.when(F.col("g_kind").isNull(), F.lit("gone"))
+            .when(
+                F.col("attempt") < F.coalesce(F.col("g_fail_times"), F.lit(0)),
+                F.lit("retryable"),
+            )
+            .otherwise(F.lit("ok"))
+        )
+        ok = F.col("f_status") == "ok"
+        out = (
+            out.withColumn("g_payload", F.when(cookie_ok, F.col("g_payload")))
+            .withColumn("f_status", status)
+        )
+        # Contract: non-ok rows carry NO response columns — a real fetcher
+        # has nothing to report for a timeout/404, so the mock must not
+        # leak graph-side knowledge either (keeps the two implementations
+        # byte-interchangeable; asserted in tests/test_fetcher.py).
+        for c in ("g_response_url", "g_kind", "g_payload"):
+            out = out.withColumn(c, F.when(ok, F.col(c)))
+        out = out.withColumn(
+            "g_bytes", F.when(ok, F.col("g_bytes")).otherwise(F.lit(0))
+        )
+        return out.drop("g_fail_times", "g_required_cookie")
+
+    def unpersist(self) -> None:
+        self.graph.unpersist()
+
+
+class HttpFetcher:
+    """Real HTTP fetch as an Arrow-batched mapInPandas stage: zero per-row
+    Spark Python; each Python invocation drains one Arrow batch of
+    admitted rows through urllib with the reference's 30 s timeout.
+
+    ``g_kind`` is the request's own parse_kind ('probe' resolves to the
+    article markup inside parse_page) — a live site has no oracle kind
+    column; the crawl's routing IS the request lineage. The politeness
+    schedule is already enforced upstream (admission window + per-host
+    budget), so this stage only executes the fetches it is handed.
+    """
+
+    def __init__(self, timeout_s: float = FETCH_TIMEOUT_S,
+                 opener_factory=None):
+        # opener_factory: () -> urllib-style opener; injectable for tests.
+        self.timeout_s = timeout_s
+        self.opener_factory = opener_factory
+
+    def fetch(self, admitted: DataFrame) -> DataFrame:
+        timeout = self.timeout_s
+        opener_factory = self.opener_factory
+        out_schema = ", ".join(
+            [f"{f.name} {f.dataType.simpleString()}"
+             for f in admitted.schema.fields]
+            + ["g_response_url string", "g_kind string", "g_payload string",
+               "g_bytes long", "f_status string"]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import urllib.error
+            import urllib.request
+
+            opener = (opener_factory() if opener_factory
+                      else urllib.request.build_opener())
+            for pdf in batches:
+                resp_urls, payloads, byte_counts, statuses = [], [], [], []
+                for row in pdf.itertuples(index=False):
+                    req = urllib.request.Request(
+                        row.url,
+                        data=(row.body.encode() or None)
+                        if row.method == "POST" else None,
+                        method=row.method or "GET",
+                    )
+                    req.add_header("User-Agent", row.ua)
+                    if getattr(row, "cookie", None):
+                        req.add_header("Cookie", row.cookie)
+                    try:
+                        with opener.open(req, timeout=timeout) as resp:
+                            body = resp.read()
+                            resp_urls.append(resp.geturl())
+                            payloads.append(body.decode("utf-8", "replace"))
+                            byte_counts.append(len(body))
+                            statuses.append("ok")
+                    except urllib.error.HTTPError as e:
+                        resp_urls.append(None)
+                        payloads.append(None)
+                        byte_counts.append(0)
+                        # 5xx = transient (retry middleware semantics);
+                        # 4xx = permanent miss.
+                        statuses.append(
+                            "retryable" if e.code >= 500 else "gone"
+                        )
+                    except (urllib.error.URLError, TimeoutError, OSError):
+                        resp_urls.append(None)
+                        payloads.append(None)
+                        byte_counts.append(0)
+                        statuses.append("retryable")  # timeout/conn reset
+                out = pdf.copy()
+                out["g_response_url"] = resp_urls
+                # probe requests fetch article pages (maharashtratimes.py:45);
+                # non-ok rows carry no response columns (contract).
+                out["g_kind"] = [
+                    ("article" if k == "probe" else k) if st == "ok" else None
+                    for k, st in zip(pdf["parse_kind"], statuses)
+                ]
+                out["g_payload"] = payloads
+                out["g_bytes"] = pd.array(byte_counts, dtype="int64")
+                out["f_status"] = statuses
+                yield out
+
+        return admitted.mapInPandas(run, out_schema)

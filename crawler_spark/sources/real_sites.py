@@ -1,0 +1,875 @@
+"""Real spider rule-sets as registry content, with fixtures shaped on the
+actual sites' markup (VERDICT r2 'Next round #4').
+
+Seven deployed spiders from the reference corpus are ported as
+rules-as-data registry entries — no per-site code, only data consumed by
+the one generic extractor (plans/parser.extract_payload) and the shared
+dataflow (plans/parser.parse_page):
+
+| site             | wid  | the behaviors it pins down | reference |
+|------------------|------|----------------------------|-----------|
+| zeenews          | 1033 | Hindi dates, slug-based category exclusion, URL-shape variant dispatch (photo vs story lists), next-link pagination | 已部署/zeenews.py:13-14,22-35,46-107 |
+| aajtak           |  467 | TWO-LEVEL menus (category2), D-Mon-Y Hindi dates reordered before parsing, article markup variants by URL | 已部署/aajtak.py:24-37,59-70,86-98,122-154 |
+| philboxing       | 1194 | month-switch dates, page-level time gate (entries never gated), list-page abstracts in meta | 已部署/philboxing.py:29-102,104-158 |
+| manila           |  190 | two-level menus, API bootstrap scraped off a button onclick, JSON-wrapping-HTML pages, totItems-bound pagination, relative dates | 已部署/manila.py:24,30-82 |
+| yehey            | 1225 | two-level menus, POST infinite scroll seeded from scraped form fields, ISO-T dates, header-image-first span order | 已部署/yehey.py:29-107,111-140 |
+| maharashtratimes |  473 | nested menus, list bootstrap ?curpg=1, LAST-entry dont_filter pagination probe + self-refetch, breadcrumb categories, D-MonthName-Y,H:M:S dates | 已部署/maharashtratimes.py:26-59,61-83 |
+| shangbao         |  184 | programmatic seed pre-fetch, offset pagination without has_more marker, already-normalized Y-M-D dates, breadcrumb categories, strong-tag abstracts | 已部署/shangbao.py:24-52,63-88 |
+
+The mock pages here are deterministic miniatures of each site's real
+markup (class names, attribute shapes, and nesting mirror the spiders'
+BeautifulSoup selectors), rendered by this module and re-parsed by the
+registry rules — the render→extract round trip plus the engine-vs-
+simulator parity suite are the correctness gate.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crawler_spark.functions.dates import AAJTAK_HINDI_MONTHS, HINDI_MONTHS
+from crawler_spark.plans.parser import (
+    API_TEMPLATE,
+    FORM_PAGE,
+    NEXT_LINK,
+    OFFSET_PARAM,
+    PAGE_PARAM,
+)
+from crawler_spark.schema import SEEDS_SCHEMA, SITE_GRAPH_SCHEMA
+
+AS_OF = datetime(2021, 6, 1, 0, 0, 0)
+BASE_DT = datetime(2021, 5, 30, 12, 0, 0)  # newest article time
+
+_EN2HI = {v: k for k, v in HINDI_MONTHS.items()}
+_EN2HI_AAJTAK = {v: k for k, v in AAJTAK_HINDI_MONTHS.items()}
+
+_MON_ABBR = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+             "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+_MON_FULL = ["January", "February", "March", "April", "May", "June",
+             "July", "August", "September", "October", "November",
+             "December"]
+
+
+def _t(i: int, spacing_hours: float = 1.0) -> datetime:
+    """Article timeline: ``spacing_hours`` older per step. Each site runs
+    its own counter with a spacing chosen so the shared cutoff lands
+    mid-chain for that site's gate style."""
+    return BASE_DT - timedelta(hours=i * spacing_hours)
+
+
+class _G:
+    """Accumulator for one combined graph."""
+
+    def __init__(self):
+        self.pages: dict[tuple, dict] = {}
+        self.seeds: list[dict] = []
+        self.registry: dict[int, dict] = {}
+
+    def page(self, url, kind, payload, host, method="GET", body="",
+             response_url=None, source=None):
+        self.pages[(url, method or "GET", body or "")] = {
+            "url": url,
+            "method": method,
+            "body": body,
+            "response_url": response_url or url,
+            "kind": kind,
+            "payload": payload,
+            "source": source,
+            "host": host,
+            "bytes": 500 + len(payload),
+            "fail_times": 0,
+            "required_cookie": None,
+        }
+
+
+# ---------------------------------------------------------------------------
+# zeenews — Hindi dates, excluded slugs, photo/story variant dispatch,
+# next-link pagination (已部署/zeenews.py)
+# ---------------------------------------------------------------------------
+
+def _zeenews_date(dt: datetime) -> str:
+    """'मई 30, 2021, 11:00' — the span.date text shape zeenews lists carry
+    (zeenews.py:89-93); Hindi month translated by HINDI_MONTHS before the
+    Month-D-Y branch of format_time2."""
+    return (f"{_EN2HI[_MON_ABBR[dt.month - 1]]} {dt.day}, {dt.year},"
+            f" {dt.hour:02d}:{dt.minute:02d}")
+
+
+ZEENEWS_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "extract": {
+        # parse(): soup.select('li.channel a') (zeenews.py:48-50)
+        "category": r'<li class="channel"><a href="([^"]+)">([^<]+)</a></li>',
+        # url.split('/')[-1] not in [...] (zeenews.py:51)
+        "excluded_slugs": ["entertainment", "elections", "astro"],
+        # story lists: .section-article blocks (zeenews.py:86-95)
+        "entry": (
+            r'<div class="section-article margin-bt30px clearfix">'
+            r'<a href="(?P<href>[^"]+)"><h3 class="margin-bt10px">'
+            r"(?P<title>[^<]*)</h3></a>"
+            r'<span class="date">(?P<time>[^<]+)</span>'
+            r'(?:<img src="(?P<img>[^"]+)">)?</div>'
+        ),
+        # soup.find(class_='next last') (zeenews.py:104)
+        "next": r'<span class="next last"><a href="([^"]+)">',
+        # article: .article-heading + .field-items children walk
+        # (zeenews.py:114,120-122)
+        "title": r'<div class="article-heading">([^<]+)</div>',
+        "block": r"<p>(?P<para>[^<]*)</p>",
+        # photo-gallery lists use a different markup (zeenews.py:57-65)
+        "variants": [
+            {
+                "match": r"photo-gallery",
+                "entry": (
+                    r'<div class="col-sm-4 col-md-4 photo-photo-h">'
+                    r'<a href="(?P<href>[^"]+)"><h3>(?P<title>[^<]*)</h3></a>'
+                    r'<span class="photo-date">(?P<time>[^<]+)</span>'
+                    r'<img src="(?P<img>[^"]+)"></div>'
+                ),
+            },
+        ],
+    },
+}
+
+
+def _build_zeenews(g: _G) -> None:
+    step = [0]  # 4 h spacing × 12 entries → cutoff trips mid-list
+    host = "zeenews.india.com"
+    wid = 1033
+    g.registry[wid] = dict(ZEENEWS_RULES)
+    base = f"https://{host}"
+    menu_url = f"{base}/hindi"
+    g.seeds.append({"url": menu_url, "website_id": wid, "language_id": 1930})
+    cats = [("india", "इंडिया"), ("photo-gallery", "तस्वीरें"),
+            ("entertainment", "मनोरंजन")]  # last one excluded by slug
+    menu = "".join(
+        f'<li class="channel"><a href="/hindi/{slug}">{label}</a></li>'
+        for slug, label in cats
+    )
+    g.page(menu_url, "menu", f"<html><nav>{menu}</nav></html>", host)
+
+    for slug, _label in cats[:2]:
+        photo = slug == "photo-gallery"
+        for p in range(2):
+            lurl = f"{base}/hindi/{slug}" + (f"?page={p}" if p else "")
+            rows = []
+            for e in range(3):
+                dt = _t(step[0], 4.0)
+                step[0] += 1
+                aurl = f"{base}/hindi/{slug}/story-{p}-{e}"
+                raw = _zeenews_date(dt)
+                if photo:
+                    rows.append(
+                        f'<div class="col-sm-4 col-md-4 photo-photo-h">'
+                        f'<a href="{aurl}"><h3>Photo {slug} {p}-{e}</h3></a>'
+                        f'<span class="photo-date">{raw}</span>'
+                        f'<img src="{base}/th/{slug}{p}{e}.jpg"></div>'
+                    )
+                else:
+                    img = (f'<img src="{base}/th/{slug}{p}{e}.jpg">'
+                           if e % 2 == 0 else "")
+                    rows.append(
+                        f'<div class="section-article margin-bt30px clearfix">'
+                        f'<a href="{aurl}"><h3 class="margin-bt10px">'
+                        f"Story {slug} {p}-{e}</h3></a>"
+                        f'<span class="date">{raw}</span>{img}</div>'
+                    )
+                paras = "".join(
+                    f"<p>zeenews {slug} body para {p}-{e}-{k}</p>"
+                    for k in range(2)
+                )
+                g.page(
+                    aurl, "article",
+                    f'<html><div class="article-heading">Headline {p}-{e}'
+                    f"</div>{paras}</html>",
+                    host,
+                )
+            nxt = (f'<span class="next last"><a href="/hindi/{slug}?page={p+1}">'
+                   f"अगला</a></span>") if p == 0 else ""
+            g.page(lurl, "list",
+                   "<html>" + "".join(rows) + nxt + "</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# aajtak — two-level menus (category2), reordered Hindi dates, article
+# markup variants by URL shape (已部署/aajtak.py)
+# ---------------------------------------------------------------------------
+
+AAJTAK_RULES = {
+    "rule": PAGE_PARAM,
+    "format": "html",
+    "menu_child_kind": "menu2",  # parse → parse_essay is two menu hops
+    "date_style": "hindi_dmy",  # aajtak.py:92-94 reorder-then-parse
+    "article_pub_priority": "meta",
+    "extract": {
+        # start_requests: .at-menu li a (aajtak.py:62)
+        "category": r'<li class="at-menu"><a href="([^"]+)">([^<]+)</a></li>',
+        # parse: .widget-title a sets category2 (aajtak.py:68-70)
+        "category2": r'<h2 class="widget-title"><a href="([^"]+)">([^<]+)</a></h2>',
+        # parse_essay: .widget-listing, title attr + h5 date (aajtak.py:90-93)
+        "entry": (
+            r'<div class="widget-listing"><a href="(?P<href>[^"]+)"'
+            r' title="(?P<title>[^"]*)"></a><h5>(?P<time>[^<]+)</h5></div>'
+        ),
+        "more": r'<div class="load-more">',
+        # story articles (aajtak.py:129-139)
+        "title": r'<h1 class="story-heading">([^<]+)</h1>',
+        "abstract": r'<div class="sab-head-tranlate-sec">([^<]+)</div>',
+        "block": (r'<div class="story-with-main-sec"><p>(?P<para>[^<]*)</p>'
+                  r'</div>|<img class="main-img" src="(?P<src>[^"]+)">'),
+        "variants": [
+            {   # photo articles (aajtak.py:140-146)
+                "match": r"/photo/",
+                "title": r'<h1 class="photo-heading">([^<]+)</h1>',
+                "abstract": r'<div class="photo-Detail-LHS-Heading">([^<]+)</div>',
+                "block": (r'<div class="photo-detail-text"><p>(?P<para>[^<]*)'
+                          r'</p></div>|<img class="big-photo" src="(?P<src>[^"]+)">'),
+            },
+        ],
+    },
+}
+
+
+def _aajtak_date(dt: datetime) -> str:
+    """'09 मई 2021' — aajtak.py:92's h5 text shape."""
+    return f"{dt.day:02d} {_EN2HI_AAJTAK[_MON_FULL[dt.month - 1]]} {dt.year}"
+
+
+def _build_aajtak(g: _G) -> None:
+    step = [0]  # 3 h spacing × 16 entries → cutoff trips mid-list
+    host = "www.aajtak.in"
+    wid = 467
+    g.registry[wid] = dict(AAJTAK_RULES)
+    base = f"https://{host}"
+    menu_url = f"{base}/"
+    g.seeds.append({"url": menu_url, "website_id": wid, "language_id": 1930})
+    cat1s = [("india", "इंडिया"), ("sports", "खेल")]
+    g.page(
+        menu_url, "menu",
+        "<html>" + "".join(
+            f'<li class="at-menu"><a href="/{s}">{l}</a></li>'
+            for s, l in cat1s
+        ) + "</html>",
+        host,
+    )
+    for s1, _l1 in cat1s:
+        cat2s = [(f"{s1}-politics", "राजनीति"), (f"{s1}-crime", "अपराध")]
+        g.page(
+            f"{base}/{s1}", "menu2",
+            "<html>" + "".join(
+                f'<h2 class="widget-title"><a href="/{s2}">{l2}</a></h2>'
+                for s2, l2 in cat2s
+            ) + "</html>",
+            host,
+        )
+        for s2, _l2 in cat2s:
+            for p in (1, 2):
+                lurl = f"{base}/{s2}" + (f"?page={p}" if p > 1 else "")
+                rows = []
+                for e in range(2):
+                    dt = _t(step[0], 3.0)
+                    step[0] += 1
+                    akind = "story" if e % 2 == 0 else "photo"
+                    aurl = f"{base}/{akind}/{s2}-{p}-{e}"
+                    rows.append(
+                        f'<div class="widget-listing"><a href="{aurl}"'
+                        f' title="Aajtak {s2} {p}-{e}"></a>'
+                        f"<h5>{_aajtak_date(dt)}</h5></div>"
+                    )
+                    if akind == "story":
+                        body = (
+                            f'<h1 class="story-heading">Story {s2} {p}-{e}</h1>'
+                            f'<div class="sab-head-tranlate-sec">sab head'
+                            f" {p}-{e}</div>"
+                            f'<div class="story-with-main-sec"><p>aajtak story'
+                            f" para {p}-{e}</p></div>"
+                            f'<img class="main-img" src="{base}/im/{s2}{p}{e}.jpg">'
+                        )
+                    else:
+                        body = (
+                            f'<h1 class="photo-heading">Photo {s2} {p}-{e}</h1>'
+                            f'<div class="photo-Detail-LHS-Heading">photo head'
+                            f" {p}-{e}</div>"
+                            f'<div class="photo-detail-text"><p>aajtak photo'
+                            f" para {p}-{e}</p></div>"
+                            f'<img class="big-photo" src="{base}/bp/{s2}{p}{e}.jpg">'
+                        )
+                    g.page(aurl, "article", f"<html>{body}</html>", host)
+                more = '<div class="load-more"></div>' if p == 1 else ""
+                g.page(lurl, "list",
+                       "<html>" + "".join(rows) + more + "</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# philboxing — month-switch dates, page-level time gate, list abstracts
+# (已部署/philboxing.py)
+# ---------------------------------------------------------------------------
+
+PHILBOXING_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "title_priority": "page",  # philboxing.py:112 reads the storytitle
+    "date_style": "month_switch",  # philboxing.py:69-94,116-139
+    "extract": {
+        # parse: the single sidenav category (philboxing.py:32-33)
+        "category": r'<a class="sidenav" href="([^"]+)">([^<]+)</a>',
+        # list entries: blurb + link, abstract scraped ON the list page
+        # (philboxing.py:44-45,59-60)
+        "entry": (
+            r'<font class="newsblurb">(?P<abstract>[^<]+)</font>'
+            r'<a class="story" href="(?P<href>[^"]+)">(?P<title>[^<]*)</a>'
+        ),
+        # pagination gate: the page's LAST story date (philboxing.py:67-68)
+        "page_time": r'<font size="2">([^<]+)</font>',
+        # next page link (philboxing.py:96-98)
+        "next": r'<font class="boxertablebody"><a href="([^"]+)">',
+        # article (philboxing.py:112-157)
+        "title": r'<font class="storytitle">([^<]+)</font>',
+        "pub": r'<font class="storydate">([^<]+)</font>',
+        "block": (r'<font class="storycontent">(?P<para>[^<]*)</font>'
+                  r'|<img class="storyimg" src="(?P<src>[^"]+)">'),
+    },
+}
+
+
+def _philboxing_date(dt: datetime) -> str:
+    """'Sun, 30 May 2021' — storydate/page-date text; the month-switch
+    style consumes the last three tokens (philboxing.py:67-68,114-115)."""
+    wd = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"][dt.weekday()]
+    return f"{wd}, {dt.day} {_MON_ABBR[dt.month - 1]} {dt.year}"
+
+
+def _build_philboxing(g: _G) -> None:
+    host = "philboxing.com"
+    wid = 1194
+    g.registry[wid] = dict(PHILBOXING_RULES)
+    base = f"http://{host}"
+    menu_url = f"{base}/"
+    g.seeds.append({"url": menu_url, "website_id": wid, "language_id": 1866})
+    g.page(
+        menu_url, "menu",
+        f'<html><a class="sidenav" href="{base}/news/">NEWS</a></html>',
+        host,
+    )
+    # Month-switch gating is day-granular: make pages one DAY older each so
+    # the cutoff lands between pages.
+    for p in range(3):
+        lurl = f"{base}/news/" + (f"artpros{p}.php" if p else "")
+        # Two DAYS older per page: the cutoff (36 h) lands between p0 and
+        # p1's page dates, so p1's gate blocks the fetch of p2 entirely.
+        page_dt = BASE_DT - timedelta(days=2 * p)
+        rows = []
+        for e in range(2):
+            aurl = f"{base}/news/story-{p}-{e}.php"
+            rows.append(
+                f'<font class="newsblurb">Blurb {p}-{e} from the list page'
+                f"</font>"
+                f'<a class="story" href="{aurl}">Bout report {p}-{e}</a>'
+            )
+            img = (f'<img class="storyimg" src="{base}/ph/{p}{e}.jpg">'
+                   if e == 0 else "")
+            g.page(
+                aurl, "article",
+                f'<html><font class="storytitle">Fight story {p}-{e}</font>'
+                f'<font class="storydate">By staff,'
+                f" {_philboxing_date(page_dt)}</font>"
+                f'<font class="storycontent">philboxing para {p}-{e}-0</font>'
+                f"{img}"
+                f'<font class="storycontent">philboxing para {p}-{e}-1</font>'
+                f"</html>",
+                host,
+            )
+        nxt = (f'<font class="boxertablebody"><a href="artpros{p+1}.php">'
+               f"Next</a></font>") if p < 2 else ""
+        g.page(
+            lurl, "list",
+            "<html>" + "".join(rows)
+            + f'<font size="2">{_philboxing_date(page_dt)}</font>'
+            + nxt + "</html>",
+            host,
+        )
+
+
+# ---------------------------------------------------------------------------
+# manila — API bootstrap off a button onclick, JSON-wrapping-HTML pages,
+# totItems-bound pagination, relative dates (已部署/manila.py)
+# ---------------------------------------------------------------------------
+
+MANILA_API = ("https://manilastandard.net/api/sub/articles?page={page}"
+              "&category={category}&column=0&totItems={totItems}"
+              "&currentItems={currentItems}")  # manila.py:24
+
+MANILA_RULES = {
+    "rule": API_TEMPLATE,
+    "format": "html",
+    "menu_child_kind": "menu2",
+    "api_url_template": MANILA_API,
+    "api_format": "json_html",  # manila.py:71: JSON whose data field is HTML
+    "title_priority": "page",  # manila.py:92
+    "article_pub_priority": "page",  # manila.py:94-96 re-reads the date
+    "extract": {
+        # parse: nav menus (manila.py:32-33)
+        "category": r'<div class="col-xs-12"><a href="([^"]+)">([^<]+)</a></div>',
+        # parse2: category table (manila.py:49-54; title attr is the label)
+        "category2": (r'<td><a class="category-name" href="([^"]+)"'
+                      r' title="([^"]+)">'),
+        # parse3: loadMore button onclick params (manila.py:61-66)
+        "api_params": (r'onclick="loadMoreArticles\((?P<category>\d+), \d+,'
+                       r' (?P<totItems>\d+), \d+\)"'),
+        # parse4: .articlecontext entries inside the JSON 'data' html with
+        # relative dates (manila.py:71-73)
+        "entry": (r'<div class="articlecontext"><a href="(?P<href>[^"]+)">'
+                  r"</a><span>(?P<time>\d+ hours? ago)</span></div>"),
+        # parse_item (manila.py:92-106)
+        "title": r'<h1 class="custom-article-title">([^<]+)</h1>',
+        "pub": r'<div class="ts-article-author-container">[^<]*?(\w+ \d+, \d+)</div>',
+        "block": (r'<div class="article-description"><p>(?P<para>[^<]*)</p>'
+                  r'</div>|<figure class="image"><img src="(?P<src>[^"]+)">'
+                  r"</figure>"),
+    },
+}
+
+
+def _build_manila(g: _G) -> None:
+    step = [0]  # 4 h spacing × 12 entries → cutoff trips mid-chain
+    host = "manilastandard.net"
+    wid = 190
+    g.registry[wid] = dict(MANILA_RULES)
+    base = f"https://{host}"
+    menu_url = base
+    g.seeds.append({"url": menu_url, "website_id": wid, "language_id": 1866})
+    g.page(
+        menu_url, "menu",
+        f'<html><nav><div class="col-xs-12"><a href="{base}/news">News</a>'
+        f"</div></nav></html>",
+        host,
+    )
+    cat2s = [("12", "national"), ("15", "business")]
+    g.page(
+        f"{base}/news", "menu2",
+        "<html>" + "".join(
+            f'<td><a class="category-name" href="{base}/{slug}"'
+            f' title="{slug.title()}">{slug.title()}</a></td>'
+            for _cid, slug in cat2s
+        ) + "</html>",
+        host,
+    )
+    for cid, slug in cat2s:
+        tot = 25  # 3 api pages: (1-1)*10, (2-1)*10, (3-1)*10 ≤ 25 < (4-1)*10
+        g.page(
+            f"{base}/{slug}", "list",
+            f'<html><div class="page-category-contents"></div>'
+            f'<button onclick="loadMoreArticles({cid}, 0, {tot}, 0)">'
+            f"Load more</button></html>",
+            host,
+        )
+        for p in (1, 2, 3, 4):
+            import json as _json
+
+            rows = []
+            for e in range(2 if p <= 3 else 0):
+                dt = _t(step[0], 4.0)
+                step[0] += 1
+                hours = int((AS_OF - dt).total_seconds() // 3600)
+                aurl = f"{base}/{slug}/art-{p}-{e}"
+                rows.append(
+                    f'<div class="articlecontext"><a href="{aurl}"></a>'
+                    f"<span>{hours} hours ago</span></div>"
+                )
+                pubtxt = f"{_MON_ABBR[dt.month - 1]} {dt.day}, {dt.year}"
+                g.page(
+                    aurl, "article",
+                    f'<html><h1 class="custom-article-title">Manila {slug}'
+                    f" {p}-{e}</h1>"
+                    f'<div class="ts-article-author-container">By desk on'
+                    f" {pubtxt}</div>"
+                    f'<figure class="image"><img src="{base}/f/{slug}{p}{e}.jpg">'
+                    f"</figure>"
+                    f'<div class="article-description"><p>manila body {slug}'
+                    f" {p}-{e}</p></div></html>",
+                    host,
+                )
+            api_url = MANILA_API.format(
+                page=p, category=cid, totItems=tot, currentItems=(p - 1) * 10
+            )
+            g.page(api_url, "api", _json.dumps({"data": "".join(rows)}), host)
+
+
+# ---------------------------------------------------------------------------
+# yehey — POST infinite scroll seeded from scraped form fields, isoT dates,
+# header-image-first spans (已部署/yehey.py)
+# ---------------------------------------------------------------------------
+
+YEHEY_RULES = {
+    "rule": FORM_PAGE,
+    "format": "html",
+    "menu_child_kind": "menu2",
+    "api_format": "json",  # yehey.py:78-97: the scroll endpoint is JSON
+    "title_priority": "page",  # yehey.py:116-117
+    "date_style": "isoT",  # yehey.py:95-98,136-139
+    "article_pub_priority": "page",
+    "form_api_url": "https://yehey.com/?infinity=scrolling",  # yehey.py:61
+    "url_cat_re": r"category/([^/]+)/",  # yehey.py:56-57
+    "extract": {
+        # parse: li#menu-item-5581 (yehey.py:35-37)
+        "category": r'<li id="menu-item-5581"><a href="([^"]+)">([^<]+)</a>',
+        # parse_category2: sub-menu items (yehey.py:42-45)
+        "category2": r'<ul class="sub-menu"><li><a href="([^"]+)">([^<]+)</a>',
+        # parse_category3: main#main articles (yehey.py:51-53)
+        "entry": (r'<h2 class="entry-title th-text-md th-mb-0">'
+                  r'<a href="(?P<href>[^"]+)">(?P<title>[^<]*)</a></h2>'),
+        # currentday scraped out of a script tag (yehey.py:63-64)
+        "form_params": r"currentday%22%3A%22(?P<currentday>[0-9.]+)%22%2C%22",
+        # parse_detail (yehey.py:116-139)
+        "title": (r'<h1 class="entry-title th-mb-0 sm:th-text-8xl'
+                  r' th-text-4xl">([^<]+)</h1>'),
+        "pub": r'<time class="entry-date published" datetime="([^"]+)">',
+        "block": (r'<div class="entry-content th-content"><p>(?P<para>[^<]*)'
+                  r"</p></div>"
+                  r'|<header id="primary-header"><img src="(?P<src>[^"]+)">'
+                  r"</header>"
+                  r'|<a class="content-img"><img src="(?P<src2>[^"]+)"></a>'),
+    },
+}
+
+
+def _yehey_iso(dt: datetime) -> str:
+    return dt.strftime("%Y-%m-%dT%H:%M:%S") + "+08:00"
+
+
+def _yehey_article(g: _G, base: str, host: str, slug: str, tag: str,
+                   dt: datetime) -> str:
+    aurl = f"{base}/{slug}-{tag}/"
+    g.page(
+        aurl, "article",
+        f'<html><header id="primary-header"><img src="{base}/hd/{tag}.jpg">'
+        f"</header>"
+        f'<h1 class="entry-title th-mb-0 sm:th-text-8xl th-text-4xl">'
+        f"Yehey {slug} {tag}</h1>"
+        f'<time class="entry-date published" datetime="{_yehey_iso(dt)}">'
+        f"</time>"
+        f'<div class="entry-content th-content"><p>yehey para {tag}-0</p></div>'
+        f'<div class="entry-content th-content"><p>yehey para {tag}-1</p></div>'
+        f"</html>",
+        host,
+    )
+    return aurl
+
+
+def _build_yehey(g: _G) -> None:
+    step = [0]  # entries are not time-gated on this site; spacing moot
+    import json as _json
+
+    host = "yehey.com"
+    wid = 1225
+    g.registry[wid] = dict(YEHEY_RULES)
+    base = f"https://{host}"
+    menu_url = f"{base}/"
+    g.seeds.append({"url": menu_url, "website_id": wid, "language_id": 1866})
+    g.page(
+        menu_url, "menu",
+        f'<html><li id="menu-item-5581"><a href="{base}/category-index/">News'
+        f"</a></li></html>",
+        host,
+    )
+    cat2s = ["nation", "metro"]
+    g.page(
+        f"{base}/category-index/", "menu2",
+        "<html>" + "".join(
+            f'<ul class="sub-menu"><li><a href="{base}/category/{c}/">'
+            f"{c.title()}</a></li></ul>"
+            for c in cat2s
+        ) + "</html>",
+        host,
+    )
+    currentday = "30.05.2021"
+    for c in cat2s:
+        lurl = f"{base}/category/{c}/"
+        statics = []
+        for e in range(2):
+            dt = _t(step[0])
+            step[0] += 1
+            aurl = _yehey_article(g, base, host, c, f"s{e}", dt)
+            statics.append(
+                f'<h2 class="entry-title th-text-md th-mb-0">'
+                f'<a href="{aurl}">Yehey {c} s{e}</a></h2>'
+            )
+        g.page(
+            lurl, "list",
+            "<html><main>" + "".join(statics) + "</main>"
+            f'<script type="text/javascript">var inf = "currentday%22%3A%22'
+            f'{currentday}%22%2C%22";</script></html>',
+            host,
+        )
+        # POST scroll pages 2..4; page datetimes age one day per page so the
+        # cutoff gates the chain (yehey.py:92-101).
+        for p in (2, 3, 4):
+            body = "&".join(
+                f"{k}={v}" for k, v in sorted(
+                    {"currentday": currentday, "page": str(p),
+                     "query_args": c}.items()
+                )
+            )
+            page_dt = BASE_DT - timedelta(days=p - 1)
+            urls = []
+            for e in range(2):
+                dt = _t(step[0])
+                step[0] += 1
+                urls.append(_yehey_article(g, base, host, c, f"p{p}e{e}", dt))
+            payload = {
+                "currentday": currentday,
+                "entries": [{"href": u} for u in urls],
+                "page_time_raw": _yehey_iso(page_dt),
+                "has_more": p < 4,
+            }
+            g.page("https://yehey.com/?infinity=scrolling", "api",
+                   _json.dumps(payload), host, method="POST", body=body)
+
+
+# ---------------------------------------------------------------------------
+# maharashtratimes — nested menus, ?curpg list bootstrap, last-entry
+# dont_filter pagination probe, breadcrumb categories
+# (已部署/maharashtratimes.py)
+# ---------------------------------------------------------------------------
+
+MT_RULES = {
+    "rule": PAGE_PARAM,  # pagination driven by the probe, not this rule
+    "format": "html",
+    "menu_child_kind": "menu2",
+    "menu2_child_kind": "menu2",  # parse1 recursion (maharashtratimes.py:36-37)
+    "probe_last": True,  # maharashtratimes.py:43-45
+    "page_url_fmt": "{base}?curpg={page}",  # maharashtratimes.py:34,55
+    "title_priority": "page",  # maharashtratimes.py:64-65
+    "date_style": "dmy_hms",  # maharashtratimes.py:50-51
+    "article_pub_priority": "page",
+    "extract": {
+        # parse: #fixedMenu items (maharashtratimes.py:28)
+        "category": r'<div id="fixedMenu"><a href="([^"]+)">([^<]+)</a></div>',
+        # parse1: childrenContainer either has list entries (data-tn="tn")
+        # or recurses into read_more submenus (maharashtratimes.py:33-37)
+        "list_marker": r'data-tn="tn"',
+        "category2": r'<a class="read_more" href="([^"]+)">([^<]*)</a>',
+        # parse2: .con_wrap links (maharashtratimes.py:41-45)
+        "entry": (r'<div class="con_wrap"><a href="(?P<href>[^"]+)">'
+                  r"(?P<title>[^<]*)</a></div>"),
+        # parse_detail (maharashtratimes.py:64-81)
+        "title": r'<div class="story-article"><h1>([^<]+)</h1></div>',
+        "abstract": r'<div class="story-article"><h2>([^<]+)</h2></div>',
+        "pub": r'<div class="source"><span class="time">([^<]+)</span></div>',
+        "cat1": r'<div class="breadcrumb"><li>([^<]+)</li>',
+        "cat2": r'<div class="breadcrumb"><li>[^<]+</li><li>([^<]+)</li>',
+        "block": (r"<article><p>(?P<para>[^<]*)</p></article>"
+                  r'|<div class="img_wrap"><img src="(?P<src>[^"]+)"></div>'),
+    },
+}
+
+
+def _mt_date(dt: datetime) -> str:
+    """'30 May 2021, 11:00:00' — the .source .time text
+    (maharashtratimes.py:50's regex \\d+ \\S+ \\d+, \\d+:\\d+:\\d+)."""
+    return (f"{dt.day} {_MON_FULL[dt.month - 1]} {dt.year},"
+            f" {dt.hour:02d}:{dt.minute:02d}:00")
+
+
+def _mt_article(g: _G, base: str, host: str, sec: str, tag: str,
+                dt: datetime, cat1: str, cat2: str) -> str:
+    aurl = f"{base}/{sec}/article-{tag}"
+    g.page(
+        aurl, "article",
+        f'<html><div class="breadcrumb"><li>{cat1}</li><li>{cat2}</li></div>'
+        f'<div class="story-article"><h1>MT {sec} {tag}</h1></div>'
+        f'<div class="story-article"><h2>mt abstract {tag}</h2></div>'
+        f'<div class="source"><span class="time">By desk | Updated:'
+        f" {_mt_date(dt)}</span></div>"
+        f'<div class="img_wrap"><img src="{base}/mtimg/{tag}.jpg"></div>'
+        f"<article><p>mt body {tag}-0</p></article>"
+        f"<article><p>mt body {tag}-1</p></article>"
+        f"</html>",
+        host,
+    )
+    return aurl
+
+
+def _build_maharashtratimes(g: _G) -> None:
+    host = "maharashtratimes.com"
+    wid = 473
+    g.registry[wid] = dict(MT_RULES)
+    base = f"https://{host}"
+    menu_url = f"{base}/"
+    g.seeds.append({"url": menu_url, "website_id": wid, "language_id": 1930})
+    g.page(
+        menu_url, "menu",
+        f'<html><div id="fixedMenu"><a href="{base}/mumbai">मुंबई</a></div>'
+        f'<div id="fixedMenu"><a href="{base}/desh">देश</a></div></html>',
+        host,
+    )
+    # Section 'mumbai' carries articles directly (list bootstrap); section
+    # 'desh' is a nested menu leading to one subsection with articles.
+    g.page(f"{base}/mumbai", "menu2",
+           '<html><div id="childrenContainer"><a data-tn="tn" href="#">x</a>'
+           "</div></html>", host)
+    g.page(f"{base}/desh", "menu2",
+           f'<html><div id="childrenContainer">'
+           f'<a class="read_more" href="{base}/desh/politics">राजकारण</a>'
+           f"</div></html>", host)
+    g.page(f"{base}/desh/politics", "menu2",
+           '<html><div id="childrenContainer"><a data-tn="tn" href="#">x</a>'
+           "</div></html>", host)
+
+    for sec, cat1, cat2 in (("mumbai", "महाराष्ट्र", "मुंबई"),
+                            ("desh/politics", "देश", "राजकारण")):
+        # Probe articles age one DAY per page so the probe's date gates
+        # pagination; non-probe entries share the page's day.
+        for p in (1, 2, 3):
+            page_dt = BASE_DT - timedelta(days=p - 1)
+            rows = []
+            for e in range(3):  # entries 0,1 → articles; entry 2 → probe
+                dt = page_dt - timedelta(minutes=30 * e)
+                aurl = _mt_article(g, base, host, sec, f"{p}-{e}", dt,
+                                   cat1, cat2)
+                rows.append(
+                    f'<div class="con_wrap"><a href="{aurl}">MT entry'
+                    f" {p}-{e}</a></div>"
+                )
+            g.page(f"{base}/{sec}?curpg={p}", "list",
+                   "<html>" + "".join(rows) + "</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# shangbao — offset pagination without a has_more marker, normalized Y-M-D
+# dates, breadcrumb categories, strong-tag abstracts (已部署/shangbao.py)
+# ---------------------------------------------------------------------------
+
+SHANGBAO_RULES = {
+    "rule": OFFSET_PARAM,
+    "format": "html",
+    "title_priority": "page",  # shangbao.py:66
+    "date_style": "ymd",  # shangbao.py:41 feeds list dates to format_time3
+    "article_pub_priority": "page",
+    "extract": {
+        # start_requests: #nav_left links (shangbao.py:27)
+        "category": r'<div id="nav_left"><a href="([^"]+)">([^<]+)</a></div>',
+        # parse: table rows, last td is the date (shangbao.py:38-41)
+        "entry": (r'<table><tr><td><a href="(?P<href>[^"]+)">'
+                  r"(?P<title>[^<]*)</a></td><td>(?P<time>[^<]+)</td></tr>"
+                  r"</table>"),
+        # parse paginates unconditionally while entries stay fresh
+        # (shangbao.py:49-52: `if flag: yield next` — no marker)
+        "more": r"<html",
+        # parse_item (shangbao.py:66-86)
+        "title": r'<div class="con_left"><h1>([^<]+)</h1></div>',
+        "pub": r'<div class="left_time">([^<]+)</div>',
+        "cat1": r'<div class="dqwz-l"><a>([^<]+)</a>',
+        "cat2": r'<div class="dqwz-l"><a>[^<]+</a><a>([^<]+)</a>',
+        "abstract": r"<strong>([^<]+)</strong>",
+        "block": r'<div id="fontzoom"><p>(?:<strong>)?(?P<para>[^<]*?)'
+                 r"(?:</strong>)?</p></div>",
+    },
+}
+
+
+def _build_shangbao(g: _G) -> None:
+    step = [0]  # 4 h spacing × 12 entries → cutoff trips mid-list
+    host = "www.shangbao.com.ph"
+    wid = 184
+    g.registry[wid] = dict(SHANGBAO_RULES)
+    base = f"http://{host}"
+    menu_url = f"{base}/"
+    g.seeds.append({"url": menu_url, "website_id": wid, "language_id": 2266})
+    cats = [("jryw", "今日要闻"), ("fldt", "菲律宾动态")]
+    g.page(
+        menu_url, "menu",
+        "<html>" + "".join(
+            f'<div id="nav_left"><a href="http://s.shangbao.com.ph/es/haiwai/'
+            f'shangbao/{slug}?start=0">{label}</a></div>'
+            for slug, label in cats
+        ) + "</html>",
+        host,
+    )
+    lhost = "s.shangbao.com.ph"
+    for slug, cat1 in cats:
+        for p in range(2):
+            lurl = (f"http://{lhost}/es/haiwai/shangbao/{slug}"
+                    f"?start={p * 20}")
+            rows = []
+            for e in range(3):
+                dt = _t(step[0], 4.0)
+                step[0] += 1
+                aurl = f"{base}/{slug}/art-{p}-{e}.html"
+                rows.append(
+                    f'<table><tr><td><a href="{aurl}">商报 {slug} {p}-{e}'
+                    f"</a></td><td>{dt.strftime('%Y-%m-%d %H:%M:%S')}</td>"
+                    f"</tr></table>"
+                )
+                strong = "<strong>" if e == 0 else ""
+                strong_c = "</strong>" if e == 0 else ""
+                g.page(
+                    aurl, "article",
+                    f'<html><div class="dqwz-l"><a>{cat1}</a><a>{slug}子栏'
+                    f"</a></div>"
+                    f'<div class="con_left"><h1>商报头条 {slug} {p}-{e}</h1>'
+                    f"</div>"
+                    f'<div class="left_time">'
+                    f"{dt.strftime('%Y-%m-%d %H:%M:%S')}</div>"
+                    f'<div id="fontzoom"><p>{strong}商报摘要 {slug} {p}-{e}'
+                    f"{strong_c}</p></div>"
+                    f'<div id="fontzoom"><p>商报正文 {slug} {p}-{e}</p></div>'
+                    f"</html>",
+                    host,
+                )
+            g.page(lurl, "list",
+                   "<html>" + "".join(rows) + "</html>", lhost)
+
+
+# ---------------------------------------------------------------------------
+# Combined graph
+# ---------------------------------------------------------------------------
+
+SITE_BUILDERS = {
+    "zeenews": _build_zeenews,
+    "aajtak": _build_aajtak,
+    "philboxing": _build_philboxing,
+    "manila": _build_manila,
+    "yehey": _build_yehey,
+    "maharashtratimes": _build_maharashtratimes,
+    "shangbao": _build_shangbao,
+}
+
+
+def build_real_graph(sites: list[str] | None = None,
+                     cutoff_hours: float = 36.0) -> dict:
+    """The combined real-site fixture graph (same contract as
+    mock_web.build_site_graph). ``cutoff_hours``: the incremental-crawl
+    cursor sits this many hours before BASE_DT — deep enough that every
+    per-entry, per-page, and per-probe time gate triggers mid-chain."""
+    g = _G()
+    for name in sites or list(SITE_BUILDERS):
+        SITE_BUILDERS[name](g)
+    cutoff_dt = BASE_DT - timedelta(hours=cutoff_hours)
+    return {
+        "pages": g.pages,
+        "seeds": g.seeds,
+        "registry": g.registry,
+        "cutoff_epoch": cutoff_dt.replace(tzinfo=timezone.utc).timestamp(),
+        "as_of": AS_OF,
+    }
+
+
+def real_graph_df(spark: SparkSession, graph: dict) -> DataFrame:
+    rows = [
+        (p["url"], p.get("method", "GET"), p.get("body", ""),
+         p["response_url"], p["kind"], p["payload"],
+         p["host"], p["bytes"], p.get("fail_times", 0),
+         p.get("required_cookie"))
+        for p in graph["pages"].values()
+    ]
+    return spark.createDataFrame(rows, SITE_GRAPH_SCHEMA)
+
+
+def real_seeds_df(spark: SparkSession, graph: dict) -> DataFrame:
+    rows = [(s["url"], s["website_id"], s["language_id"])
+            for s in graph["seeds"]]
+    return spark.createDataFrame(rows, SEEDS_SCHEMA)

@@ -80,7 +80,7 @@ class CrawlEngine:
     def __init__(
         self,
         spark: SparkSession,
-        site_graph: DataFrame,
+        site_graph: DataFrame | None,  # unused when a fetcher is injected
         registry: dict[int, dict],
         seeds: DataFrame,
         cutoff_epoch: float | None,
@@ -93,9 +93,15 @@ class CrawlEngine:
         compact_every: int = 8,  # compact checkpoint deltas every k batches
         bloom_shards_n: int = 32,  # shard count of the sharded URL-seen bloom
         bloom_threshold: int = 4096,  # auto-enable bloom above this |url_seen|
+        fetcher=None,  # Fetcher seam; default MockWebFetcher(site_graph)
     ):
+        from crawler_spark.sources.fetcher import MockWebFetcher
+
         self.spark = spark
-        self.graph = site_graph.persist()
+        self.fetcher = (
+            fetcher if fetcher is not None
+            else MockWebFetcher(spark, site_graph)
+        )
         self.registry = registry
         self.seeds = seeds
         self.cutoff_epoch = cutoff_epoch
@@ -185,9 +191,17 @@ class CrawlEngine:
 
     def _scheduled_state(self, upto_batch: int) -> DataFrame | None:
         """Intra-run dupefilter state = projection of the crawl log, keyed
-        by the full request fingerprint (url, method, body)."""
+        by the full request fingerprint (url, method, body). dont_filter
+        admissions are EXCLUDED: Scrapy's RFPDupeFilter records a
+        fingerprint only when request_seen() is consulted, and dont_filter
+        requests never consult it — so a dont_filter probe leaves no trace
+        and a later normal request to the same URL goes through
+        (maharashtratimes.py:45 probes, then :59 refetches normally)."""
         log = self.ckpt.read_deltas("crawl_log", upto_batch) if upto_batch >= 0 else None
-        return None if log is None else log.select(*REQUEST_FP_COLS)
+        return (
+            None if log is None
+            else log.filter(~F.col("dont_filter")).select(*REQUEST_FP_COLS)
+        )
 
     def _bloom_state(self, prev_batch: int, url_seen: DataFrame,
                      seen_count: int) -> DataFrame:
@@ -248,6 +262,8 @@ class CrawlEngine:
                         body=row.body,
                         fmt=rule.get("format", "json"),
                         extract=rule.get("extract"),
+                        site=rule,
+                        req_kind=row.parse_kind,
                     )
                     if doc is not None:
                         out.append(
@@ -274,7 +290,7 @@ class CrawlEngine:
 
         cols = [
             "url", "meta_json", "depth", "seq", "website_id",
-            "language_id", "method", "body",
+            "language_id", "method", "body", "parse_kind",
             F.col("g_response_url"), F.col("g_kind"), F.col("g_payload"),
         ]
         return fetched.select(*cols).mapInPandas(
@@ -300,12 +316,18 @@ class CrawlEngine:
         # never stored (the fetch failed), so dropping it would lose pages.
         retries = frontier.filter(F.col("attempt") > 0)
         fresh = frontier.filter(F.col("attempt") == 0)
-        cands = intra_batch_dedup(fresh, key_cols=REQUEST_FP_COLS)
+        # Scrapy's dupefilter is bypassed entirely by dont_filter requests
+        # (middlewares.py:55 + RFPDupeFilter semantics): they skip BOTH the
+        # intra-batch dedup and the intra-run scheduled check.
+        fresh_df = fresh.filter(F.col("dont_filter"))
+        fresh_nf = fresh.filter(~F.col("dont_filter"))
+        cands = intra_batch_dedup(fresh_nf, key_cols=REQUEST_FP_COLS)
         if scheduled is not None:
             cands = cands.join(
                 scheduled.select(*REQUEST_FP_COLS).distinct(),
                 on=list(REQUEST_FP_COLS), how="left_anti",
             )
+        cands = cands.unionByName(fresh_df)
         seen_count = self._seen_total
         bloom_on = (
             self.use_bloom
@@ -367,39 +389,16 @@ class CrawlEngine:
             admitted = admitted.withColumn("cookie", F.lit(None).cast("string"))
         admitted = admitted.persist()
 
-        # 3. fetch — mock web join on the full request fingerprint
-        # (url, method, body); broadcast the small side (locally the graph).
-        graph = self.graph.select(
-            "url", "method", "body",
-            F.col("response_url").alias("g_response_url"),
-            F.col("kind").alias("g_kind"),
-            F.col("payload").alias("g_payload"),
-            F.col("bytes").alias("g_bytes"),
-            F.col("fail_times").alias("g_fail_times"),
-            F.col("required_cookie").alias("g_required_cookie"),
-        )
-        fetched = admitted.join(
-            F.broadcast(graph), on=list(REQUEST_FP_COLS), how="left"
-        )
-        # Cloudflare-style gate: the response arrives (counts as fetched,
-        # W3 retry state unaffected) but its payload is unusable without
-        # the clearance cookie — the parse stage sees a null payload.
-        cookie_ok = F.col("g_required_cookie").isNull() | (
-            F.col("cookie") == F.col("g_required_cookie")
-        )
-        fetched = fetched.withColumn(
-            "g_payload", F.when(cookie_ok, F.col("g_payload"))
-        ).persist()
+        # 3. fetch — behind the Fetcher seam (sources/fetcher.py): the
+        # mock-web broadcast join locally, real Arrow-batched HTTP in a
+        # deployment; the engine only consumes the f_status contract.
+        fetched = self.fetcher.fetch(admitted).persist()
 
-        # W3: a fetch succeeds once its prior failures exhaust fail_times;
-        # failures re-enqueue with attempt+1, capped at MAX_RETRIES.
-        succeeded = fetched.filter(
-            F.col("attempt") >= F.coalesce(F.col("g_fail_times"), F.lit(0))
-        )
+        # W3: 'retryable' outcomes re-enqueue with attempt+1, capped at
+        # MAX_RETRIES (Scrapy's retry middleware); 'gone' is dropped.
+        succeeded = fetched.filter(F.col("f_status") == "ok")
         retry_rows = (
-            fetched.filter(
-                F.col("attempt") < F.coalesce(F.col("g_fail_times"), F.lit(0))
-            )
+            fetched.filter(F.col("f_status") == "retryable")
             .withColumn("attempt", F.col("attempt") + 1)
             .filter(F.col("attempt") <= MAX_RETRIES)
             .withColumn("batch_id", F.lit(b + 1))
@@ -464,15 +463,14 @@ class CrawlEngine:
         crawl_log = admitted.select(
             F.lit(b).alias("batch_id"), "url", "url_hash", "host",
             "priority", "seq", "attempt", "method", "body", "ua",
+            "dont_filter",
         )
         # A4 per-host fetch metrics — measured: ``fetched`` counts only
-        # responses actually delivered (page exists and this attempt is past
-        # its transient failures), ``bytes`` sums those responses only;
-        # ``scheduled`` is admissions (incl. retries). Hosts whose every
-        # candidate was deduped still get a row (scheduled=0, deduped>0).
-        success = F.col("g_kind").isNotNull() & (
-            F.col("attempt") >= F.coalesce(F.col("g_fail_times"), F.lit(0))
-        )
+        # responses actually delivered (f_status = 'ok'), ``bytes`` sums
+        # those responses only; ``scheduled`` is admissions (incl.
+        # retries). Hosts whose every candidate was deduped still get a
+        # row (scheduled=0, deduped>0).
+        success = F.col("f_status") == "ok"
         fetch_metrics = fetched.groupBy("host").agg(
             F.count(F.lit(1)).alias("scheduled"),
             F.sum(F.when(success, 1).otherwise(0)).cast("long").alias("fetched"),

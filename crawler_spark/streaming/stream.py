@@ -58,12 +58,24 @@ SEEN_OUTPUT_SCHEMA = StructType(
     ]
 )
 
-# State: the host's seen hash set. At 10^10 scale this would be the
-# sharded bloom bitset (operators/bloom.py) serialized per group; the
-# exact set keeps the test oracle trivial at fixture scale.
+# State: exact hash set while small, bloom bitset beyond EXACT_STATE_MAX.
+# The exact form keeps the test oracle trivial at fixture scale; the bloom
+# form bounds per-host state at O(filter bits) no matter how many URLs the
+# host accumulates — the same two-tier posture as the batch engine's
+# URL-seen path (operators/bloom.py), minus the exact anti-join (a
+# streaming dashboard count tolerates the bloom's FP undercount; the
+# BATCH dedup path never drops on bloom evidence alone).
 SEEN_STATE_SCHEMA = StructType(
-    [StructField("hashes", ArrayType(LongType()))]
+    [
+        StructField("hashes", ArrayType(LongType())),  # exact tier (small)
+        StructField("bits", StringType()),  # hex bloom bitset (large tier)
+        StructField("count", LongType()),  # total distinct-ish seen
+    ]
 )
+
+# Exact-set ceiling per host; beyond it the state converts to a
+# fixed-size bloom bitset (sized for ~100× the ceiling at 1% FP).
+EXACT_STATE_MAX = 4096
 
 
 def hourly_host_metrics_stream(
@@ -106,24 +118,67 @@ def hourly_host_metrics_stream(
     return q
 
 
-def _seen_update(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Per-host stateful update: merge this batch's url hashes into the
-    seen set; emit how many were new. Arrow-batched — the per-group Python
-    touches pandas arrays, never Python-per-row."""
-    (host,) = key
-    seen: set[int] = set(state.get[0]) if state.exists else set()
-    new_count = 0
-    for pdf in pdfs:
-        hashes = set(int(h) for h in pdf["url_hash"].tolist())
-        fresh = hashes - seen
-        new_count += len(fresh)
-        seen |= fresh
-    state.update((sorted(seen),))
-    yield pd.DataFrame(
-        {"host": [host], "batch_new": [new_count], "total_seen": [len(seen)]}
-    )
+def _make_seen_update(exact_max: int):
+    """Build the per-host stateful update function (a closure so the tier
+    threshold ships to the Python workers with the function itself).
+
+    Two state tiers: an exact hash set up to ``exact_max``, then a
+    FIXED-SIZE bloom bitset (sized for 100× the ceiling at 1% FP) —
+    per-host state stops growing with crawl history (ADVICE r2 #2);
+    counts become lower-bound estimates once bloomed (a false positive
+    makes a genuinely-new URL look seen). Arrow-batched — the per-group
+    Python touches numpy/pandas arrays, never Python-per-row."""
+    from crawler_spark.operators.bloom import BloomFilter
+
+    num_bits, k = BloomFilter.sized_for(max(exact_max, 1) * 100, fpp=0.01)
+    words = num_bits // 64
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from crawler_spark.operators.bloom import BloomFilter, _set_bits
+
+        (host,) = key
+        hashes_st, bits_hex, count = (
+            state.get if state.exists else (None, None, 0)
+        )
+        seen: set[int] = set(hashes_st) if hashes_st is not None else set()
+        bits = (
+            np.frombuffer(bytes.fromhex(bits_hex), dtype=np.uint64).copy()
+            if bits_hex else None
+        )
+        new_count = 0
+        for pdf in pdfs:
+            hashes = set(int(h) for h in pdf["url_hash"].tolist())
+            if bits is None:
+                fresh = hashes - seen
+                new_count += len(fresh)
+                seen |= fresh
+            else:
+                flt = BloomFilter(bits, k)
+                arr = np.fromiter(hashes, dtype=np.int64)
+                fresh_arr = arr[~flt.might_contain_np(arr)]
+                new_count += int(fresh_arr.shape[0])
+                if fresh_arr.shape[0]:
+                    _set_bits(bits, fresh_arr, num_bits, k)
+        if bits is None and len(seen) > exact_max:
+            # Convert once: fold the exact set into the fixed-size bitset.
+            bits = np.zeros(words, dtype=np.uint64)
+            _set_bits(bits, np.fromiter(seen, dtype=np.int64), num_bits, k)
+            seen = set()
+        total = count + new_count
+        if bits is None:
+            state.update((sorted(seen), None, total))
+        else:
+            state.update((None, bits.tobytes().hex(), total))
+        yield pd.DataFrame(
+            {"host": [host], "batch_new": [new_count],
+             "total_seen": [total]}
+        )
+
+    return update
 
 
 def streaming_url_seen(
@@ -131,14 +186,17 @@ def streaming_url_seen(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    exact_max: int = EXACT_STATE_MAX,
 ):
     """The URL-seen set as a stateful streaming operator: per-host state
     accumulates url hashes across micro-batches AND restarts (state lives
     in the checkpoint); each trigger appends (host, batch_new, total_seen)
-    rows. Returns the finished query."""
+    rows. State is exact up to ``exact_max`` hashes per host, then a
+    fixed-size bloom bitset — bounded regardless of crawl history.
+    Returns the finished query."""
     events = spark.readStream.schema(FETCH_EVENT_SCHEMA).parquet(input_dir)
     out = events.groupBy("host").applyInPandasWithState(
-        _seen_update,
+        _make_seen_update(exact_max),
         outputStructType=SEEN_OUTPUT_SCHEMA,
         stateStructType=SEEN_STATE_SCHEMA,
         outputMode="append",

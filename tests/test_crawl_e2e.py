@@ -50,10 +50,19 @@ def _engine_log(res) -> list[tuple[int, str]]:
     return [(r.batch_id, r.url) for r in rows]
 
 
-def _engine_docs(res) -> dict[str, dict]:
-    out = {}
+def _doc_key(d: dict) -> str:
+    return repr(sorted(d.items()))
+
+
+def _engine_docs(res) -> list[dict]:
+    """All stored document rows as a canonically-sorted list — a MULTISET
+    comparison: duplicates are real (the reference INSERTs one news row
+    per item with no unique key, pipelines.py:29-47, and a dont_filter
+    probe can race a normal request to the same article)."""
+    rows = []
     for r in res["docs"].collect():
-        out[r.doc_id] = {
+        rows.append({
+            "doc_id": r.doc_id,
             "title": r.title,
             "abstract": r.abstract,
             "category1": r.category1,
@@ -62,17 +71,19 @@ def _engine_docs(res) -> dict[str, dict]:
             "request_url": r.request_url,
             "response_url": r.response_url,
             "html": r.html,
-            "spans": [
-                (s.kind, s.text, s.media_ref, s.offset) for s in (r.spans or [])
-            ],
-        }
-    return out
+            "spans": tuple(
+                (s.kind, s.text, s.media_ref, s.offset)
+                for s in (r.spans or [])
+            ),
+        })
+    return sorted(rows, key=_doc_key)
 
 
-def _sim_docs(sim) -> dict[str, dict]:
-    out = {}
-    for doc_id, d in sim["docs"].items():
-        out[doc_id] = {
+def _sim_docs(sim) -> list[dict]:
+    rows = []
+    for d in sim["docs_rows"]:
+        rows.append({
+            "doc_id": d["doc_id"],
             "title": d["title"],
             "abstract": d["abstract"],
             "category1": d["category1"],
@@ -81,12 +92,12 @@ def _sim_docs(sim) -> dict[str, dict]:
             "request_url": d["request_url"],
             "response_url": d["response_url"],
             "html": d.get("html"),
-            "spans": [
+            "spans": tuple(
                 (s["kind"], s["text"], s["media_ref"], s["offset"])
                 for s in d["spans"]
-            ],
-        }
-    return out
+            ),
+        })
+    return sorted(rows, key=_doc_key)
 
 
 @pytest.fixture(scope="module")
@@ -137,9 +148,9 @@ def test_crawl_matches_simulator(spark, graph, sim, tmp_path_factory):
 
     # sanity: the fixture actually exercised something non-trivial
     assert len(sim["crawl_log"]) > 30
-    assert any(d["spans"] for d in _sim_docs(sim).values())
+    assert any(d["spans"] for d in _sim_docs(sim))
     assert any(
-        s[0] == "image" for d in _sim_docs(sim).values() for s in d["spans"]
+        s[0] == "image" for d in _sim_docs(sim) for s in d["spans"]
     )
 
 
@@ -365,8 +376,8 @@ def test_html_sites_produce_docs_with_html_column(spark, graph, sim):
     carry null. Both engines agree (covered by the parity test); here we
     assert the fixture exercises both paths."""
     docs = _sim_docs(sim)
-    html_docs = [d for d in docs.values() if d["html"]]
-    json_docs = [d for d in docs.values() if not d["html"]]
+    html_docs = [d for d in docs if d["html"]]
+    json_docs = [d for d in docs if not d["html"]]
     assert html_docs and json_docs
     # raw page round-trip: the stored html is the fetched payload
     any_doc = html_docs[0]
@@ -389,7 +400,7 @@ def test_form_post_pagination_crawled(spark, graph, sim):
     assert feed_fetches, "fixture must contain a form-paginated site"
     assert max(feed_fetches.values()) > 1  # same URL fetched per-page
     # and the form site actually produced documents
-    assert any("site4" in d["request_url"] for d in _sim_docs(sim).values())
+    assert any("site4" in d["request_url"] for d in _sim_docs(sim))
 
 
 def test_ua_rotation_deterministic(spark, graph, tmp_path_factory):
@@ -419,7 +430,7 @@ def test_cookie_gate_matches_simulator(spark, tmp_path_factory):
     s_without = simulate_crawl(without)
 
     def site1_docs(docs):
-        return [d for d in docs.values() if "site1" in d["request_url"]]
+        return [d for d in docs if "site1" in d["request_url"]]
 
     assert site1_docs(_sim_docs(s_with))
     assert not site1_docs(_sim_docs(s_without))
