@@ -706,6 +706,17 @@ def q_crawl_log(spark, sf_dir):
     return oracle_crawl.engine_log(spark)
 
 
+def q_crawl_categories(spark, sf_dir):
+    """U1/menu2 lineage + breadcrumb categories as a rollup: per-
+    (category1, category2) doc counts — non-null category2 flows from the
+    real two-level-menu sites (aajtak, maharashtratimes) in the fixture."""
+    from crawler_spark import oracle_crawl
+
+    _prep(spark)
+    oracle_crawl.ensure_sim_outputs()
+    return oracle_crawl.engine_categories(spark)
+
+
 def q_crawl_metrics(spark, sf_dir):
     """A4/W6: per-(batch, host) measured fetch metrics (scheduled, deduped,
     fetched, bytes, max_depth) from the checkpointed metrics table."""
@@ -756,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_spans": q_crawl_spans,
         "crawl_log": q_crawl_log,
         "crawl_metrics": q_crawl_metrics,
+        "crawl_categories": q_crawl_categories,
     }
 
 
@@ -1331,5 +1343,11 @@ def oracle_sql() -> dict[str, str]:
                    max_depth
             FROM read_parquet('{_SIM_ORACLE_DIR}/sim_metrics.parquet')
             ORDER BY batch_id, host
+        """,
+        "crawl_categories": f"""
+            SELECT category1, category2, count(*) AS n_docs
+            FROM read_parquet('{_SIM_ORACLE_DIR}/sim_docs.parquet')
+            GROUP BY category1, category2
+            ORDER BY category1, category2
         """,
     }

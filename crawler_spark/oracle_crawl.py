@@ -41,30 +41,54 @@ from crawler_spark.sources.mock_web import (
 )
 from crawler_spark.streaming.crawl_loop import CrawlEngine
 
-# The shared fixture: all five pagination rules (incl. the POST
+# The shared fixture: all five mock pagination rules (incl. the POST
 # form-paginated feed), two raw-HTML markup shapes, duplicate cross-links,
-# redirects, a dont_filter probe site, a cutoff mid-list — the full
-# semantic surface at small scale.
+# redirects, a dont_filter probe site, a cutoff mid-list — PLUS two real
+# ported sites (sources/real_sites.py): aajtak (two-level menus filling
+# category2, reordered Hindi dates) and maharashtratimes (nested menus,
+# last-entry dont_filter pagination probe, breadcrumb categories) — so the
+# driver's gate also certifies the real-site registry surface and
+# non-null category2 end-to-end.
+# pages_per_cat/entries_per_page sized so the mock cutoff (60% of the
+# per-site timeline = 14 h) sits more than a day before BASE_DT: aajtak's
+# dates are DAY-granular (midnight timestamps), so a cutoff inside the
+# newest day would cut its whole corpus instead of mid-chain.
 FIXTURE_KW = dict(
     n_sites=5,
     cats_per_site=2,
-    pages_per_cat=2,
-    entries_per_page=3,
+    pages_per_cat=3,
+    entries_per_page=4,
     dup_fraction=0.25,
     html_sites=2,
     seed=97,
 )
+REAL_FIXTURE_SITES = ["aajtak", "maharashtratimes"]
+_FIXTURE_VERSION = 2  # bump when fixture composition/output shape changes
 
 # Fixed path the oracle SQL reads — fingerprinted on the fixture config so
 # a stale parquet set from an older code version can never be compared.
 import hashlib as _hashlib  # noqa: E402
 
-_FP = _hashlib.md5(repr(sorted(FIXTURE_KW.items())).encode()).hexdigest()[:10]
+_FP = _hashlib.md5(
+    repr((sorted(FIXTURE_KW.items()), REAL_FIXTURE_SITES, _FIXTURE_VERSION))
+    .encode()
+).hexdigest()[:10]
 SIM_ORACLE_DIR = f"/tmp/crawler_spark_sim_oracle_{_FP}"
 
 
 def fixture_graph() -> dict:
-    return build_site_graph(**FIXTURE_KW)
+    from crawler_spark.sources.real_sites import build_real_graph
+
+    g = build_site_graph(**FIXTURE_KW)
+    # Merge the real-site pages under the mock graph's cutoff (both share
+    # the same AS_OF/BASE_DT anchors; the mock cutoff is tighter, so the
+    # real sites' time gates trip earlier — still deterministic and
+    # identical on both sides of the comparison).
+    real = build_real_graph(REAL_FIXTURE_SITES)
+    g["pages"].update(real["pages"])
+    g["seeds"].extend(real["seeds"])
+    g["registry"].update(real["registry"])
+    return g
 
 
 # ---------------------------------------------------------------------------
@@ -264,6 +288,20 @@ def engine_log(spark: SparkSession) -> DataFrame:
     return res["crawl_log"].select(
         F.row_number().over(w).alias("rank"),
         "batch_id", "url", "host", "method", "body", "attempt", "ua",
+    )
+
+
+def engine_categories(spark: SparkSession) -> DataFrame:
+    """Per-(category1, category2) document rollup — certifies that the
+    two-level menu lineage (aajtak) and breadcrumb overrides
+    (maharashtratimes) really fill category2 end-to-end (VERDICT r2 'Next
+    round #7'); mock-site docs keep category2 null, so both populations
+    must appear."""
+    res = engine_results(spark)
+    return (
+        res["docs"]
+        .groupBy("category1", "category2")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 
