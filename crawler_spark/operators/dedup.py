@@ -253,6 +253,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     est_margin: float | None = None,
+    verify: str = "explode",
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, exact-verified.
 
@@ -273,8 +274,22 @@ def minhash_lsh_pairs(
 
     Scale note: the signature is carried through the band explode so it is
     computed once per doc; band keys are uniform by construction (no skew
-    salting needed); the verify join ships shingle arrays only for
-    candidate pairs, never all pairs.
+    salting needed); verification touches only candidate pairs, never all
+    pairs.
+
+    ``verify`` picks the exact-Jaccard verification plan; both produce
+    bit-identical output (intersection/union over exact int counts):
+
+    - ``"explode"`` (default): intersections via narrow (pair, shingle)
+      rows — candidate pairs fan out over doc_a's distinct shingles, then
+      an equi-join on (doc_b, shingle) and a count. Every shuffled row is
+      a few fixed-width columns, so the plan survives arbitrarily large
+      documents and lets the (doc_b, shingle) shuffle spread a hub
+      document across partitions — the 100-TB shape.
+    - ``"array"``: ship both docs' distinct-shingle arrays per pair and
+      ``array_intersect`` in-place. Fewer shuffled rows, but row width
+      grows with document size and a hub doc's array is re-shipped per
+      pair — fine at moderate doc sizes, kept for comparison.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -310,20 +325,55 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Exact verify: jaccard over shingle sets, only for plausible pairs.
-    sh = _doc_shingles(docs, n, id_col, text_col).select(
-        "doc", F.array_distinct("_sh").alias("sh")
+    if verify == "array":
+        sh = _doc_shingles(docs, n, id_col, text_col).select(
+            "doc", F.array_distinct("_sh").alias("sh")
+        )
+        return (
+            cand.join(sh.withColumnRenamed("doc", "doc_a")
+                      .withColumnRenamed("sh", "sh_a"), on="doc_a")
+            .join(sh.withColumnRenamed("doc", "doc_b")
+                  .withColumnRenamed("sh", "sh_b"), on="doc_b")
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+    assert verify == "explode", f"unknown verify plan {verify!r}"
+    ex = _doc_shingles(docs, n, id_col, text_col).select(
+        "doc", F.explode(F.array_distinct("_sh")).alias("shingle")
+    )
+    sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(ex.withColumnRenamed("doc", "doc_a"), on="doc_a")
+        .join(
+            ex.select(F.col("doc").alias("doc_b"), "shingle"),
+            on=["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
-        cand.join(sh.withColumnRenamed("doc", "doc_a")
-                  .withColumnRenamed("sh", "sh_a"), on="doc_a")
-        .join(sh.withColumnRenamed("doc", "doc_b")
-              .withColumnRenamed("sh", "sh_b"), on="doc_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        # Left join: a band-hash collision can (in principle) pair docs
+        # with zero shared shingles; they must score 0, not vanish early.
+        cand.join(inter, on=["doc_a", "doc_b"], how="left")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)))
+        .join(sizes.select(F.col("doc").alias("doc_a"),
+                           F.col("sz").alias("sz_a")), on="doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"),
+                           F.col("sz").alias("sz_b")), on="doc_b")
         .withColumn(
             "jaccard",
             F.round(
                 F.col("inter")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
                 4,
             ),
         )

@@ -43,12 +43,14 @@ from crawler_spark.streaming.crawl_loop import CrawlEngine
 
 # The shared fixture: all five mock pagination rules (incl. the POST
 # form-paginated feed), two raw-HTML markup shapes, duplicate cross-links,
-# redirects, a dont_filter probe site, a cutoff mid-list — PLUS two real
+# redirects, a dont_filter probe site, a cutoff mid-list — PLUS three real
 # ported sites (sources/real_sites.py): aajtak (two-level menus filling
-# category2, reordered Hindi dates) and maharashtratimes (nested menus,
-# last-entry dont_filter pagination probe, breadcrumb categories) — so the
-# driver's gate also certifies the real-site registry surface and
-# non-null category2 end-to-end.
+# category2, reordered Hindi dates), maharashtratimes (nested menus,
+# last-entry dont_filter pagination probe, breadcrumb categories), and
+# interaksyon (SELECTOR rules over attribute-jumbled markup, seed-to-list,
+# URL-derived category1) — so the driver's gate also certifies the
+# real-site registry surface, non-null category2, and the htmlsel selector
+# engine end-to-end.
 # pages_per_cat/entries_per_page sized so the mock cutoff (60% of the
 # per-site timeline = 14 h) sits more than a day before BASE_DT: aajtak's
 # dates are DAY-granular (midnight timestamps), so a cutoff inside the
@@ -62,8 +64,11 @@ FIXTURE_KW = dict(
     html_sites=2,
     seed=97,
 )
-REAL_FIXTURE_SITES = ["aajtak", "maharashtratimes"]
-_FIXTURE_VERSION = 2  # bump when fixture composition/output shape changes
+# aajtak + maharashtratimes certify two-level menus / probes / category2;
+# interaksyon certifies the SELECTOR rule surface (htmlsel) over jumbled
+# markup through the driver's gate.
+REAL_FIXTURE_SITES = ["aajtak", "maharashtratimes", "interaksyon"]
+_FIXTURE_VERSION = 3  # bump when fixture composition/output shape changes
 
 # Fixed path the oracle SQL reads — fingerprinted on the fixture config so
 # a stale parquet set from an older code version can never be compared.

@@ -35,6 +35,7 @@ import re
 from datetime import datetime, timezone
 from urllib.parse import urljoin
 
+from crawler_spark.functions import htmlsel
 from crawler_spark.functions.dates import (
     AAJTAK_HINDI_MONTHS,
     MONTHS,
@@ -160,6 +161,33 @@ def next_page_request(rule: str, url: str, body: str,
     )
 
 
+def _is_sel(rule) -> bool:
+    """A rule value may be a regex string (default) or a SELECTOR spec —
+    a dict with a ``sel`` key (functions/htmlsel.py) that survives
+    attribute reordering, extra attributes, and whitespace the way the
+    reference's BeautifulSoup selectors do (interaksyon.py:27-29)."""
+    return isinstance(rule, dict) and "sel" in rule
+
+
+def _sel_scalar(tree, spec: dict) -> str | None:
+    """One value off the DOM: ``sel`` (+ optional ``index``, default 0 —
+    interaksyon.py:29 reads the LAST time/page-nav element via [-1]),
+    then ``attr`` (attribute value) or normalized text, then an optional
+    ``re`` whose group 1 trims the result."""
+    nodes = htmlsel.select(tree, spec["sel"])
+    if not nodes:
+        return None
+    try:
+        n = nodes[spec.get("index", 0)]
+    except IndexError:
+        return None
+    val = n.attr(spec["attr"]) if spec.get("attr") else n.text()
+    if val is not None and spec.get("re"):
+        m = re.search(spec["re"], val)
+        val = m.group(1) if m else None
+    return val
+
+
 def _effective_rules(rules: dict, url: str) -> dict:
     """URL-shape rule dispatch (P5 as data): a rules dict may carry
     ``variants`` = [{'match': regex-on-url, <rule overrides>}, ...]; the
@@ -217,21 +245,63 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                                ORDER: the interleaved text/image span
                                sequence comes straight from match order
                                (zeenews.py:119-122's .children walk).
+
+    SELECTOR forms (markup-robust; functions/htmlsel.py): any rule above
+    may instead be a dict —
+      scalar rules:   {"sel": css, "attr"?: name, "index"?: i, "re"?: rx}
+                      (attr value or normalized text of match #i; [-1]
+                      supported — interaksyon.py:29-30)
+      category rules: {"sel": css, "attr"?: href-attr} — each match is the
+                      link; label = its text
+      entry:          {"sel": css} (match IS the <a>) or {"sel": css,
+                      "fields": {href/title/time/img/abstract: scalar
+                      specs relative to the match}}
+      more / list_marker: {"sel": css} — presence
+      block:          {"para_sel": css, "img_sel": css, "img_attr"?: a} —
+                      matched independently, merged in document order
+    ``api_params``/``form_params`` stay regex-only (they read script text
+    and onclick attributes, where regex is the right tool).
     """
     rules = _effective_rules(rules, url)
+    # Selector rules parse the page into a DOM once, lazily — only pages
+    # whose rule-set actually uses selectors pay for tree building.
+    _tree = []
+
+    def dom():
+        if not _tree:
+            _tree.append(htmlsel.parse_html(html))
+        return _tree[0]
+
     if kind in ("menu", "menu2"):
         # A menu2 page that matches the list marker is an article section:
         # it bootstraps a ?curpg=1 list chain instead of linking deeper
         # (maharashtratimes.py:33-34's data-tn check).
-        if (kind == "menu2" and rules.get("list_marker")
-                and re.search(rules["list_marker"], html)):
+        lm = rules.get("list_marker")
+        if kind == "menu2" and lm and (
+            bool(htmlsel.select(dom(), lm["sel"])) if _is_sel(lm)
+            else re.search(lm, html)
+        ):
             return {"categories": [], "list_bootstrap": True}
         key = "category2" if kind == "menu2" else "category"
         excluded = set(rules.get("excluded_labels", ()))
         excluded_slugs = set(rules.get("excluded_slugs", ()))
         cats = []
-        for m in re.finditer(rules[key], html):
-            href, label = m.group(1), m.group(2)
+        if _is_sel(rules[key]):
+            # Selector form: each matched node is the link — href off the
+            # node's attr (default 'href'), label = its normalized text.
+            spec = rules[key]
+            pairs = [
+                (n.attr(spec.get("attr", "href")), n.text())
+                for n in htmlsel.select(dom(), spec["sel"])
+            ]
+        else:
+            pairs = [
+                (m.group(1), m.group(2))
+                for m in re.finditer(rules[key], html)
+            ]
+        for href, label in pairs:
+            if href is None:
+                continue
             slug = href.rstrip("/").rsplit("/", 1)[-1]
             cats.append(
                 {
@@ -246,26 +316,65 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
         entries = []
         # ``entry`` is optional: manila's category pages carry no article
         # links at all — only the load-more API params (manila.py:59-67).
-        for m in re.finditer(rules["entry"], html) if rules.get("entry") else ():
-            d = m.groupdict()
-            entries.append(
-                {
-                    "href": d["href"],
-                    "title": d.get("title"),
-                    "pub_time_raw": d.get("time"),
-                    "img": d.get("img") or None,
-                    "abstract": d.get("abstract") or None,
-                }
-            )
+        erule = rules.get("entry")
+        if erule is not None and _is_sel(erule):
+            # Selector form: ``sel`` matches each entry (container or the
+            # <a> itself), IN PAGE ORDER; optional ``fields`` holds
+            # relative sub-specs (href/title/time/img/abstract) evaluated
+            # within the match — interaksyon.py:27's
+            # '.td-ss-main-content .td-module-thumb > a' loop.
+            fields = erule.get("fields")
+            for node in htmlsel.select(dom(), erule["sel"]):
+                if fields:
+                    vals = {
+                        k: _sel_scalar(node, sp) for k, sp in fields.items()
+                    }
+                else:
+                    vals = {"href": node.attr(erule.get("attr", "href")),
+                            "title": node.text() or None}
+                if vals.get("href") is None:
+                    continue
+                entries.append(
+                    {
+                        "href": vals["href"],
+                        "title": vals.get("title"),
+                        "pub_time_raw": vals.get("time"),
+                        "img": vals.get("img") or None,
+                        "abstract": vals.get("abstract") or None,
+                    }
+                )
+        else:
+            for m in re.finditer(erule, html) if erule else ():
+                d = m.groupdict()
+                entries.append(
+                    {
+                        "href": d["href"],
+                        "title": d.get("title"),
+                        "pub_time_raw": d.get("time"),
+                        "img": d.get("img") or None,
+                        "abstract": d.get("abstract") or None,
+                    }
+                )
         out: dict = {"entries": entries}
-        nm = re.search(rules["next"], html) if rules.get("next") else None
-        out["next"] = nm.group(1) if nm else None
+
+        def scalar(key):
+            r = rules.get(key)
+            if r is None:
+                return None
+            if _is_sel(r):
+                return _sel_scalar(dom(), r)
+            m = re.search(r, html)
+            return m.group(1) if m else None
+
+        out["next"] = scalar("next")
+        mrule = rules.get("more")
         out["has_more"] = (
-            bool(re.search(rules["more"], html)) if rules.get("more") else False
+            (bool(htmlsel.select(dom(), mrule["sel"])) if _is_sel(mrule)
+             else bool(re.search(mrule, html)))
+            if mrule else False
         )
         if rules.get("page_time"):
-            pm = re.search(rules["page_time"], html)
-            out["page_time_raw"] = pm.group(1) if pm else None
+            out["page_time_raw"] = scalar("page_time")
         for pkey in ("api_params", "form_params"):
             if rules.get(pkey):
                 pm = re.search(rules[pkey], html)
@@ -275,27 +384,52 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
 
     # article
     def first(key):
-        if not rules.get(key):
+        r = rules.get(key)
+        if not r:
             return None
-        m = re.search(rules[key], html)
+        if _is_sel(r):
+            return _sel_scalar(dom(), r)
+        m = re.search(r, html)
         return m.group(1) if m else None
 
     paras: list[str] = []
     imgs: list[dict] = []
-    for m in re.finditer(rules["block"], html):
-        d = m.groupdict()
-        # Python regexes forbid reusing a group name across alternation
-        # branches, so a block rule may carry src/src2/src3 image branches
-        # (yehey has header AND in-content image markups, yehey.py:128-134).
-        img_src = d.get("src") or d.get("src2") or d.get("src3")
-        if d.get("para") is not None:
-            paras.append(d["para"])
-        elif img_src is not None:
-            # Interleaved after the paragraph it follows; an image BEFORE
-            # any paragraph is a header image, kept first (after_para=-1 —
-            # yehey.py:128-130 appends the primary-header img before the
-            # in-paragraph ones).
-            imgs.append({"after_para": len(paras) - 1, "src": img_src})
+    block = rules["block"]
+    if isinstance(block, dict):
+        # Selector form: ``para_sel`` / ``img_sel`` matched independently,
+        # merged in DOCUMENT ORDER by one tree walk — the .children-walk
+        # interleaving of zeenews.py:119-122 without a shared container
+        # (interaksyon's featured image lives outside the content div,
+        # interaksyon.py:46-48).
+        para_ids = {
+            id(n) for n in htmlsel.select(dom(), block["para_sel"])
+        } if block.get("para_sel") else set()
+        img_ids = {
+            id(n) for n in htmlsel.select(dom(), block["img_sel"])
+        } if block.get("img_sel") else set()
+        src_attr = block.get("img_attr", "src")
+        for n in htmlsel.walk(dom()):
+            if id(n) in para_ids:
+                paras.append(n.text())
+            elif id(n) in img_ids and n.attr(src_attr) is not None:
+                imgs.append({"after_para": len(paras) - 1,
+                             "src": n.attr(src_attr)})
+    else:
+        for m in re.finditer(block, html):
+            d = m.groupdict()
+            # Python regexes forbid reusing a group name across alternation
+            # branches, so a block rule may carry src/src2/src3 image
+            # branches (yehey has header AND in-content image markups,
+            # yehey.py:128-134).
+            img_src = d.get("src") or d.get("src2") or d.get("src3")
+            if d.get("para") is not None:
+                paras.append(d["para"])
+            elif img_src is not None:
+                # Interleaved after the paragraph it follows; an image
+                # BEFORE any paragraph is a header image, kept first
+                # (after_para=-1 — yehey.py:128-130 appends the
+                # primary-header img before the in-paragraph ones).
+                imgs.append({"after_para": len(paras) - 1, "src": img_src})
     return {
         "title": first("title"),
         "abstract": first("abstract"),
@@ -591,6 +725,14 @@ def parse_page(
             title = payload.get("title") or meta.get("title")
         else:
             title = meta.get("title") or payload.get("title")
+        # A site may derive category1 from the ARTICLE URL's path instead
+        # of page content or lineage (interaksyon.py:38's
+        # response.url.split('/')[3] — the first path segment; post-redirect
+        # URL, as the reference reads response.url).
+        cat1_url = None
+        if site.get("cat1_from_url_re"):
+            m = re.search(site["cat1_from_url_re"], response_url)
+            cat1_url = m.group(1) if m else None
         doc = {
             "title": title,
             # Precedence: list-page abstract in meta (philboxing.py:110) >
@@ -600,7 +742,8 @@ def parse_page(
             or (paras[0] if paras else None),
             # Breadcrumb categories off the article page override the meta
             # lineage (maharashtratimes.py:79-81, shangbao.py:67-71).
-            "category1": payload.get("cat1") or meta.get("category1"),
+            "category1": cat1_url or payload.get("cat1")
+            or meta.get("category1"),
             "category2": payload.get("cat2") or meta.get("category2"),
             "pub_time": parse_site_date(pub_raw, date_style, as_of)
             .strftime("%Y-%m-%d %H:%M:%S"),

@@ -56,10 +56,13 @@ def simulate_crawl(
 
     frontier: list[dict] = []
     for i, s in enumerate(graph["seeds"]):
+        # A site whose start_urls point straight at a list page (no menu
+        # hop — interaksyon.py:13,25) declares seed_kind='list'.
+        seed_kind = registry.get(s["website_id"], {}).get("seed_kind", "menu")
         frontier.append(
             {
                 "url": s["url"],
-                "parse_kind": "menu",
+                "parse_kind": seed_kind,
                 "dont_filter": False,
                 "meta": {},
                 "depth": 0,

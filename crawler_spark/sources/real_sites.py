@@ -1,7 +1,7 @@
 """Real spider rule-sets as registry content, with fixtures shaped on the
 actual sites' markup (VERDICT r2 'Next round #4').
 
-Seven deployed spiders from the reference corpus are ported as
+Eight deployed spiders from the reference corpus are ported as
 rules-as-data registry entries — no per-site code, only data consumed by
 the one generic extractor (plans/parser.extract_payload) and the shared
 dataflow (plans/parser.parse_page):
@@ -15,6 +15,7 @@ dataflow (plans/parser.parse_page):
 | yehey            | 1225 | two-level menus, POST infinite scroll seeded from scraped form fields, ISO-T dates, header-image-first span order | 已部署/yehey.py:29-107,111-140 |
 | maharashtratimes |  473 | nested menus, list bootstrap ?curpg=1, LAST-entry dont_filter pagination probe + self-refetch, breadcrumb categories, D-MonthName-Y,H:M:S dates | 已部署/maharashtratimes.py:26-59,61-83 |
 | shangbao         |  184 | programmatic seed pre-fetch, offset pagination without has_more marker, already-normalized Y-M-D dates, breadcrumb categories, strong-tag abstracts | 已部署/shangbao.py:24-52,63-88 |
+| interaksyon      |  490 | SELECTOR rules (htmlsel) over attribute-jumbled markup, seed straight into a list page, URL-derived category1, last-time-element pagination gate, featured-image-first spans | 已部署/interaksyon.py:13,25-48 |
 
 The mock pages here are deterministic miniatures of each site's real
 markup (class names, attribute shapes, and nesting mirror the spiders'
@@ -825,6 +826,139 @@ def _build_shangbao(g: _G) -> None:
 
 
 # ---------------------------------------------------------------------------
+# interaksyon — SELECTOR rules (functions/htmlsel.py) against deliberately
+# jumbled markup: attribute order, extra attributes, and inter-attribute
+# whitespace vary per page, which regex rules cannot survive but the
+# reference's BeautifulSoup selectors (and ours) shrug off
+# (已部署/interaksyon.py)
+# ---------------------------------------------------------------------------
+
+INTERAKSYON_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "seed_kind": "list",  # start_urls IS the list page (interaksyon.py:13,25)
+    "title_priority": "page",  # interaksyon.py:36 reads .entry-title
+    "article_pub_priority": "page",  # interaksyon.py:45 reads .meta-info
+    # category1 = response.url.split('/')[3] (interaksyon.py:38)
+    "cat1_from_url_re": r"^https?://[^/]+/([^/]+)/",
+    "extract": {
+        # parse: '.td-ss-main-content .td-module-thumb > a' → attrs['href']
+        # (interaksyon.py:27-28); the anchor wraps a thumb, title comes off
+        # the article page.
+        "entry": {"sel": ".td-ss-main-content .td-module-thumb > a"},
+        # pagination gate: the LAST time element's text (interaksyon.py:29's
+        # [-1] index), fuzzy-parsed; entries are never individually gated.
+        "page_time": {"sel": ".td-ss-main-content > div time", "index": -1},
+        # next page: LAST '.page-nav.td-pb-padding-side > a' href
+        # (interaksyon.py:30).
+        "next": {"sel": ".page-nav.td-pb-padding-side > a", "index": -1,
+                 "attr": "href"},
+        # parse1 (interaksyon.py:35-48)
+        "title": {"sel": ".entry-title"},
+        "pub": {"sel": "header > .meta-info"},
+        "block": {
+            "para_sel": ".td-post-content.td-pb-padding-side p",
+            "img_sel": ".td-post-featured-image img",
+        },
+    },
+}
+
+
+def _jumble(seed: str, tag: str, attrs: list[tuple[str, str]],
+            void: bool = False) -> str:
+    """Render a start tag whose attribute ORDER, spacing, and junk extra
+    attributes are a deterministic function of ``seed`` — the same DOM in
+    different bytes, so only structure-aware extraction survives."""
+    import hashlib
+
+    h = int(hashlib.md5(seed.encode()).hexdigest(), 16)
+    attrs = list(attrs) + [("data-noise", f"n{h % 97}")]
+    k = h % len(attrs)
+    attrs = attrs[k:] + attrs[:k]
+    seps = [" ", "  ", "\n  ", " \t"]
+    out = [tag]
+    for i, (a, v) in enumerate(attrs):
+        out.append(seps[(h >> (4 * i)) % len(seps)] + f'{a}="{v}"')
+    return "<" + "".join(out) + ">"
+
+
+def _build_interaksyon(g: _G) -> None:
+    host = "interaksyon.philstar.com"
+    wid = 490
+    g.registry[wid] = dict(INTERAKSYON_RULES)
+    base = f"https://{host}"
+    g.seeds.append({"url": f"{base}/news/", "website_id": wid,
+                    "language_id": 1866})
+    sections = ["politics-issues", "sports"]
+    for p in range(3):
+        lurl = f"{base}/news/" + (f"page/{p + 1}/" if p else "")
+        # Page p's entries are p days older than BASE_DT; the 36 h fixture
+        # cutoff passes p0 and p1's gates and stops pagination at p2.
+        page_dt = BASE_DT - timedelta(days=p)
+        cells = []
+        for e in range(3):
+            dt = page_dt - timedelta(minutes=45 * e)
+            sec = sections[e % 2]
+            aurl = f"{base}/{sec}/{2021}/art-{p}-{e}/"
+            js = f"{lurl}#{e}"
+            cells.append(
+                _jumble(js, "div", [("class", "td-block-span6")])
+                + _jumble(js + "t", "div",
+                          [("class", "td-module-thumb"), ("id", f"tm{p}{e}")])
+                + _jumble(js + "a", "a", [("href", aurl),
+                                          ("rel", "bookmark")])
+                + "</a></div>"
+                + _jumble(js + "tm", "time",
+                          [("datetime", dt.isoformat()),
+                           ("class", "entry-date")])
+                + f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+                f" {dt.hour:02d}:{dt.minute:02d}</time></div>"
+            )
+            feat = _jumble(js + "img", "img",
+                           [("src", f"{base}/f/{p}{e}.jpg"),
+                            ("width", "1100"), ("alt", "featured")])
+            paras = "".join(
+                f"<p>interaksyon {sec} body {p}-{e}-{k}</p>"
+                for k in range(2)
+            )
+            g.page(
+                aurl, "article",
+                "<html><body>"
+                + _jumble(js + "h", "header", [("class", "td-post-header")])
+                + _jumble(js + "ti", "h1",
+                          [("class", "entry-title"), ("itemprop", "name")])
+                + f"Interaksyon {sec} {p}-{e}</h1>"
+                + _jumble(js + "mi", "div",
+                          [("class", "meta-info td-post-date")])
+                + f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+                f" {dt.hour:02d}:{dt.minute:02d}</div></header>"
+                + _jumble(js + "fi", "div",
+                          [("class", "td-post-featured-image")])
+                + feat + "</div>"
+                + _jumble(js + "c", "div",
+                          [("class",
+                            "td-post-content td-pb-padding-side")])
+                + paras + "</div></body></html>",
+                host,
+            )
+        nav = (
+            _jumble(lurl + "nav", "div",
+                    [("class", "page-nav td-pb-padding-side")])
+            + _jumble(lurl + "n1", "a", [("href", lurl)]) + "1</a>"
+            + _jumble(lurl + "n2", "a",
+                      [("href", f"{base}/news/page/{p + 2}/")])
+            + "Next</a></div>"
+        )
+        g.page(
+            lurl, "list",
+            "<html><body>"
+            + _jumble(lurl + "m", "div", [("class", "td-ss-main-content")])
+            + "".join(cells) + "</div>" + nav + "</body></html>",
+            host,
+        )
+
+
+# ---------------------------------------------------------------------------
 # Combined graph
 # ---------------------------------------------------------------------------
 
@@ -836,6 +970,7 @@ SITE_BUILDERS = {
     "yehey": _build_yehey,
     "maharashtratimes": _build_maharashtratimes,
     "shangbao": _build_shangbao,
+    "interaksyon": _build_interaksyon,
 }
 
 

@@ -147,9 +147,14 @@ class CrawlEngine:
         # The seed list's own order is the ordering contract (start.bat:1
         # fixes the seed per run); seq = position in that list.
         seeds = self.seeds.toPandas()
+        registry = self._registry_bc.value
         rows = [
             (
-                r.url, None, None, 0, f"{i:04d}", "menu", False, "{}",
+                r.url, None, None, 0, f"{i:04d}",
+                # seed_kind='list': start_urls pointing straight at a list
+                # page, no menu hop (interaksyon.py:13,25).
+                registry.get(int(r.website_id), {}).get("seed_kind", "menu"),
+                False, "{}",
                 int(r.website_id), int(r.language_id), 0, 0, "GET", "",
             )
             for i, r in enumerate(seeds.itertuples(index=False))

@@ -100,6 +100,28 @@ def test_minhash_lsh_finds_exact_pairs(spark):
     assert all(4 not in p for p in got)
 
 
+def test_minhash_verify_plans_agree(spark):
+    """The explode+count and array_intersect verify plans are two physical
+    strategies for the same exact-Jaccard math — identical (pair, jaccard)
+    output on a corpus with full, partial, and zero overlap."""
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(40))),
+        (2, " ".join(f"w{i}" for i in range(40))),
+        (3, " ".join(f"w{i}" for i in range(20))
+            + " " + " ".join(f"x{i}" for i in range(20))),
+        (4, " ".join(f"u{i}" for i in range(40))),
+        (5, " ".join(f"w{i}" for i in range(35))
+            + " " + " ".join(f"y{i}" for i in range(5))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=3, num_hashes=32, bands=16, threshold=0.2)
+    a = {(r.doc_a, r.doc_b): r.jaccard for r in
+         minhash_lsh_pairs(docs, verify="array", **kw).collect()}
+    e = {(r.doc_a, r.doc_b): r.jaccard for r in
+         minhash_lsh_pairs(docs, verify="explode", **kw).collect()}
+    assert a == e and (1, 2) in e
+
+
 def test_ngram_jaccard_doc_freq_cap_kills_stopword_fanout(spark):
     """A shingle present in EVERY doc (boilerplate) would create |docs|²
     join fanout; the document-frequency cap drops it from the shingle

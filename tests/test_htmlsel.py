@@ -1,0 +1,145 @@
+"""The stdlib selector engine (functions/htmlsel.py) and the selector rule
+forms in plans/parser.extract_payload — the markup-robustness surface that
+regex rules cannot provide (VERDICT r2 'What's missing #4')."""
+
+from __future__ import annotations
+
+from crawler_spark.functions.htmlsel import parse_html, select
+from crawler_spark.plans.parser import extract_payload
+
+DOC = """
+<html><body>
+  <div class="td-ss-main-content" id="main">
+    <div class="td-block-span6">
+      <div class="td-module-thumb"><a href="/a1" rel="bookmark"></a></div>
+      <time datetime="2021-05-30">May 30, 2021</time>
+    </div>
+    <div class="td-block-span6">
+      <div class="td-module-thumb"><a href="/a2"></a></div>
+      <time datetime="2021-05-29">May 29, 2021</time>
+    </div>
+    <p><time datetime="x">not a direct-child div's time? yes it is not</time></p>
+  </div>
+  <div class="page-nav td-pb-padding-side">
+    <a href="/page/1">1</a><a href="/page/2">Next</a>
+  </div>
+</body></html>
+"""
+
+
+def test_class_and_descendant_and_child():
+    t = parse_html(DOC)
+    anchors = select(t, ".td-ss-main-content .td-module-thumb > a")
+    assert [a.attr("href") for a in anchors] == ["/a1", "/a2"]
+    # child combinator: the <time> inside <p> is NOT under a direct-child
+    # div of main-content... it is under main-content > p, so the selector
+    # '.td-ss-main-content > div time' must skip it
+    times = select(t, ".td-ss-main-content > div time")
+    assert [n.attr("datetime") for n in times] == ["2021-05-30", "2021-05-29"]
+
+
+def test_compound_class_and_id_and_attr():
+    t = parse_html(DOC)
+    assert len(select(t, ".page-nav.td-pb-padding-side > a")) == 2
+    assert select(t, "div#main")[0].attr("class") == "td-ss-main-content"
+    assert [n.attr("href") for n in select(t, 'a[href=/page/2]')] == ["/page/2"]
+    assert len(select(t, "time[datetime]")) == 3
+
+
+def test_text_normalizes_whitespace():
+    t = parse_html("<h1 class='t'>  A \n\t title  <b>bold</b>  end </h1>")
+    assert select(t, "h1.t")[0].text() == "A title bold end"
+
+
+def test_void_elements_do_not_swallow_siblings():
+    t = parse_html('<div class="c"><img src="x.jpg"><p>after</p></div>')
+    assert select(t, ".c > p")[0].text() == "after"
+    assert select(t, ".c > img")[0].attr("src") == "x.jpg"
+
+
+def _render(order_seed: int) -> str:
+    """The same logical page in different bytes: attribute order, extra
+    attributes, and spacing all vary with the seed."""
+    def tag(name, attrs):
+        attrs = list(attrs) + [("data-noise", f"n{order_seed}")]
+        k = order_seed % len(attrs)
+        attrs = attrs[k:] + attrs[:k]
+        sep = [" ", "\n   ", "  "][order_seed % 3]
+        return ("<" + name
+                + "".join(f'{sep}{a}="{v}"' for a, v in attrs) + ">")
+
+    return (
+        "<html><body>"
+        + tag("header", [("class", "hd"), ("role", "banner")])
+        + tag("h1", [("class", "entry-title"), ("itemprop", "name")])
+        + "Title here</h1>"
+        + tag("div", [("class", "meta-info"), ("id", "mi")])
+        + "May 30, 2021 11:00</div></header>"
+        + tag("div", [("class", "feat")])
+        + tag("img", [("src", "/f.jpg"), ("width", "900")])
+        + "</div>"
+        + tag("div", [("class", "content side")])
+        + "<p>para one</p><p>para two</p></div>"
+        "</body></html>"
+    )
+
+
+SEL_RULES = {
+    "title": {"sel": ".entry-title"},
+    "pub": {"sel": "header > .meta-info"},
+    "block": {"para_sel": ".content.side p", "img_sel": ".feat img"},
+}
+
+
+def test_extract_payload_selector_rules_survive_markup_jumbling():
+    """Three renderings of one DOM — shuffled attribute order, junk
+    attributes, varied whitespace — extract identically through selector
+    rules; a regex rule pinned to one byte form would match only one."""
+    outs = [
+        extract_payload("article", _render(s), SEL_RULES) for s in (0, 1, 2)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    o = outs[0]
+    assert o["title"] == "Title here"
+    assert o["pub_time_raw"] == "May 30, 2021 11:00"
+    assert o["paras"] == ["para one", "para two"]
+    assert o["imgs"] == [{"after_para": -1, "src": "/f.jpg"}]
+
+
+def test_extract_payload_selector_entries_and_scalars():
+    t_rules = {
+        "entry": {"sel": ".td-ss-main-content .td-module-thumb > a"},
+        "page_time": {"sel": ".td-ss-main-content > div time", "index": -1},
+        "next": {"sel": ".page-nav.td-pb-padding-side > a", "index": -1,
+                 "attr": "href"},
+    }
+    out = extract_payload("list", DOC, t_rules)
+    assert [e["href"] for e in out["entries"]] == ["/a1", "/a2"]
+    # [-1] indexing: the LAST direct-child div's time gates pagination
+    assert out["page_time_raw"] == "May 29, 2021"
+    assert out["next"] == "/page/2"
+
+
+def test_selector_entry_fields_form():
+    html = (
+        '<ul><li class="it"><a class="l" href="/x">X story</a>'
+        '<span class="d">May 1, 2021</span></li>'
+        '<li class="it"><a class="l" href="/y">Y story</a>'
+        '<span class="d">May 2, 2021</span></li></ul>'
+    )
+    rules = {
+        "entry": {
+            "sel": "li.it",
+            "fields": {
+                "href": {"sel": "a.l", "attr": "href"},
+                "title": {"sel": "a.l"},
+                "time": {"sel": "span.d"},
+            },
+        }
+    }
+    out = extract_payload("list", html, rules)
+    assert out["entries"][0] == {
+        "href": "/x", "title": "X story", "pub_time_raw": "May 1, 2021",
+        "img": None, "abstract": None,
+    }
+    assert out["entries"][1]["href"] == "/y"

@@ -40,8 +40,36 @@ def _docs_by_site(sim) -> dict[int, list[dict]]:
 
 def test_all_sites_produce_documents(sim):
     by_site = _docs_by_site(sim)
-    assert set(by_site) == {1033, 467, 1194, 190, 1225, 473, 184}
+    assert set(by_site) == {1033, 467, 1194, 190, 1225, 473, 184, 490}
     assert all(len(v) >= 2 for v in by_site.values())
+
+
+def test_interaksyon_selector_rules_on_jumbled_markup(sim):
+    """interaksyon.py:25-48 ported as SELECTOR rules (htmlsel), against
+    markup whose attribute order/spacing/noise vary per page (_jumble):
+    seed lands straight on the list (seed_kind), category1 is the article
+    URL's first path segment, the featured image leads the spans, and the
+    last time element's date gates pagination."""
+    docs = _docs_by_site(sim)[490]
+    urls = [u for _, u in sim["crawl_log"]]
+    # no menu hop: the first interaksyon fetch IS the list page
+    ik = [u for u in urls if "interaksyon" in u]
+    assert ik[0].endswith("/news/")
+    # pages 1..3 crawled; p2's last-time gate (48 h old) stops page/4
+    assert any(u.endswith("/news/page/3/") for u in ik)
+    assert not any("page/4" in u for u in ik)
+    assert len(docs) == 9
+    assert {d["category1"] for d in docs} == {"politics-issues", "sports"}
+    assert all(d["category2"] is None for d in docs)
+    assert all(d["title"].startswith("Interaksyon ") for d in docs)
+    # featured image first, then the two content paragraphs
+    assert all(
+        [s["kind"] for s in d["spans"]] == ["image", "text", "text"]
+        and "/f/" in d["spans"][0]["media_ref"]
+        for d in docs
+    )
+    # fuzzy 'Month D, Y H:M' dates parsed off the page
+    assert any(d["pub_time"] == "2021-05-30 12:00:00" for d in docs)
 
 
 def test_zeenews_hindi_dates_and_excluded_slug(sim):

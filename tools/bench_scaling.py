@@ -22,19 +22,55 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 SPIN = "n=0\nfor i in range(3*10**7): n+=i\n"
 
+# Memory-bandwidth probe: parallel streaming sums over arrays far larger
+# than LLC. The CPU spin above is register-bound and therefore BLIND to
+# neighbor-VM memory-bus contention — which is exactly what degrades the
+# shuffle-heavy local[16] runs (observed: spin probe "clean" while Spark
+# throughput halved). Gating needs both signals.
+MEMSTREAM = (
+    "import numpy as np\n"
+    "a = np.ones(30_000_000, dtype=np.int64)\n"
+    "s = 0\n"
+    "for _ in range(6): s += int(a.sum())\n"
+)
 
-def calibrate(k: int = 16) -> float:
-    """Wall seconds for k parallel fixed-work spinners — measures the
-    machine's *effective* parallel capacity right now. The sandbox host
-    throttles this VM in bursts; comparing against the session-best
-    detects congested windows."""
+# Best-known calibration persists ACROSS harness invocations: a fresh
+# process that starts inside a congested window would otherwise adopt the
+# congested reading as its 'session best' and happily accept every sweep
+# (this produced a bogus 0.498 efficiency reading on 2026-08-17).
+CAL_STATE = "/tmp/spark_graft_cal_best.json"
+
+
+def _run_parallel(code: str, k: int) -> float:
     t0 = time.monotonic()
     procs = [
-        subprocess.Popen([sys.executable, "-c", SPIN]) for _ in range(k)
+        subprocess.Popen([sys.executable, "-c", code]) for _ in range(k)
     ]
     for p in procs:
         p.wait()
     return time.monotonic() - t0
+
+
+def calibrate(k: int = 16) -> tuple[float, float]:
+    """(cpu_seconds, mem_seconds) for k parallel fixed-work probes — the
+    machine's effective parallel compute AND memory-bandwidth capacity
+    right now. The sandbox host throttles this VM in bursts; comparing
+    against the best-known values detects congested windows."""
+    return _run_parallel(SPIN, k), _run_parallel(MEMSTREAM, k)
+
+
+def load_cal_best() -> tuple[float, float]:
+    try:
+        with open(CAL_STATE) as fh:
+            d = json.load(fh)
+        return float(d["cpu"]), float(d["mem"])
+    except (OSError, ValueError, KeyError):
+        return float("inf"), float("inf")
+
+
+def save_cal_best(cpu: float, mem: float) -> None:
+    with open(CAL_STATE, "w") as fh:
+        json.dump({"cpu": cpu, "mem": mem}, fh)
 
 
 def run_level(cpus: int, sf_dir: str, frontier_only: bool = False,
@@ -78,29 +114,44 @@ def main() -> int:
     # is compute-bound rather than fixed-overhead-bound.
     levels = (lo, hi, 32)
     by_level: dict[int, list[dict]] = {c: [] for c in levels}
-    cal_best = min(calibrate() for _ in range(2))
+    cpu_best, mem_best = load_cal_best()
+    for _ in range(2):
+        c, m = calibrate()
+        cpu_best, mem_best = min(cpu_best, c), min(mem_best, m)
+    save_cal_best(cpu_best, mem_best)
     deadline = time.monotonic() + float(os.environ.get(
         "SPARK_GRAFT_SCALE_BUDGET_S", "2400"))
+
+    def clean(c: float, m: float) -> bool:
+        nonlocal cpu_best, mem_best
+        cpu_best, mem_best = min(cpu_best, c), min(mem_best, m)
+        save_cal_best(cpu_best, mem_best)
+        return c <= cpu_best * 1.25 and m <= mem_best * 1.25
+
     accepted = 0
     while accepted < trials and time.monotonic() < deadline:
-        # Only measure inside a clean window: calibration within 25% of the
-        # session-best parallel capacity before AND after each level sweep.
-        c0 = calibrate()
-        cal_best = min(cal_best, c0)
-        if c0 > cal_best * 1.25:
-            print(f"congested (cal {c0:.2f}s vs best {cal_best:.2f}s); waiting",
-                  file=sys.stderr)
+        # Only measure inside a clean window: BOTH probes within 25% of the
+        # best-known capacity before AND after each level sweep.
+        c0, m0 = calibrate()
+        if not clean(c0, m0):
+            print(
+                f"congested (cpu {c0:.2f}s/{cpu_best:.2f}s,"
+                f" mem {m0:.2f}s/{mem_best:.2f}s); waiting",
+                file=sys.stderr,
+            )
             time.sleep(30)
             continue
         sweep = {
             cpus: run_level(cpus, sf_dir, frontier_only=True, mult=MULT, runs=1)
             for cpus in levels
         }
-        c1 = calibrate()
-        cal_best = min(cal_best, c1)
-        if c1 > cal_best * 1.25:
-            print(f"trial poisoned mid-sweep (cal {c1:.2f}s); discarding",
-                  file=sys.stderr)
+        c1, m1 = calibrate()
+        if not clean(c1, m1):
+            print(
+                f"trial poisoned mid-sweep (cpu {c1:.2f}s, mem {m1:.2f}s);"
+                " discarding",
+                file=sys.stderr,
+            )
             continue
         for cpus, r in sweep.items():
             by_level[cpus].append(r)
@@ -143,9 +194,11 @@ every parallelism level; `local[{lo}]` vs `local[{hi}]` stands in for N vs 4N
 executors (single-machine sandbox; see tools/bench_scaling.py). Each number
 is the best of {len(all_secs[lo])} accepted interleaved trials (fresh JVM
 each, in-process warmup run first). The sandbox VM sees bursty host
-interference, so each level sweep is gated by a parallel-spin calibration
-probe before and after (accepted only when within 25% of session-best
-capacity, best {cal_best:.2f}s) and the best accepted run per level
+interference, so each level sweep is gated by TWO calibration probes
+before and after — a CPU spin AND a memory-bandwidth stream (the resource
+neighbor VMs actually contend for) — accepted only when both are within
+25% of the best-known capacity (cpu {cpu_best:.2f}s, mem {mem_best:.2f}s,
+persisted across runs in {CAL_STATE}); the best accepted run per level
 approximates uncontended capability.
 
 | metric | local[{lo}] (N) | local[{hi}] (4N) | local[32] |
