@@ -443,6 +443,25 @@ def q_ngram_jaccard(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup collapse: connected components over the n-gram
+    Jaccard pair graph (min-label propagation to fixpoint), then ONE
+    representative per cluster by (rounded quality desc, doc_id) — the
+    dedup-pipeline step after pair generation. Oracle: recursive CTE
+    reachability in DuckDB over the same pair SQL."""
+    from crawler_spark.operators.dedup import dedup_cluster_representatives
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.3, id_col="doc_id", text_col="text",
+        max_doc_freq=50,
+    )
+    return dedup_cluster_representatives(
+        docs, pairs, quality_score(F.col("text")), id_col="doc_id"
+    ).orderBy("doc_id")
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates, exact-verified. md5-derived
     universal-hash signatures → bit-identical in DuckDB → exact oracle."""
@@ -750,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_time3": q_format_time3,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
@@ -1212,6 +1232,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON doc_b = sb.doc
             WHERE round(i::double / (sa.n_sh + sb.n_sh - i), 4) >= 0.3
             ORDER BY doc_a, doc_b
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE
+            sh0 AS (
+              SELECT doc_id AS doc,
+                     unnest(list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                       i -> array_to_string(
+                         list_slice(string_split(text, ' '), i, i + 2), ' '))))
+                       AS shingle
+              FROM documents),
+            keep_sh AS (SELECT shingle FROM sh0 GROUP BY shingle
+                        HAVING count(*) <= 50),
+            sh AS (SELECT sh0.* FROM sh0 JOIN keep_sh USING (shingle)),
+            sz AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+            inter AS (
+              SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc < b.doc GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sz sa ON doc_a = sa.doc
+              JOIN sz sb ON doc_b = sb.doc
+              WHERE round(i::double / (sa.n_sh + sb.n_sh - i), 4) >= 0.3),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach(doc, label) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.a, r.label FROM edges e JOIN reach r ON r.doc = e.b),
+            comp AS (SELECT doc, min(label) AS cluster
+                     FROM reach GROUP BY doc),
+            q AS (
+              SELECT doc_id,
+                     round(0.4 * least(length(text)::double / 400.0, 1.0)
+                         + 0.4 * (len(list_distinct(string_split(text, ' ')))::double
+                                  / len(string_split(text, ' ')))
+                         + 0.2 * (1 - length(regexp_replace(text, '[a-zA-Z ]', '', 'g'))::double
+                                  / greatest(length(text), 1)), 4) AS quality
+              FROM documents)
+            SELECT q.doc_id, comp.cluster, q.quality,
+                   row_number() OVER (PARTITION BY comp.cluster
+                                      ORDER BY q.quality DESC, q.doc_id) = 1
+                     AS keep
+            FROM comp JOIN q ON comp.doc = q.doc_id
+            ORDER BY q.doc_id
         """,
         "minhash_lsh": _minhash_lsh_sql(n=3, num_hashes=32, bands=16,
                                         threshold=0.3),

@@ -569,3 +569,96 @@ def embedding_near_dup_lsh(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster collapse: near-dup pairs → connected components → representative
+# ---------------------------------------------------------------------------
+
+def near_dup_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: the step a dedup
+    pipeline runs AFTER pair generation — transitive closure collapses
+    {a~b, b~c} into one cluster so exactly one representative survives.
+
+    Min-label propagation: every doc starts labeled with its own id; each
+    round a doc takes the min of its own label and its neighbors' labels;
+    fixpoint = component-min labels. Each round is one equi-join + one
+    partial-aggregated groupBy (both map-side combinable); rounds needed =
+    graph diameter, which for near-dup clusters is small (dup clusters are
+    dense cliques-ish, not long chains). For adversarially deep graphs the
+    same join primitives compose into alternating large-star/small-star
+    (O(log n) rounds); not needed at news-corpus dup-cluster shapes.
+    Deterministic: labels are pure min() over ids, no partitioning
+    dependence. Lineage is cut with localCheckpoint each round so the
+    driver loop cannot build an O(iters)-deep plan.
+
+    Returns (doc, cluster) — every document appears; singletons are their
+    own cluster.
+    """
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = docs.select(
+        F.col(id_col).alias("doc"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["doc"])
+            .groupBy("a").agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["doc"] == neigh["a"], "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce("nl", "label"))
+                .alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"components did not converge in {max_iters} rounds"
+        )
+    return labels.select("doc", F.col("label").alias("cluster"))
+
+
+def dedup_cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cluster assignment + representative flag: within each
+    near-dup component keep the highest-quality document (ROUNDED quality
+    so the ordering is cross-engine exact, id ascending as the tiebreak) —
+    the reference pipeline's 'store one row per story' intent applied to
+    near-dups. Output: (doc_id, cluster, quality, keep)."""
+    comp = near_dup_components(docs, pairs, id_col)
+    scored = docs.select(
+        F.col(id_col).alias("doc"), quality_col.alias("quality")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), F.col("doc")
+    )
+    return (
+        comp.join(scored, "doc")
+        .withColumn("keep", F.row_number().over(w) == F.lit(1))
+        .select(
+            F.col("doc").alias("doc_id"), "cluster", "quality", "keep"
+        )
+    )

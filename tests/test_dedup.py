@@ -122,6 +122,35 @@ def test_minhash_verify_plans_agree(spark):
     assert a == e and (1, 2) in e
 
 
+def test_near_dup_components_transitive_and_representative(spark):
+    """{a~b, b~c} collapses into ONE cluster even though a~c was never a
+    pair (transitive closure); singletons stay their own cluster; the
+    representative is the highest-quality doc with id as tiebreak."""
+    from crawler_spark.operators.dedup import (
+        dedup_cluster_representatives,
+        near_dup_components,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (10, "z"), (11, "z")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {r.doc: r.cluster for r in
+            near_dup_components(docs, pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 10: 10, 11: 10}
+
+    # quality: doc 2 best in its cluster; tie in cluster 10 → lower id
+    qual = F.when(F.col("doc_id") == 2, F.lit(0.9)).otherwise(F.lit(0.5))
+    reps = {r.doc_id: (r.cluster, r.keep) for r in
+            dedup_cluster_representatives(docs, pairs, qual).collect()}
+    assert reps[2] == (1, True) and reps[1] == (1, False)
+    assert reps[4] == (4, True)
+    assert reps[10] == (10, True) and reps[11] == (10, False)
+
+
 def test_ngram_jaccard_doc_freq_cap_kills_stopword_fanout(spark):
     """A shingle present in EVERY doc (boilerplate) would create |docs|²
     join fanout; the document-frequency cap drops it from the shingle
