@@ -42,9 +42,14 @@ from crawler_spark.functions.dates import (
     format_time2_py,
 )
 
-# Pagination rule names (the 5 corpus types).
+# Pagination rule names (the 6 corpus types).
 NEXT_LINK = "next_link"  # payload carries an explicit next href
 PAGE_PARAM = "page_param"  # ?page=N increment while has_more
+PAGE_PATH = "page_path"  # /page/N path suffix while has_more
+#                          (no_pass/cloudfare/hatawtabloid.py:50-51 — the
+#                          reference threads a meta page counter; deriving
+#                          N from the URL itself is equivalent and
+#                          stateless)
 OFFSET_PARAM = "offset_param"  # ?start=N*20 while has_more
 API_PAGE = "api_page"  # JSON endpoint with page param while has_more
 FORM_PAGE = "form_page"  # POST form body page=N while has_more (yehey.py:70-104)
@@ -144,6 +149,15 @@ def next_page_request(rule: str, url: str, body: str,
         return (urljoin(url, nxt), "GET", "") if nxt else None
     if not payload.get("has_more"):
         return None
+    if rule == PAGE_PATH:
+        # hatawtabloid.py:50-51: url + '/page/' + str(page+1); the current
+        # page number lives in the URL path (absent ⇒ page 1).
+        m = re.match(r"^(.*?)/page/(\d+)/?$", url)
+        if m:
+            base, page = m.group(1), int(m.group(2))
+        else:
+            base, page = url.rstrip("/"), 1
+        return f"{base}/page/{page + 1}", "GET", ""
     base, _, q = url.partition("?")
     params = dict(kv.split("=", 1) for kv in q.split("&") if "=" in kv) if q else {}
     if rule == PAGE_PARAM or rule == API_PAGE:

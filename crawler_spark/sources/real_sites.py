@@ -1,7 +1,7 @@
 """Real spider rule-sets as registry content, with fixtures shaped on the
 actual sites' markup (VERDICT r2 'Next round #4').
 
-Eight deployed spiders from the reference corpus are ported as
+Nine deployed spiders from the reference corpus are ported as
 rules-as-data registry entries — no per-site code, only data consumed by
 the one generic extractor (plans/parser.extract_payload) and the shared
 dataflow (plans/parser.parse_page):
@@ -16,6 +16,7 @@ dataflow (plans/parser.parse_page):
 | maharashtratimes |  473 | nested menus, list bootstrap ?curpg=1, LAST-entry dont_filter pagination probe + self-refetch, breadcrumb categories, D-MonthName-Y,H:M:S dates | 已部署/maharashtratimes.py:26-59,61-83 |
 | shangbao         |  184 | programmatic seed pre-fetch, offset pagination without has_more marker, already-normalized Y-M-D dates, breadcrumb categories, strong-tag abstracts | 已部署/shangbao.py:24-52,63-88 |
 | interaksyon      |  490 | SELECTOR rules (htmlsel) over attribute-jumbled markup, seed straight into a list page, URL-derived category1, last-time-element pagination gate, featured-image-first spans | 已部署/interaksyon.py:13,25-48 |
+| hatawtabloid     |  532 | Cloudflare-clearance cookie on every request (cookie-gated pages), eight-seed category lists with no menu hop, /page/N PATH pagination, positional selector indexing ([1] date span, nth-child(3) breadcrumb) | no_pass/cloudfare/hatawtabloid.py:15-21,28,37-51,53-70 |
 
 The mock pages here are deterministic miniatures of each site's real
 markup (class names, attribute shapes, and nesting mirror the spiders'
@@ -37,6 +38,7 @@ from crawler_spark.plans.parser import (
     NEXT_LINK,
     OFFSET_PARAM,
     PAGE_PARAM,
+    PAGE_PATH,
 )
 from crawler_spark.schema import SEEDS_SCHEMA, SITE_GRAPH_SCHEMA
 
@@ -959,6 +961,126 @@ def _build_interaksyon(g: _G) -> None:
 
 
 # ---------------------------------------------------------------------------
+# hatawtabloid — Cloudflare-clearance cookie on every request, multi-seed
+# category lists (no menu), /page/N PATH pagination, per-entry time gate
+# (demo/no_pass/cloudfare/hatawtabloid.py)
+# ---------------------------------------------------------------------------
+
+# Synthetic stand-in for the clearance cookie the reference hardcodes
+# (hatawtabloid.py:28 — a real captured session string; we never copy it).
+HATAW_COOKIE = "cf_clearance=fixture-clearance-532"
+
+HATAW_RULES = {
+    "rule": PAGE_PATH,
+    "format": "html",
+    "seed_kind": "list",  # 8 category start_urls, parse IS the list
+    "cookie": HATAW_COOKIE,  # sent with every request (hatawtabloid.py:37)
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "extract": {
+        # parse: soup.select('.post-listing article'), href off 'h2 a',
+        # entry date from '.post-meta' text (hatawtabloid.py:43-45)
+        "entry": {
+            "sel": ".post-listing article",
+            "fields": {
+                "href": {"sel": "h2 a", "attr": "href"},
+                "time": {"sel": ".post-meta"},
+            },
+        },
+        # paginate while entries stay fresh; no marker (flag-driven,
+        # hatawtabloid.py:48-51)
+        "more": {"sel": ".post-listing article"},
+        # parse_news (hatawtabloid.py:53-70)
+        "title": {"sel": "h1.post-title.entry-title"},
+        # '.post-meta > span' index [1] — the SECOND span is the date
+        "pub": {"sel": ".post-meta > span", "index": 1},
+        # '#main-content ... span:nth-child(3) > a' breadcrumb — the THIRD
+        # breadcrumb span's link text
+        "cat1": {"sel": "p.breadcrumbs > span > a", "index": 2},
+        "block": {
+            "para_sel": "div.entry p",
+            "img_sel": "div.single-post-thumb img",
+        },
+    },
+}
+
+
+def _build_hatawtabloid(g: _G) -> None:
+    host = "www.hatawtabloid.com"
+    wid = 532
+    g.registry[wid] = dict(HATAW_RULES)
+    base = f"https://{host}"
+    # Two of the reference's eight category seeds; each is its own
+    # seed-to-list chain (hatawtabloid.py:15-21,39-41).
+    cats = [("news", "News"), ("sports", "Sports")]
+    # Entry ages (hours before BASE_DT) per category per page; the 36 h
+    # cutoff trips mid-page-3 for news (page/4 never fetched) and
+    # mid-page-2 for sports (page/3 never fetched).
+    ages = {
+        "news": [[0, 2], [26, 28], [50, 52]],
+        "sports": [[12, 14], [30, 38], [54, 56]],
+    }
+    for slug, label in cats:
+        cat_url = f"{base}/category/{slug}/"
+        g.seeds.append({"url": cat_url, "website_id": wid,
+                        "language_id": 2117})
+        for p, page_ages in enumerate(ages[slug], start=1):
+            lurl = cat_url if p == 1 else f"{base}/category/{slug}/page/{p}"
+            arts = []
+            for e, age in enumerate(page_ages):
+                dt = BASE_DT - timedelta(hours=age)
+                dtxt = (f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+                        f" {dt.hour:02d}:{dt.minute:02d}")
+                aurl = f"{base}/{slug}-story-{p}-{e}/"
+                js = f"{aurl}#x"
+                arts.append(
+                    "<article>"
+                    + _jumble(js + "h2", "h2", [("class", "post-box-title")])
+                    + _jumble(js + "a", "a", [("href", aurl)])
+                    + f"Hataw {slug} {p}-{e}</a></h2>"
+                    + _jumble(js + "pm", "p", [("class", "post-meta")])
+                    + f'<span class="tie-date">{dtxt}</span></p></article>'
+                )
+                crumbs = "".join(
+                    f"<span><a>{t}</a></span>"
+                    for t in ("Home", "Hataw Tabloid", label)
+                )
+                g.page(
+                    aurl, "article",
+                    "<html><body>"
+                    + _jumble(js + "mc", "div", [("id", "main-content")])
+                    + "<div><article><div>"
+                    + _jumble(js + "bc", "p", [("class", "breadcrumbs")])
+                    + crumbs + "</p>"
+                    + _jumble(js + "t", "h1",
+                              [("class", "post-title entry-title")])
+                    + f"Hataw {slug} headline {p}-{e}</h1>"
+                    + _jumble(js + "m2", "p", [("class", "post-meta")])
+                    + f'<span class="author">By Staff</span>'
+                    f'<span class="date">{dtxt}</span></p>'
+                    + _jumble(js + "th", "div",
+                              [("class", "single-post-thumb")])
+                    + _jumble(js + "im", "img",
+                              [("src", f"{base}/th/{slug}{p}{e}.jpg")])
+                    + "</div>"
+                    + _jumble(js + "en", "div", [("class", "entry")])
+                    + f"<p>hataw {slug} lead {p}-{e}</p>"
+                    f"<p>hataw {slug} body {p}-{e}</p>"
+                    "</div></div></article></div></div></body></html>",
+                    host,
+                )
+                g.pages[(aurl, "GET", "")]["required_cookie"] = HATAW_COOKIE
+            g.page(
+                lurl, "list",
+                "<html><body>"
+                + _jumble(lurl + "pl", "div", [("class", "post-listing")])
+                + "".join(arts) + "</div></body></html>",
+                host,
+            )
+            g.pages[(lurl, "GET", "")]["required_cookie"] = HATAW_COOKIE
+
+
+# ---------------------------------------------------------------------------
 # Combined graph
 # ---------------------------------------------------------------------------
 
@@ -971,6 +1093,7 @@ SITE_BUILDERS = {
     "maharashtratimes": _build_maharashtratimes,
     "shangbao": _build_shangbao,
     "interaksyon": _build_interaksyon,
+    "hatawtabloid": _build_hatawtabloid,
 }
 
 

@@ -40,8 +40,34 @@ def _docs_by_site(sim) -> dict[int, list[dict]]:
 
 def test_all_sites_produce_documents(sim):
     by_site = _docs_by_site(sim)
-    assert set(by_site) == {1033, 467, 1194, 190, 1225, 473, 184, 490}
+    assert set(by_site) == {1033, 467, 1194, 190, 1225, 473, 184, 490, 532}
     assert all(len(v) >= 2 for v in by_site.values())
+
+
+def test_hatawtabloid_cookie_gate_and_path_pagination(sim):
+    """hatawtabloid.py: every request carries the clearance cookie (pages
+    are gated on it), the 'category' start_urls are each their own
+    seed-to-list chain, pagination is the /page/N PATH form, and the
+    per-entry post-meta date gate stops each chain mid-flight."""
+    docs = _docs_by_site(sim)[532]
+    urls = [u for _, u in sim["crawl_log"] if "hatawtabloid" in u]
+    # cookie-gated pages yielded payloads → docs exist at all
+    assert len(docs) == 7
+    # path pagination: news crawled through page/3, sports stopped after
+    # page/2 (its second page-2 entry is beyond the cutoff)
+    assert any(u.endswith("news/page/3") for u in urls)
+    assert not any(u.endswith("news/page/4") for u in urls)
+    assert any(u.endswith("sports/page/2") for u in urls)
+    assert not any(u.endswith("sports/page/3") for u in urls)
+    # third breadcrumb span is category1 (the nth-child(3) selector)
+    assert {d["category1"] for d in docs} == {"News", "Sports"}
+    # '.post-meta > span'[1] — the SECOND span — is the date
+    assert all(d["pub_time"].endswith(":00") for d in docs)
+    assert any(d["pub_time"] == "2021-05-30 12:00:00" for d in docs)
+    # single-post-thumb image leads the spans; abstract = first entry para
+    assert all(d["spans"][0]["kind"] == "image"
+               and "/th/" in d["spans"][0]["media_ref"] for d in docs)
+    assert all(d["abstract"].startswith("hataw ") for d in docs)
 
 
 def test_interaksyon_selector_rules_on_jumbled_markup(sim):
