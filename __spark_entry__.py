@@ -45,6 +45,7 @@ from crawler_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
     url_seen_filter,
+    url_seen_filter_cuckoo,
 )
 from crawler_spark.operators.multimodal import (
     attach_fake_media,
@@ -217,6 +218,46 @@ def q_url_seen_antijoin(spark, sf_dir):
     )
     return (
         url_seen_filter(spark, cand, seen, bloom=None)
+        .select("url", "dont_filter")
+        .orderBy("url")
+    )
+
+
+def q_url_seen_cuckoo(spark, sf_dir):
+    """D1 via the CUCKOO tier (operators/cuckoo.py): build the sharded
+    filter over the seen set, DELETE an expired third of it (recrawl
+    eviction — the operation the bloom tier cannot do), then run the
+    two-tier filter against the remaining active set. The exact anti-join
+    resolves filter false positives, so the output equals a plain
+    anti-join vs (seen ∖ expired) regardless of filter state."""
+    from crawler_spark.operators.cuckoo import (
+        build_cuckoo_sharded,
+        delete_cuckoo_shards,
+    )
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    cand = (
+        li.select(
+            F.col("l_orderkey").cast("string").alias("url"),
+            (F.col("l_orderkey") % 10 == 0).alias("dont_filter"),
+        )
+        .distinct()
+        .withColumn("url_hash", F.xxhash64("url"))
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    seen_all = orders.select(
+        F.col("o_orderkey").cast("string").alias("url")
+    ).withColumn("url_hash", F.xxhash64("url"))
+    expired = seen_all.filter(F.col("url").cast("long") % 9 == 0)
+    active = seen_all.filter(F.col("url").cast("long") % 9 != 0)
+    shards = build_cuckoo_sharded(seen_all, "url_hash", num_shards=8)
+    nb = int(shards.select(F.max("num_buckets")).collect()[0][0])
+    after = delete_cuckoo_shards(
+        shards, expired, "url_hash", num_shards=8, num_buckets=nb
+    )
+    return (
+        url_seen_filter_cuckoo(spark, cand, active, after)
         .select("url", "dont_filter")
         .orderBy("url")
     )
@@ -757,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "report_totals": q_report_totals,
         "url_canonicalize": q_url_canonicalize,
         "url_seen_antijoin": q_url_seen_antijoin,
+        "url_seen_cuckoo": q_url_seen_cuckoo,
         "frontier_dedup": q_frontier_dedup,
         "politeness_admission": q_politeness_admission,
         "robots_filter": q_robots_filter,
@@ -1075,6 +1117,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, dont_filter FROM cand
             WHERE dont_filter
                OR NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = cand.url)
+            ORDER BY url
+        """,
+        "url_seen_cuckoo": """
+            WITH cand AS (
+              SELECT DISTINCT cast(l_orderkey AS varchar) AS url,
+                     l_orderkey % 10 = 0 AS dont_filter
+              FROM lineitem),
+            active AS (
+              SELECT cast(o_orderkey AS varchar) AS url
+              FROM orders
+              WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)
+            SELECT url, dont_filter FROM cand
+            WHERE dont_filter
+               OR NOT EXISTS (SELECT 1 FROM active WHERE active.url = cand.url)
             ORDER BY url
         """,
         "frontier_dedup": """

@@ -122,6 +122,32 @@ def url_seen_filter_sharded(
     return survivors.unionByName(definitely_new).unionByName(bypass)
 
 
+def url_seen_filter_cuckoo(
+    spark: SparkSession,
+    candidates: DataFrame,
+    url_seen: DataFrame,
+    cuckoo_shards: DataFrame,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """url_seen_filter with a sharded CUCKOO prefilter (operators/cuckoo.py)
+    instead of the bloom — identical two-tier semantics (prefilter only;
+    the exact left-anti join decides every drop), but the filter tier
+    supports DELETION, so recrawl eviction / retention rolls don't force a
+    filter rebuild over the full seen history. Same shard topology as the
+    bloom path: tables stay distributed, probed via cogroup."""
+    from crawler_spark.operators.cuckoo import cuckoo_probe_sharded
+
+    bypass = candidates.filter(F.col("dont_filter"))
+    subject = candidates.filter(~F.col("dont_filter"))
+    maybe = cuckoo_probe_sharded(subject, cuckoo_shards, "url_hash", num_shards)
+    definitely_new = maybe.filter(~F.col("_maybe")).drop("_maybe")
+    suspects = maybe.filter(F.col("_maybe")).drop("_maybe")
+    survivors = suspects.join(
+        url_seen.select("url").distinct(), on="url", how="left_anti"
+    )
+    return survivors.unionByName(definitely_new).unionByName(bypass)
+
+
 # ---------------------------------------------------------------------------
 # Corpus near-duplicate operators (documents table: doc_id, text, ...)
 # ---------------------------------------------------------------------------

@@ -94,6 +94,7 @@ class CrawlEngine:
         bloom_shards_n: int = 32,  # shard count of the sharded URL-seen bloom
         bloom_threshold: int = 4096,  # auto-enable bloom above this |url_seen|
         fetcher=None,  # Fetcher seam; default MockWebFetcher(site_graph)
+        filter_kind: str = "bloom",  # URL-seen prefilter tier: bloom | cuckoo
     ):
         from crawler_spark.sources.fetcher import MockWebFetcher
 
@@ -121,6 +122,13 @@ class CrawlEngine:
         self.compact_every = compact_every
         self.bloom_shards_n = bloom_shards_n
         self.bloom_threshold = bloom_threshold
+        if filter_kind not in ("bloom", "cuckoo"):
+            raise ValueError(f"filter_kind must be bloom|cuckoo, got {filter_kind}")
+        # "cuckoo" swaps the prefilter tier for the deletable cuckoo filter
+        # (operators/cuckoo.py) — identical two-tier drop semantics (the
+        # exact anti-join still decides), but seen-entries can be EVICTED
+        # incrementally (recrawl TTLs) without a filter rebuild.
+        self.filter_kind = filter_kind
         # Sharded-bloom maintenance state: parameters of the live filter
         # (None until first build / restored from the manifest on resume).
         self._bloom_params: dict | None = None
@@ -218,13 +226,32 @@ class CrawlEngine:
         happens only on activation, on resume from a checkpoint without
         stored shards, or when the seen set outgrew the filter's sized
         capacity (amortized doubling — O(log |seen|) rebuilds ever)."""
+        kind = self.filter_kind
         params = None
-        if prev_batch >= 0 and self.ckpt.has_part(prev_batch, "bloom"):
-            params = self.ckpt.stats(prev_batch).get("bloom")
+        if prev_batch >= 0 and self.ckpt.has_part(prev_batch, kind):
+            params = self.ckpt.stats(prev_batch).get(kind)
         if params is not None and seen_count <= params["capacity"]:
             self._bloom_params = params
-            return self.ckpt.read_part(prev_batch, "bloom")
+            return self.ckpt.read_part(prev_batch, kind)
         capacity = max(4 * max(seen_count, 1), 4 * self.bloom_threshold)
+        if kind == "cuckoo":
+            from crawler_spark.operators.cuckoo import (
+                CuckooFilter,
+                build_cuckoo_sharded,
+            )
+
+            num_buckets = CuckooFilter.buckets_for(
+                max(1, capacity // self.bloom_shards_n)
+            )
+            self._bloom_params = {
+                "num_shards": self.bloom_shards_n,
+                "num_buckets": num_buckets,
+                "capacity": capacity,
+            }
+            return build_cuckoo_sharded(
+                url_seen, "url_hash", self.bloom_shards_n,
+                expected_items=capacity,
+            )
         num_bits, k = sharded_params(self.bloom_shards_n, capacity)
         self._bloom_params = {
             "num_shards": self.bloom_shards_n,
@@ -348,10 +375,18 @@ class CrawlEngine:
         # dedup metrics (A4) — without the persist the dedup chain runs twice.
         if bloom_on:
             bloom_shards = self._bloom_state(b - 1, url_seen, seen_count).persist()
-            dedup_out = url_seen_filter_sharded(
-                spark, cands, url_seen, bloom_shards,
-                self._bloom_params["num_shards"],
-            ).persist()
+            if self.filter_kind == "cuckoo":
+                from crawler_spark.operators.dedup import url_seen_filter_cuckoo
+
+                dedup_out = url_seen_filter_cuckoo(
+                    spark, cands, url_seen, bloom_shards,
+                    self._bloom_params["num_shards"],
+                ).persist()
+            else:
+                dedup_out = url_seen_filter_sharded(
+                    spark, cands, url_seen, bloom_shards,
+                    self._bloom_params["num_shards"],
+                ).persist()
         else:
             bloom_shards = None
             dedup_out = url_seen_filter(spark, cands, url_seen, None).persist()
@@ -506,20 +541,28 @@ class CrawlEngine:
         }
         stats = {"admitted": n_admitted, "docs": n_docs}
         if bloom_on:
-            # Incremental sharded-bloom maintenance: OR-merge this batch's
-            # new seen hashes into the stored shard bitsets — O(delta) work,
-            # committed atomically WITH the docs delta so bloom state can
-            # never run ahead of (or behind) the seen set across a crash.
+            # Incremental filter maintenance: fold this batch's new seen
+            # hashes into the stored shard state — O(delta) work, committed
+            # atomically WITH the docs delta so filter state can never run
+            # ahead of (or behind) the seen set across a crash.
             p = self._bloom_params
             delta_hashes = docs_delta.select(
                 F.xxhash64(canonicalize_col(F.col("request_url")))
                 .alias("url_hash")
             )
-            parts["bloom"] = merge_bloom_shards(
-                bloom_shards, delta_hashes, "url_hash",
-                p["num_shards"], p["num_bits"], p["num_hashes"],
-            )
-            stats["bloom"] = p
+            if self.filter_kind == "cuckoo":
+                from crawler_spark.operators.cuckoo import merge_cuckoo_shards
+
+                parts["cuckoo"] = merge_cuckoo_shards(
+                    bloom_shards, delta_hashes, "url_hash",
+                    p["num_shards"], p["num_buckets"],
+                )
+            else:
+                parts["bloom"] = merge_bloom_shards(
+                    bloom_shards, delta_hashes, "url_hash",
+                    p["num_shards"], p["num_bits"], p["num_hashes"],
+                )
+            stats[self.filter_kind] = p
         self.ckpt.commit(b, parts, stats=stats)
         self._seen_total += n_docs
         for df in (dedup_out, cands, admitted, fetched, parsed):

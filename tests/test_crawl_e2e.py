@@ -198,6 +198,34 @@ def test_crawl_with_bloom_identical(spark, graph, sim, tmp_path_factory,
     assert stored  # non-degenerate
 
 
+def test_crawl_with_cuckoo_identical(spark, graph, sim, tmp_path_factory):
+    """filter_kind='cuckoo' swaps the prefilter tier for the deletable
+    cuckoo filter (operators/cuckoo.py); like bloom it only prefilters —
+    the exact anti-join decides — so EVERY outcome must be byte-identical
+    to the reference simulator: crawl log order, URL-seen set, doc set."""
+    ckpt = tmp_path_factory.mktemp("ckpt_cuckoo")
+    eng, res = _run_engine(
+        spark, graph, ckpt, use_bloom=True, filter_kind="cuckoo"
+    )
+    assert _engine_log(res) == sim["crawl_log"]
+    assert {r.url for r in res["url_seen"].collect()} == sim["url_seen"]
+    assert _engine_docs(res) == _sim_docs(sim)
+
+    # The incrementally-maintained cuckoo shards must still contain every
+    # seen hash (no false negatives after N merge batches) and stay small.
+    from crawler_spark.operators.cuckoo import cuckoo_probe_sharded
+
+    last = eng.ckpt.last_complete_batch()
+    assert eng.ckpt.has_part(last, "cuckoo")
+    shards = eng.ckpt.read_part(last, "cuckoo")
+    probed = cuckoo_probe_sharded(
+        res["url_seen"].select("url_hash"), shards, "url_hash"
+    )
+    import pyspark.sql.functions as SF
+
+    assert probed.filter(~SF.col("_maybe")).count() == 0
+
+
 def test_bloom_auto_activates_and_stays_sharded(spark, tmp_path_factory,
                                                 monkeypatch):
     """With the default auto mode, once |url_seen| crosses the threshold
