@@ -35,27 +35,40 @@ from crawler_spark.session import get_spark
 
 BENCH_QUERIES = [
     "report_daily",
+    "report_cumulative",
+    "report_totals",
     "url_canonicalize",
     "url_seen_antijoin",
+    "url_seen_cuckoo",
     "frontier_dedup",
     "politeness_admission",
     "robots_filter",
     "fetch_schedule",
+    "priority_score",
     "event_sessionize",
     "time_cutoff",
+    "url_dispatch",
     "fuzzy_date_parse",
+    "format_time3",
     "exact_dedup",
+    "ngram_jaccard",
+    "dedup_clusters",
     "minhash_lsh",
     "simhash_pairs",
     "token_stats",
     "lang_id",
     "quality_score",
+    "fingerprint",
     "embedding_topk",
+    "embedding_near_dup",
     "similarity_lsh",
+    "similarity_ivf",
     "event_hourly_agg",
     "interleaved_spans",
     "multimodal_features",
 ]
+# The five crawl_* queries are deliberately absent: each is a projection of
+# the same fixture crawl the `crawl` section below times end-to-end.
 
 
 def force(df) -> None:

@@ -13,6 +13,8 @@ selectors of the form
     tag .class #id [attr] [attr=value]      (simple selectors, combinable)
     A B                                     (descendant)
     A > B                                   (child)
+    A ~ B                                   (general sibling — B after A)
+    A + B                                   (adjacent sibling)
 
 ``select`` returns matches in document order. Text extraction normalizes
 whitespace (runs collapse to one space) so markup reformatting cannot
@@ -134,11 +136,11 @@ def _parse_simple(token: str):
 
 
 def _parse_selector(sel: str):
-    tokens = re.findall(r">|[^\s>]+", sel)
+    tokens = re.findall(r"[>~+]|[^\s>~+]+", sel)
     path, comb = [], " "
     for t in tokens:
-        if t == ">":
-            comb = ">"
+        if t in (">", "~", "+"):
+            comb = t
         else:
             path.append((comb, _parse_simple(t)))
             comb = " "
@@ -185,6 +187,16 @@ def select(root: Node, sel: str) -> list[Node]:
                 continue
             if comb == ">":
                 if n.parent is not None and id(n.parent) in cur:
+                    nxt.add(id(n))
+            elif comb in ("~", "+"):
+                # Sibling combinators (boholchronicle.py:51-54 uses
+                # ``.heateorSssClear ~ p`` for the article body).
+                if n.parent is None:
+                    continue
+                sibs = [c for c in n.parent.children if isinstance(c, Node)]
+                i = next(j for j, s in enumerate(sibs) if s is n)
+                before = sibs[i - 1:i] if comb == "+" else sibs[:i]
+                if any(id(s) in cur for s in before):
                     nxt.add(id(n))
             else:
                 a = n.parent

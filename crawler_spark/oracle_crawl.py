@@ -66,9 +66,12 @@ FIXTURE_KW = dict(
 )
 # aajtak + maharashtratimes certify two-level menus / probes / category2;
 # interaksyon certifies the SELECTOR rule surface (htmlsel) over jumbled
-# markup through the driver's gate.
-REAL_FIXTURE_SITES = ["aajtak", "maharashtratimes", "interaksyon"]
-_FIXTURE_VERSION = 3  # bump when fixture composition/output shape changes
+# markup through the driver's gate; boholchronicle certifies multi-group
+# menus with fixed labels and sibling-combinator selectors.
+REAL_FIXTURE_SITES = [
+    "aajtak", "maharashtratimes", "interaksyon", "boholchronicle",
+]
+_FIXTURE_VERSION = 4  # bump when fixture composition/output shape changes
 
 # Fixed path the oracle SQL reads — fingerprinted on the fixture config so
 # a stale parquet set from an older code version can never be compared.

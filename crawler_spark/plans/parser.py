@@ -266,7 +266,11 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                       (attr value or normalized text of match #i; [-1]
                       supported — interaksyon.py:29-30)
       category rules: {"sel": css, "attr"?: href-attr} — each match is the
-                      link; label = its text
+                      link; label = its text. A LIST of such specs = menu
+                      GROUPS in spec order, each with a fixed "label"
+                      (= category1) and the link text as label2
+                      (= category2; suppress with "label2": False) — the
+                      boholchronicle.py:28-34 multi-group menu shape
       entry:          {"sel": css} (match IS the <a>) or {"sel": css,
                       "fields": {href/title/time/img/abstract: scalar
                       specs relative to the match}}
@@ -300,30 +304,45 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
         excluded = set(rules.get("excluded_labels", ()))
         excluded_slugs = set(rules.get("excluded_slugs", ()))
         cats = []
-        if _is_sel(rules[key]):
-            # Selector form: each matched node is the link — href off the
-            # node's attr (default 'href'), label = its normalized text.
-            spec = rules[key]
-            pairs = [
-                (n.attr(spec.get("attr", "href")), n.text())
-                for n in htmlsel.select(dom(), spec["sel"])
-            ]
-        else:
-            pairs = [
-                (m.group(1), m.group(2))
-                for m in re.finditer(rules[key], html)
-            ]
-        for href, label in pairs:
+        # A LIST of specs = menu GROUPS, each with a FIXED category label
+        # and the matched links' text as the second-level label — the
+        # boholchronicle.py:28-34 shape (three id-keyed sub-menus, each
+        # hardcoding category1, sub-link text as category2, plus one
+        # direct link with category2=None). Groups emit in spec order,
+        # matching the reference's sequential yield loops.
+        specs = rules[key] if isinstance(rules[key], list) else [rules[key]]
+        pairs = []  # (href, label, label2 | None)
+        for spec in specs:
+            if _is_sel(spec):
+                # Selector form: each matched node is the link — href off
+                # the node's attr (default 'href'), label = its normalized
+                # text (or the group's fixed label, link text as label2).
+                fixed = spec.get("label")
+                for n in htmlsel.select(dom(), spec["sel"]):
+                    href, text = n.attr(spec.get("attr", "href")), n.text()
+                    if fixed is None:
+                        pairs.append((href, text, None))
+                    else:
+                        label2 = None if spec.get("label2") is False else text
+                        pairs.append((href, fixed, label2))
+            else:
+                pairs.extend(
+                    (m.group(1), m.group(2), None)
+                    for m in re.finditer(spec, html)
+                )
+        for href, label, label2 in pairs:
             if href is None:
                 continue
             slug = href.rstrip("/").rsplit("/", 1)[-1]
-            cats.append(
-                {
-                    "href": href,
-                    "label": label,
-                    "excluded": label in excluded or slug in excluded_slugs,
-                }
-            )
+            cat = {
+                "href": href,
+                "label": label,
+                "excluded": label in excluded or slug in excluded_slugs
+                or (label2 is not None and label2 in excluded),
+            }
+            if label2 is not None:
+                cat["label2"] = label2
+            cats.append(cat)
         return {"categories": cats}
 
     if kind in ("list", "api"):

@@ -1,7 +1,7 @@
 """Real spider rule-sets as registry content, with fixtures shaped on the
 actual sites' markup (VERDICT r2 'Next round #4').
 
-Nine deployed spiders from the reference corpus are ported as
+Ten deployed spiders from the reference corpus are ported as
 rules-as-data registry entries — no per-site code, only data consumed by
 the one generic extractor (plans/parser.extract_payload) and the shared
 dataflow (plans/parser.parse_page):
@@ -17,6 +17,7 @@ dataflow (plans/parser.parse_page):
 | shangbao         |  184 | programmatic seed pre-fetch, offset pagination without has_more marker, already-normalized Y-M-D dates, breadcrumb categories, strong-tag abstracts | 已部署/shangbao.py:24-52,63-88 |
 | interaksyon      |  490 | SELECTOR rules (htmlsel) over attribute-jumbled markup, seed straight into a list page, URL-derived category1, last-time-element pagination gate, featured-image-first spans | 已部署/interaksyon.py:13,25-48 |
 | hatawtabloid     |  532 | Cloudflare-clearance cookie on every request (cookie-gated pages), eight-seed category lists with no menu hop, /page/N PATH pagination, positional selector indexing ([1] date span, nth-child(3) breadcrumb) | no_pass/cloudfare/hatawtabloid.py:15-21,28,37-51,53-70 |
+| boholchronicle   |  448 | multi-GROUP menus (id-keyed sub-menus each hardcoding category1, link text as category2, one direct link with category2=None), sibling-combinator body selectors (`.heateorSssClear ~ p`), page-level byline pagination gate | 已部署/boholchronicle.py:12-13,28-34,39-43,45-58 |
 
 The mock pages here are deterministic miniatures of each site's real
 markup (class names, attribute shapes, and nesting mirror the spiders'
@@ -1005,6 +1006,140 @@ HATAW_RULES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# boholchronicle — multi-GROUP menu (each id-keyed sub-menu hardcodes its
+# own category1, sub-link text = category2, plus one direct link with no
+# category2), sibling-combinator body extraction (.heateorSssClear ~ p),
+# page-level byline gate, LAST-nav-link pagination
+# (已部署/boholchronicle.py)
+# ---------------------------------------------------------------------------
+
+BOHOL_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "title_priority": "page",  # boholchronicle.py:47 reads .post-title
+    "article_pub_priority": "page",  # boholchronicle.py:55 reads .post-byline
+    "extract": {
+        # parse(): four menu groups, each selected by its WordPress menu
+        # item id with a HARDCODED category1; sub-link text is category2;
+        # the Nation link is direct (category2=None)
+        # (boholchronicle.py:28-34).
+        "category": [
+            {"sel": "#menu-item-45526 .sub-menu li a", "label": "News"},
+            {"sel": "#menu-item-45298 .sub-menu li a",
+             "label": "Commentary"},
+            {"sel": "#menu-item-5348 .sub-menu li a", "label": "Features"},
+            {"sel": "#menu-item-5349 a", "label": "Nation",
+             "label2": False},
+        ],
+        # parse2: '#loop-container div .post-title a' (boholchronicle.py:39)
+        "entry": {"sel": "#loop-container div .post-title a"},
+        # pagination gate: the LAST entry's byline, page-level — entries
+        # themselves are never gated (boholchronicle.py:42)
+        "page_time": {"sel": "#loop-container div .post-byline",
+                      "index": -1},
+        # next page: LAST '.nav-links > a' (boholchronicle.py:43)
+        "next": {"sel": ".nav-links > a", "index": -1, "attr": "href"},
+        # parse3 (boholchronicle.py:45-58)
+        "title": {"sel": ".post-title"},
+        # pub = the byline FOLLOWING the title (sibling combinator,
+        # boholchronicle.py:55)
+        "pub": {"sel": ".post-title ~ .post-byline"},
+        "block": {
+            # body = every <p> after the social-share clear div — the
+            # reference's '.heateorSssClear ~ p' (boholchronicle.py:50-54)
+            "para_sel": ".heateorSssClear ~ p",
+            # lead image: '#loop-container img' (boholchronicle.py:56-57
+            # takes [0]; the fixture articles carry exactly one)
+            "img_sel": "#loop-container img",
+        },
+    },
+}
+
+
+def _bohol_date(dt: datetime) -> str:
+    return (f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+            f" {dt.hour:02d}:{dt.minute:02d}")
+
+
+def _build_boholchronicle(g: _G) -> None:
+    host = "www.boholchronicle.com.ph"
+    wid = 448  # boholchronicle.py:13
+    g.registry[wid] = dict(BOHOL_RULES)
+    base = f"https://{host}"
+    g.seeds.append({"url": f"{base}/", "website_id": wid,
+                    "language_id": 1866})
+    # (menu-group id, category1, [(slug, category2)...]) — Nation is the
+    # direct-link group (no sub-menu, category2 stays null end-to-end).
+    groups = [
+        ("45526", "News", [("top", "Top Stories"), ("local", "Local")]),
+        ("45298", "Commentary", [("editorial", "Editorial")]),
+    ]
+    items = []
+    for gid, _c1, subs in groups:
+        links = "".join(
+            f'<li><a href="{base}/category/{slug}/">{label}</a></li>'
+            for slug, label in subs
+        )
+        items.append(
+            f'<li id="menu-item-{gid}" class="menu-item-has-children">'
+            f'<a href="#">x</a><ul class="sub-menu">{links}</ul></li>'
+        )
+    items.append(
+        f'<li id="menu-item-5349"><a href="{base}/category/nation/">'
+        "Nation</a></li>"
+    )
+    g.page(
+        f"{base}/", "menu",
+        '<html><body><ul id="menu-main">' + "".join(items)
+        + "</ul></body></html>",
+        host,
+    )
+    chains = [slug for _gid, _c1, subs in groups for slug, _l in subs]
+    chains.append("nation")
+    for ci, slug in enumerate(chains):
+        for p in range(2):
+            lurl = f"{base}/category/{slug}/" + (f"page/{p + 1}/" if p else "")
+            # Page 0's last byline is fresh (gate passes → page 2 queued);
+            # page 1's is 3 days old (gate fails → pagination stops there).
+            page_dt = BASE_DT - timedelta(days=3 * p, hours=ci)
+            ents = []
+            for e in range(2):
+                dt = page_dt - timedelta(minutes=30 * e)
+                aurl = f"{base}/{2021}/bohol-{slug}-{p}-{e}/"
+                ents.append(
+                    '<div class="post type-post">'
+                    f'<h2 class="post-title"><a href="{aurl}">'
+                    f"Bohol {slug} list {p}-{e}</a></h2>"
+                    f'<div class="post-byline">{_bohol_date(dt)}</div></div>'
+                )
+                paras = "".join(
+                    f"<p>bohol {slug} body {p}-{e}-{k}</p>" for k in range(2)
+                )
+                g.page(
+                    aurl, "article",
+                    '<html><body><div id="loop-container">'
+                    f'<h1 class="post-title">Bohol {slug} story {p}-{e}</h1>'
+                    f'<div class="post-byline">{_bohol_date(dt)}</div>'
+                    f'<img src="{base}/wp/{slug}{p}{e}.jpg"/>'
+                    '<div class="heateorSssClear"></div>'
+                    f"{paras}</div></body></html>",
+                    host,
+                )
+            nav = (
+                '<div class="nav-links">'
+                + (f'<a href="{base}/category/{slug}/">Prev</a>' if p else "")
+                + f'<a href="{base}/category/{slug}/page/{p + 2}/">Next</a>'
+                "</div>"
+            )
+            g.page(
+                lurl, "list",
+                '<html><body><div id="loop-container">' + "".join(ents)
+                + "</div>" + nav + "</body></html>",
+                host,
+            )
+
+
 def _build_hatawtabloid(g: _G) -> None:
     host = "www.hatawtabloid.com"
     wid = 532
@@ -1093,6 +1228,7 @@ SITE_BUILDERS = {
     "maharashtratimes": _build_maharashtratimes,
     "shangbao": _build_shangbao,
     "interaksyon": _build_interaksyon,
+    "boholchronicle": _build_boholchronicle,
     "hatawtabloid": _build_hatawtabloid,
 }
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -61,14 +62,33 @@ class CrawlCheckpoint:
     def commit(self, batch_id: int, parts: dict[str, DataFrame],
                stats: dict) -> None:
         """Write all parts, then the manifest (the atomic commit point)."""
+        self.write_parts(batch_id, parts)
+        self.finalize(batch_id, stats)
+
+    def write_parts(self, batch_id: int, parts: dict[str, DataFrame]) -> None:
+        """Write all state dirs for ``batch_id`` — NOT yet committed (the
+        batch stays invisible to readers until ``finalize`` lands the
+        manifest). The parts are independent jobs over mostly-persisted
+        inputs; submitting them from driver threads lets Spark run them
+        concurrently (idle cores otherwise wait out each tiny write in
+        turn — the dominant per-batch driver overhead at small batches)."""
         bdir = self._batch_dir(batch_id)
         if os.path.exists(bdir) and not os.path.exists(self._manifest(batch_id)):
             shutil.rmtree(bdir)  # torn write from a killed run
         os.makedirs(bdir, exist_ok=True)
-        for name, df in parts.items():
+
+        def write_one(item):
+            name, df = item
             df.coalesce(self.write_partitions).write.mode("overwrite").parquet(
                 os.path.join(bdir, name)
             )
+
+        with ThreadPoolExecutor(max_workers=max(1, len(parts))) as ex:
+            list(ex.map(write_one, parts.items()))
+
+    def finalize(self, batch_id: int, stats: dict) -> None:
+        """Land the manifest — the single atomic commit point. Only call
+        after every part of the batch is fully on disk."""
         tmp = self._manifest(batch_id) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"batch_id": batch_id, "stats": stats}, fh)
@@ -133,33 +153,38 @@ class CrawlCheckpoint:
         the per-batch tail instead of O(batches) directories. Commit point
         is an atomic marker-file rename, so a killed compaction is
         invisible. A 10^10-URL deployment runs this every k batches (or
-        lets Iceberg do it natively via the SnapshotTable seam)."""
-        for name in names:
-            out = self._compact_dir(name, upto_batch)
-            if os.path.exists(os.path.join(out, "_COMMITTED")):
-                # Already compacted to exactly this batch: re-running would
-                # select this directory as its own (lazy) read base and then
-                # destroy it before the rewrite executes. Short-circuit.
-                continue
-            df = self.read_deltas(name, upto_batch)
-            if df is None:
-                continue
-            # Write to a temp dir first: the lazy ``df`` may read the
-            # previous compaction, which must stay intact until the new
-            # snapshot is fully on disk. Swap + marker after the write.
-            tmp_out = out + ".tmp"
-            if os.path.exists(tmp_out):
-                shutil.rmtree(tmp_out)
-            df.coalesce(max(self.write_partitions, 1)).write.mode(
-                "overwrite"
-            ).parquet(tmp_out)
-            if os.path.exists(out):
-                shutil.rmtree(out)
-            os.rename(tmp_out, out)
-            tmp = os.path.join(out, "_COMMITTED.tmp")
-            with open(tmp, "w") as fh:
-                fh.write(str(upto_batch))
-            os.replace(tmp, os.path.join(out, "_COMMITTED"))
+        lets Iceberg do it natively via the SnapshotTable seam). The
+        per-part rewrites are independent jobs — run them concurrently,
+        same rationale as the parallel part writes in ``commit``."""
+        with ThreadPoolExecutor(max_workers=max(1, len(names))) as ex:
+            list(ex.map(lambda n: self._compact_one(n, upto_batch), names))
+
+    def _compact_one(self, name: str, upto_batch: int) -> None:
+        out = self._compact_dir(name, upto_batch)
+        if os.path.exists(os.path.join(out, "_COMMITTED")):
+            # Already compacted to exactly this batch: re-running would
+            # select this directory as its own (lazy) read base and then
+            # destroy it before the rewrite executes. Short-circuit.
+            return
+        df = self.read_deltas(name, upto_batch)
+        if df is None:
+            return
+        # Write to a temp dir first: the lazy ``df`` may read the
+        # previous compaction, which must stay intact until the new
+        # snapshot is fully on disk. Swap + marker after the write.
+        tmp_out = out + ".tmp"
+        if os.path.exists(tmp_out):
+            shutil.rmtree(tmp_out)
+        df.coalesce(max(self.write_partitions, 1)).write.mode(
+            "overwrite"
+        ).parquet(tmp_out)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(tmp_out, out)
+        tmp = os.path.join(out, "_COMMITTED.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(upto_batch))
+        os.replace(tmp, os.path.join(out, "_COMMITTED"))
 
     def stats(self, batch_id: int) -> dict:
         with open(self._manifest(batch_id)) as fh:

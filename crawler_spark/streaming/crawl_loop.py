@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 from collections.abc import Iterator
+from concurrent.futures import ThreadPoolExecutor
 from datetime import datetime, timezone
 
 import pandas as pd
@@ -407,8 +408,11 @@ class CrawlEngine:
         cands = dedup_out.unionByName(retries)
 
         # 2. robots + politeness (SURVEY §2.6-2.7)
+        # count() (not isEmpty) so the persisted cache is FULLY
+        # materialized here — every later action this batch reads the
+        # cache instead of racing to compute residual partitions.
         cands = apply_robots(cands, self.robots).persist()
-        if cands.isEmpty():
+        if cands.count() == 0:
             cands.unpersist()
             dedup_out.unpersist()
             if bloom_shards is not None:
@@ -531,15 +535,13 @@ class CrawlEngine:
             )
         )
 
-        n_admitted = admitted.count()
-        n_docs = docs_delta.count()
+        docs_delta = docs_delta.persist()
         parts = {
             "frontier": next_frontier,
             "docs": docs_delta,
             "crawl_log": crawl_log,
             "metrics": metrics,
         }
-        stats = {"admitted": n_admitted, "docs": n_docs}
         if bloom_on:
             # Incremental filter maintenance: fold this batch's new seen
             # hashes into the stored shard state — O(delta) work, committed
@@ -562,10 +564,24 @@ class CrawlEngine:
                     bloom_shards, delta_hashes, "url_hash",
                     p["num_shards"], p["num_bits"], p["num_hashes"],
                 )
-            stats[self.filter_kind] = p
-        self.ckpt.commit(b, parts, stats=stats)
+        # All remaining per-batch actions — the stats counts (over
+        # persisted inputs) and every part write — are independent Spark
+        # jobs; one driver-thread pool runs them concurrently, so batch
+        # wall time tracks the LONGEST job instead of the sum. The
+        # manifest (finalize) still lands strictly after every write — the
+        # atomic-commit contract is untouched.
+        with ThreadPoolExecutor(max_workers=len(parts) + 2) as _ex:
+            _f_adm = _ex.submit(admitted.count)
+            _f_docs = _ex.submit(docs_delta.count)
+            _f_parts = _ex.submit(self.ckpt.write_parts, b, parts)
+            n_admitted, n_docs = _f_adm.result(), _f_docs.result()
+            _f_parts.result()
+        stats = {"admitted": n_admitted, "docs": n_docs}
+        if bloom_on:
+            stats[self.filter_kind] = self._bloom_params
+        self.ckpt.finalize(b, stats)
         self._seen_total += n_docs
-        for df in (dedup_out, cands, admitted, fetched, parsed):
+        for df in (dedup_out, cands, admitted, fetched, parsed, docs_delta):
             df.unpersist()
         if bloom_shards is not None:
             bloom_shards.unpersist()

@@ -143,3 +143,50 @@ def test_selector_entry_fields_form():
         "img": None, "abstract": None,
     }
     assert out["entries"][1]["href"] == "/y"
+
+
+def test_sibling_combinators():
+    """``~`` (general) and ``+`` (adjacent) sibling combinators — the
+    boholchronicle.py:50-54 body selection shape."""
+    html = (
+        '<div id="c"><div class="heateorSssClear"></div>'
+        "<p>first para</p><span>x</span><p>second para</p></div>"
+        "<div><p>outside</p></div>"
+    )
+    root = parse_html(html)
+    assert [n.text() for n in select(root, ".heateorSssClear ~ p")] == [
+        "first para", "second para",
+    ]
+    assert [n.text() for n in select(root, ".heateorSssClear + p")] == [
+        "first para",
+    ]
+    assert [n.text() for n in select(root, "span + p")] == ["second para"]
+    # combinators compose with the rest of a path
+    assert [n.text() for n in select(root, "#c .heateorSssClear ~ span")] \
+        == ["x"]
+
+
+def test_menu_group_specs_fixed_labels():
+    """A LIST of category specs = menu groups with hardcoded labels
+    (boholchronicle.py:28-34): sub-link text becomes label2; a group with
+    label2=False emits none."""
+    html = (
+        '<ul><li id="menu-item-1"><a href="#">x</a>'
+        '<ul class="sub-menu"><li><a href="/n/top/">Top</a></li>'
+        '<li><a href="/n/local/">Local</a></li></ul></li>'
+        '<li id="menu-item-2"><a href="/nation/">Nation</a></li></ul>'
+    )
+    rules = {
+        "category": [
+            {"sel": "#menu-item-1 .sub-menu li a", "label": "News"},
+            {"sel": "#menu-item-2 a", "label": "Nation", "label2": False},
+        ],
+    }
+    out = extract_payload("menu", html, rules)
+    assert [
+        (c["href"], c["label"], c.get("label2")) for c in out["categories"]
+    ] == [
+        ("/n/top/", "News", "Top"),
+        ("/n/local/", "News", "Local"),
+        ("/nation/", "Nation", None),
+    ]

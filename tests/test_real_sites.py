@@ -1,4 +1,4 @@
-"""The seven ported real-site rule-sets (sources/real_sites.py): semantic
+"""The ten ported real-site rule-sets (sources/real_sites.py): semantic
 assertions on the reference-semantics simulator, plus byte-for-byte
 engine-vs-simulator parity over the combined graph — the same invariant
 tests/test_crawl_e2e.py enforces for the synthetic corpus, here over
@@ -40,8 +40,41 @@ def _docs_by_site(sim) -> dict[int, list[dict]]:
 
 def test_all_sites_produce_documents(sim):
     by_site = _docs_by_site(sim)
-    assert set(by_site) == {1033, 467, 1194, 190, 1225, 473, 184, 490, 532}
+    assert set(by_site) == {
+        1033, 467, 1194, 190, 1225, 473, 184, 490, 532, 448,
+    }
     assert all(len(v) >= 2 for v in by_site.values())
+
+
+def test_boholchronicle_menu_groups_and_sibling_body(sim):
+    """boholchronicle.py:28-34: id-keyed menu GROUPS each hardcode their
+    own category1 with sub-link text as category2 (the Nation direct link
+    carries none); the body is the sibling-combinator selection
+    '.heateorSssClear ~ p' (py:50-54); the LAST byline gates pagination
+    page-level (py:42-43)."""
+    docs = _docs_by_site(sim)[448]
+    cats = {(d["category1"], d["category2"]) for d in docs}
+    assert cats == {
+        ("News", "Top Stories"), ("News", "Local"),
+        ("Commentary", "Editorial"), ("Nation", None),
+    }
+    urls = [u for _, u in sim["crawl_log"] if "bohol" in u]
+    # page-level byline gate: page/2 of every chain fetched (fresh last
+    # byline on page 1), page/3 never (page 2's byline is 3 days old)
+    assert any(u.endswith("/category/top/page/2/") for u in urls)
+    assert not any("page/3" in u for u in urls)
+    # entries of the stale page are still stored — entries never gated
+    assert len(docs) == 16  # 4 chains × 2 pages × 2 entries
+    # lead image, then the two sibling-selected paragraphs
+    assert all(
+        [s["kind"] for s in d["spans"]] == ["image", "text", "text"]
+        and "/wp/" in d["spans"][0]["media_ref"]
+        for d in docs
+    )
+    # title off the ARTICLE page (h1), not the list anchor text
+    assert all("story" in d["title"] for d in docs)
+    assert all(d["abstract"].startswith("bohol ") for d in docs)
+    assert any(d["pub_time"] == "2021-05-30 12:00:00" for d in docs)
 
 
 def test_hatawtabloid_cookie_gate_and_path_pagination(sim):

@@ -217,7 +217,7 @@ approximates uncontended capability.
   honesty). On a real cluster 4N executors bring 4× memory bandwidth, so
   the sub-knee pair is the faithful stand-in for executor-count scaling.
 
-## Headline query timings (local[{hi}], sf={r_full['sf']})
+## Headline query timings (local[32], sf={r_full['sf']})
 
 | query | sec |
 |---|---|
