@@ -67,11 +67,14 @@ FIXTURE_KW = dict(
 # aajtak + maharashtratimes certify two-level menus / probes / category2;
 # interaksyon certifies the SELECTOR rule surface (htmlsel) over jumbled
 # markup through the driver's gate; boholchronicle certifies multi-group
-# menus with fixed labels and sibling-combinator selectors.
+# menus with fixed labels and sibling-combinator selectors; latestnews1
+# certifies soft-404 skip, list-page-derived category1, menu skip-slice,
+# and the body fallback.
 REAL_FIXTURE_SITES = [
     "aajtak", "maharashtratimes", "interaksyon", "boholchronicle",
+    "latestnews1",
 ]
-_FIXTURE_VERSION = 4  # bump when fixture composition/output shape changes
+_FIXTURE_VERSION = 5  # bump when fixture composition/output shape changes
 
 # Fixed path the oracle SQL reads — fingerprinted on the fixture config so
 # a stale parquet set from an older code version can never be compared.

@@ -250,8 +250,24 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                                button's onclick params);
                ``form_params`` — same for POST form bootstrap fields
                                (yehey.py:63-69 scrapes currentday out of a
-                               script tag)
-      article: ``title``, ``pub`` (group 1 each), optional ``abstract``,
+                               script tag);
+               ``cat1_self``   — scalar: category1 read off the LIST page
+                               ITSELF (its own header), overriding the menu
+                               link text for every entry the page emits —
+                               each pagination page re-reads it
+                               (latestnews1.py:55's page-header h1 span)
+      article: ``skip_if``    — presence rule: a page matching it is a
+                               SOFT 404 (HTTP 200 rendering an error
+                               template) — no document, no children
+                               (latestnews1.py:75-77's .error404 check);
+               ``body_fallback`` — scalar: when ``block`` yields no
+                               paragraphs, this single value becomes both
+                               body and abstract (latestnews1.py:90-96's
+                               container-text fallback; its LinkedIn…Share
+                               trim maps to the spec's ``re`` — over
+                               whitespace-NORMALIZED text here, since the
+                               DOM engine collapses runs);
+               ``title``, ``pub`` (group 1 each), optional ``abstract``,
                ``cat1``/``cat2`` — categories read off the ARTICLE page
                (breadcrumbs: maharashtratimes.py:79-81, shangbao.py:67-71)
                instead of ridden down in meta;
@@ -265,8 +281,10 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
       scalar rules:   {"sel": css, "attr"?: name, "index"?: i, "re"?: rx}
                       (attr value or normalized text of match #i; [-1]
                       supported — interaksyon.py:29-30)
-      category rules: {"sel": css, "attr"?: href-attr} — each match is the
-                      link; label = its text. A LIST of such specs = menu
+      category rules: {"sel": css, "attr"?: href-attr, "skip"?: n} — each
+                      match is the link; label = its text; ``skip`` drops
+                      the first n matches (latestnews1.py:46's menu[1:]
+                      Home-link slice). A LIST of such specs = menu
                       GROUPS in spec order, each with a fixed "label"
                       (= category1) and the link text as label2
                       (= category2; suppress with "label2": False) — the
@@ -318,7 +336,8 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                 # the node's attr (default 'href'), label = its normalized
                 # text (or the group's fixed label, link text as label2).
                 fixed = spec.get("label")
-                for n in htmlsel.select(dom(), spec["sel"]):
+                nodes = htmlsel.select(dom(), spec["sel"])
+                for n in nodes[spec.get("skip", 0):]:
                     href, text = n.attr(spec.get("attr", "href")), n.text()
                     if fixed is None:
                         pairs.append((href, text, None))
@@ -408,6 +427,8 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
         )
         if rules.get("page_time"):
             out["page_time_raw"] = scalar("page_time")
+        if rules.get("cat1_self"):
+            out["cat1_self"] = scalar("cat1_self")
         for pkey in ("api_params", "form_params"):
             if rules.get(pkey):
                 pm = re.search(rules[pkey], html)
@@ -416,6 +437,15 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
         return out
 
     # article
+    sk = rules.get("skip_if")
+    if sk is not None and (
+        bool(htmlsel.select(dom(), sk["sel"])) if _is_sel(sk)
+        else bool(re.search(sk, html))
+    ):
+        # Soft 404: HTTP 200 serving an error template — the reference
+        # logs '该页面404' and returns nothing (latestnews1.py:75-77).
+        return {"skipped": True}
+
     def first(key):
         r = rules.get(key)
         if not r:
@@ -463,6 +493,12 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                 # (after_para=-1 — yehey.py:128-130 appends the
                 # primary-header img before the in-paragraph ones).
                 imgs.append({"after_para": len(paras) - 1, "src": img_src})
+    if not paras and rules.get("body_fallback"):
+        # No structured paragraphs: the whole-container fallback
+        # (latestnews1.py:90-96) — one value serving as body AND abstract.
+        fb = first("body_fallback")
+        if fb:
+            paras = [fb]
     return {
         "title": first("title"),
         "abstract": first("abstract"),
@@ -531,6 +567,10 @@ def parse_page(
         )
     else:
         payload = json.loads(payload_json)
+    if isinstance(payload, dict) and payload.get("skipped"):
+        # skip_if soft-404 (latestnews1.py:75-77): fetched and logged, but
+        # yields neither a document nor children.
+        return None, []
     requests: list[dict] = []
 
     def emit(child_url: str, parse_kind: str, child_meta: dict,
@@ -619,11 +659,18 @@ def parse_page(
         # U2/U4: entries newest-first; cutoff stops entries AND pagination.
         entries = payload.get("entries", [])
         probe_last = site.get("probe_last", False)
+        # category1 scraped off THIS list page's own header overrides the
+        # menu-link label for every entry it emits; each pagination page
+        # re-reads its own (latestnews1.py:55 — the next-page Request is
+        # yielded without meta, so the header is the only source there).
+        cat1_self = payload.get("cat1_self")
         flag = True
         for i, entry in enumerate(entries):
             if probe_last and i == len(entries) - 1:
                 break  # the last entry becomes the pagination probe below
             entry_meta = dict(meta)
+            if cat1_self is not None:
+                entry_meta["category1"] = cat1_self
             entry_meta.update(
                 {
                     "title": entry.get("title"),

@@ -1,7 +1,7 @@
 """Real spider rule-sets as registry content, with fixtures shaped on the
 actual sites' markup (VERDICT r2 'Next round #4').
 
-Ten deployed spiders from the reference corpus are ported as
+Eleven deployed spiders from the reference corpus are ported as
 rules-as-data registry entries — no per-site code, only data consumed by
 the one generic extractor (plans/parser.extract_payload) and the shared
 dataflow (plans/parser.parse_page):
@@ -18,6 +18,7 @@ dataflow (plans/parser.parse_page):
 | interaksyon      |  490 | SELECTOR rules (htmlsel) over attribute-jumbled markup, seed straight into a list page, URL-derived category1, last-time-element pagination gate, featured-image-first spans | 已部署/interaksyon.py:13,25-48 |
 | hatawtabloid     |  532 | Cloudflare-clearance cookie on every request (cookie-gated pages), eight-seed category lists with no menu hop, /page/N PATH pagination, positional selector indexing ([1] date span, nth-child(3) breadcrumb) | no_pass/cloudfare/hatawtabloid.py:15-21,28,37-51,53-70 |
 | boholchronicle   |  448 | multi-GROUP menus (id-keyed sub-menus each hardcoding category1, link text as category2, one direct link with category2=None), sibling-combinator body selectors (`.heateorSssClear ~ p`), page-level byline pagination gate | 已部署/boholchronicle.py:12-13,28-34,39-43,45-58 |
+| latestnews1      |  936 | menu skip-first slice (Home never crawled), category1 re-read off each LIST page's own header (menu labels ignored), SOFT-404 detection by selector (HTTP 200 error template → no doc), ISO+TZ datetime attributes, whole-container body fallback when no <p> survives | 已部署/latestnews1.py:46,55,63,75-77,84-96 |
 
 The mock pages here are deterministic miniatures of each site's real
 markup (class names, attribute shapes, and nesting mirror the spiders'
@@ -1140,6 +1141,178 @@ def _build_boholchronicle(g: _G) -> None:
             )
 
 
+# ---------------------------------------------------------------------------
+# latestnews1 — menu skip-first slice, category1 re-read off each LIST
+# page's own header (menu labels ignored), selector-detected SOFT 404
+# (HTTP 200 error template → no doc), ISO+TZ datetime attributes,
+# whole-container body fallback when no <p> survives
+# (已部署/latestnews1.py)
+# ---------------------------------------------------------------------------
+
+LATESTNEWS1_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    # both gate and article dates are ISO 'YYYY-MM-DDTHH:MM:SS+05:30'
+    # datetime attributes; the zone is discarded
+    # (latestnews1.py:12-22's rsplit('+', 1)[0])
+    "date_style": "isoT",
+    "title_priority": "page",  # latestnews1.py:81 reads .entry-header h1
+    "article_pub_priority": "page",  # latestnews1.py:83 reads the time attr
+    "extract": {
+        # parse(): menu[1:] — the FIRST menu link (Home) is sliced off and
+        # never requested (latestnews1.py:44-46)
+        "category": {
+            "sel": "#header-text-nav-container .inner-wrap.clearfix"
+                   " #menu-menu-1 li a",
+            "skip": 1,
+        },
+        # parse_category1: category1 = the list page's OWN header text —
+        # the menu label is never used (latestnews1.py:55)
+        "cat1_self": {"sel": "header.page-header h1 span"},
+        # entry links (latestnews1.py:54)
+        "entry": {
+            "sel": "#content .article-container article div"
+                   " .entry-content.clearfix a",
+        },
+        # next page: select_one('#content .content a') (latestnews1.py:60)
+        "next": {"sel": "#content .content a", "attr": "href"},
+        # pagination gate: the LAST article's published datetime attr,
+        # page-level — entries themselves are yielded unconditionally
+        # (latestnews1.py:62-68)
+        "page_time": {
+            "sel": ".article-container article .posted-on"
+                   " .entry-date.published",
+            "index": -1, "attr": "datetime",
+        },
+        # parse_detail: soup.select('.error404') → log + return
+        # (latestnews1.py:75-77)
+        "skip_if": {"sel": ".error404"},
+        "title": {"sel": "#content .entry-header h1"},
+        "pub": {"sel": ".below-entry-meta .posted-on time",
+                "attr": "datetime"},
+        "block": {
+            "para_sel": ".entry-content.clearfix p",
+            "img_sel": ".entry-content.clearfix .wp-block-image img",
+        },
+        # no <p> body: the whole container's text, trimmed to the segment
+        # between the share-widget labels (latestnews1.py:90-96; the
+        # reference regex runs on raw text, ours on whitespace-normalized)
+        "body_fallback": {
+            "sel": "#content article div .entry-content.clearfix",
+            "re": r"LinkedIn(.*?) Share",
+        },
+    },
+}
+
+
+def _iso_tz(dt: datetime) -> str:
+    return f"{dt:%Y-%m-%dT%H:%M:%S}+05:30"
+
+
+def _build_latestnews1(g: _G) -> None:
+    host = "www.latestnews1.com"
+    wid = 936  # latestnews1.py:27
+    g.registry[wid] = dict(LATESTNEWS1_RULES)
+    base = f"https://{host}"
+    g.seeds.append({"url": f"{base}/", "website_id": wid,
+                    "language_id": 1930})
+    # Menu: Home first (sliced off — /home/ must never appear in the crawl
+    # log), then two real categories. The menu labels ('IN', 'WD') are
+    # DELIBERATELY different from the list pages' own headers so the docs
+    # prove cat1_self overrode them.
+    g.page(
+        f"{base}/", "menu",
+        '<html><body><div id="header-text-nav-container">'
+        '<div class="inner-wrap clearfix"><ul id="menu-menu-1">'
+        f'<li><a href="{base}/home/">Home</a></li>'
+        f'<li><a href="{base}/category/india/">IN</a></li>'
+        f'<li><a href="{base}/category/world/">WD</a></li>'
+        "</ul></div></div></body></html>",
+        host,
+    )
+    cats = [("india", "India News"), ("world", "World News")]
+    for ci, (slug, header) in enumerate(cats):
+        for p in range(2):
+            lurl = (f"{base}/category/{slug}/"
+                    + (f"page/{p + 1}/" if p else ""))
+            # Page 0's last datetime is fresh (gate passes → page/2
+            # queued); page/2's is 3 days old (gate fails → the page/3
+            # link below is never followed).
+            page_dt = BASE_DT - timedelta(days=3 * p, hours=ci)
+            arts = []
+            for e in range(2):
+                dt = page_dt - timedelta(minutes=20 * e)
+                aurl = f"{base}/{slug}-story-{p}-{e}/"
+                arts.append(
+                    "<article><div>"
+                    '<div class="entry-content clearfix">'
+                    f'<a href="{aurl}">{slug} list {p}-{e}</a></div></div>'
+                    '<div class="posted-on">'
+                    f'<time class="entry-date published"'
+                    f' datetime="{_iso_tz(dt)}">x</time></div></article>'
+                )
+                if slug == "india" and p == 0 and e == 1:
+                    # SOFT 404: the server answers 200 with an error
+                    # template — fetched + logged, but no document.
+                    g.page(
+                        aurl, "article",
+                        '<html><body class="error404"><div id="content">'
+                        "<p>Page not found</p></div></body></html>",
+                        host,
+                    )
+                    continue
+                if slug == "world" and p == 0 and e == 1:
+                    # Fallback body: no <p> in the container — the doc's
+                    # body/abstract come from the LinkedIn…Share trim.
+                    g.page(
+                        aurl, "article",
+                        '<html><body><div id="content"><article>'
+                        '<div class="entry-header"><h1>World story '
+                        f"{p}-{e}</h1></div><div>"
+                        '<div class="entry-content clearfix">'
+                        "<span>Share</span><span>n7</span>"
+                        "<span>LinkedIn</span>world fallback body text"
+                        ' <span>Share</span></div></div>'
+                        '<div class="below-entry-meta"><div class="posted-on">'
+                        f'<time class="entry-date" datetime="{_iso_tz(dt)}">'
+                        "x</time></div></div></article></div></body></html>",
+                        host,
+                    )
+                    continue
+                paras = "".join(
+                    f"<p>{slug} body {p}-{e}-{k}</p>" for k in range(2)
+                )
+                g.page(
+                    aurl, "article",
+                    '<html><body><div id="content"><article>'
+                    f'<div class="entry-header"><h1>{header.split()[0]}'
+                    f" story {p}-{e}</h1></div><div>"
+                    '<div class="entry-content clearfix">'
+                    f"{paras}"
+                    '<div class="wp-block-image">'
+                    f'<img src="{base}/wp/{slug}{p}{e}.jpg"/></div></div>'
+                    '</div><div class="below-entry-meta">'
+                    '<div class="posted-on"><time class="entry-date"'
+                    f' datetime="{_iso_tz(dt)}">x</time></div></div>'
+                    "</article></div></body></html>",
+                    host,
+                )
+            nav = (
+                '<div class="content">'
+                f'<a href="{base}/category/{slug}/page/{p + 2}/">'
+                "Older Posts</a></div>"
+            )
+            g.page(
+                lurl, "list",
+                '<html><body><div id="content">'
+                '<header class="page-header"><h1>'
+                f"<span>{header}</span></h1></header>"
+                f'<div class="article-container">{"".join(arts)}</div>'
+                f"{nav}</div></body></html>",
+                host,
+            )
+
+
 def _build_hatawtabloid(g: _G) -> None:
     host = "www.hatawtabloid.com"
     wid = 532
@@ -1229,6 +1402,7 @@ SITE_BUILDERS = {
     "shangbao": _build_shangbao,
     "interaksyon": _build_interaksyon,
     "boholchronicle": _build_boholchronicle,
+    "latestnews1": _build_latestnews1,
     "hatawtabloid": _build_hatawtabloid,
 }
 

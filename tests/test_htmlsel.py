@@ -190,3 +190,71 @@ def test_menu_group_specs_fixed_labels():
         ("/n/local/", "News", "Local"),
         ("/nation/", "Nation", None),
     ]
+
+
+def test_menu_skip_slice():
+    """``skip`` on a category spec drops the first n matched links —
+    latestnews1.py:46's menu[1:] (Home is never requested)."""
+    html = (
+        '<ul id="m"><li><a href="/home/">Home</a></li>'
+        '<li><a href="/c/india/">IN</a></li>'
+        '<li><a href="/c/world/">WD</a></li></ul>'
+    )
+    out = extract_payload(
+        "menu", html, {"category": {"sel": "#m li a", "skip": 1}}
+    )
+    assert [c["href"] for c in out["categories"]] == [
+        "/c/india/", "/c/world/",
+    ]
+
+
+def test_cat1_self_scraped_off_list_page():
+    """``cat1_self`` reads category1 off the LIST page's own header
+    (latestnews1.py:55)."""
+    html = (
+        '<div id="content"><header class="page-header"><h1>'
+        "<span>India News</span></h1></header>"
+        '<div class="ac"><a href="/x/">t</a></div></div>'
+    )
+    out = extract_payload(
+        "list", html,
+        {"entry": {"sel": ".ac a"},
+         "cat1_self": {"sel": "header.page-header h1 span"}},
+    )
+    assert out["cat1_self"] == "India News"
+    assert out["entries"][0]["href"] == "/x/"
+
+
+def test_skip_if_soft_404():
+    """``skip_if`` marks a 200 page rendering an error template as a soft
+    404 — no fields extracted (latestnews1.py:75-77)."""
+    rules = {"skip_if": {"sel": ".error404"},
+             "title": {"sel": "h1"}, "block": {"para_sel": "p"}}
+    gone = extract_payload(
+        "article", '<body class="error404"><h1>x</h1><p>y</p></body>', rules
+    )
+    assert gone == {"skipped": True}
+    ok = extract_payload(
+        "article", "<body><h1>x</h1><p>y</p></body>", rules
+    )
+    assert ok["title"] == "x" and ok["paras"] == ["y"]
+
+
+def test_body_fallback_trim():
+    """``body_fallback``: container text trimmed by the spec's ``re`` when
+    no <p> survives ``block`` (latestnews1.py:90-96)."""
+    rules = {
+        "block": {"para_sel": ".ec p"},
+        "body_fallback": {"sel": ".ec", "re": r"LinkedIn(.*?) Share"},
+    }
+    html = (
+        '<div class="ec"><span>Share</span><span>n7</span>'
+        "<span>LinkedIn</span>real body <span>Share</span></div>"
+    )
+    out = extract_payload("article", html, rules)
+    assert out["paras"] == ["real body"]
+    # structured paragraphs win when present
+    out2 = extract_payload(
+        "article", '<div class="ec"><p>para</p></div>', rules
+    )
+    assert out2["paras"] == ["para"]

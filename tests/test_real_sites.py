@@ -1,4 +1,4 @@
-"""The ten ported real-site rule-sets (sources/real_sites.py): semantic
+"""The eleven ported real-site rule-sets (sources/real_sites.py): semantic
 assertions on the reference-semantics simulator, plus byte-for-byte
 engine-vs-simulator parity over the combined graph — the same invariant
 tests/test_crawl_e2e.py enforces for the synthetic corpus, here over
@@ -41,7 +41,7 @@ def _docs_by_site(sim) -> dict[int, list[dict]]:
 def test_all_sites_produce_documents(sim):
     by_site = _docs_by_site(sim)
     assert set(by_site) == {
-        1033, 467, 1194, 190, 1225, 473, 184, 490, 532, 448,
+        1033, 467, 1194, 190, 1225, 473, 184, 490, 532, 448, 936,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -75,6 +75,44 @@ def test_boholchronicle_menu_groups_and_sibling_body(sim):
     assert all("story" in d["title"] for d in docs)
     assert all(d["abstract"].startswith("bohol ") for d in docs)
     assert any(d["pub_time"] == "2021-05-30 12:00:00" for d in docs)
+
+
+def test_latestnews1_page_category_soft404_fallback(sim):
+    """latestnews1.py: menu[1:] slices off Home (py:46 — /home/ never
+    requested); category1 is re-read off each LIST page's own header, so
+    the menu labels 'IN'/'WD' never reach a doc (py:55); a 200 page
+    rendering the .error404 template is fetched but yields no doc
+    (py:75-77); a container with no <p> falls back to the LinkedIn…Share
+    text trim (py:90-96); the LAST datetime attr gates pagination
+    page-level (py:62-68)."""
+    docs = _docs_by_site(sim)[936]
+    urls = [u for _, u in sim["crawl_log"] if "latestnews1" in u]
+    # Home sliced off the menu; page-level gate stops at page/2 (its last
+    # datetime is 3 days old), page/3 linked but never followed
+    assert not any(u.endswith("/home/") for u in urls)
+    assert any(u.endswith("/category/india/page/2/") for u in urls)
+    assert not any("page/3" in u for u in urls)
+    # the soft-404 page IS fetched (the reference only discovers the error
+    # template after download) but stores nothing
+    assert any(u.endswith("/india-story-0-1/") for u in urls)
+    assert not any(d["request_url"].endswith("/india-story-0-1/")
+                   for d in docs)
+    assert len(docs) == 7  # 2 sites × (2+2) entries − 1 soft404
+    # category1 from the page header, never the menu label
+    assert {d["category1"] for d in docs} == {"India News", "World News"}
+    # ISO+TZ datetime attr parsed with the zone discarded
+    assert any(d["pub_time"] == "2021-05-30 12:00:00" for d in docs)
+    # fallback-body doc: single text span trimmed out of the share widget
+    fb = [d for d in docs if d["request_url"].endswith("/world-story-0-1/")]
+    assert len(fb) == 1
+    assert [s["kind"] for s in fb[0]["spans"]] == ["text"]
+    assert fb[0]["spans"][0]["text"] == "world fallback body text"
+    assert fb[0]["abstract"] == "world fallback body text"
+    # normal docs: two paras then the wp-block image, title off the page
+    norm = [d for d in docs
+            if d["request_url"].endswith("/india-story-0-0/")][0]
+    assert [s["kind"] for s in norm["spans"]] == ["text", "text", "image"]
+    assert norm["title"] == "India story 0-0"
 
 
 def test_hatawtabloid_cookie_gate_and_path_pagination(sim):
