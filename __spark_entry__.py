@@ -584,6 +584,51 @@ def q_fingerprint(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_training_pipeline(spark, sf_dir):
+    """The COMPOSED curation pipeline a training-data run actually
+    executes, as one declarative plan: quality-score every document, keep
+    quality ≥ 0.5, collapse exact duplicates to the min-doc_id
+    representative, language-ID the survivors, roll up per predicted
+    language (docs kept, whitespace tokens, mean quality). Scale shape:
+    the filter runs before both shuffles (Catalyst pushes it into the
+    scan side), the dedup groupBy and the rollup are partial-agg hash
+    aggregations, and the representative join is a semi-join on doc_id —
+    nothing materializes an intermediate or leaves the JVM."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text", "lang", quality_score(F.col("text")).alias("quality")
+    ).filter(F.col("quality") >= 0.5)
+    reps = (
+        scored.groupBy(F.md5("text").alias("content_md5"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = scored.join(reps, on="doc_id", how="left_semi")
+    e = lang_score_expr("text", LANG_MARKERS["en"])
+    s = lang_score_expr("text", LANG_MARKERS["es"])
+    d = lang_score_expr("text", LANG_MARKERS["de"])
+    f_ = lang_score_expr("text", LANG_MARKERS["fr"])
+    predicted = (
+        F.when((e >= s) & (e >= d) & (e >= f_), F.lit("en"))
+        .when((s >= d) & (s >= f_), F.lit("es"))
+        .when(d >= f_, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return (
+        kept.withColumn("predicted_lang", predicted)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("predicted_lang") == F.col("lang")).cast("long"))
+            .alias("n_pred_match"),
+            F.sum(token_count_ws(F.col("text"))).alias("total_ws_tokens"),
+            F.round(F.avg("quality"), 4).alias("mean_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: similarity search (embeddings table)
 # ---------------------------------------------------------------------------
@@ -818,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
+        "training_pipeline": q_training_pipeline,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "similarity_lsh": q_similarity_lsh,
@@ -1380,6 +1426,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id
+        """,
+        "training_pipeline": f"""
+            WITH scored AS (
+              SELECT doc_id, text, lang,
+                     round(0.4 * least(length(text)::double / 400.0, 1.0)
+                         + 0.4 * (len(list_distinct(string_split(text, ' ')))::double
+                                  / len(string_split(text, ' ')))
+                         + 0.2 * (1 - length(regexp_replace(text, '[a-zA-Z ]', '', 'g'))::double
+                                  / greatest(length(text), 1)), 4) AS quality
+              FROM documents),
+            filt AS (SELECT * FROM scored WHERE quality >= 0.5),
+            reps AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text)),
+            kept AS (SELECT f.* FROM filt f JOIN reps r ON f.doc_id = r.doc_id),
+            pred AS (
+              SELECT doc_id, text, lang, quality,
+                     CASE
+                       WHEN {lang_score('en')} >= {lang_score('es')}
+                            AND {lang_score('en')} >= {lang_score('de')}
+                            AND {lang_score('en')} >= {lang_score('fr')} THEN 'en'
+                       WHEN {lang_score('es')} >= {lang_score('de')}
+                            AND {lang_score('es')} >= {lang_score('fr')} THEN 'es'
+                       WHEN {lang_score('de')} >= {lang_score('fr')} THEN 'de'
+                       ELSE 'fr'
+                     END AS predicted_lang
+              FROM kept)
+            SELECT lang,
+                   count(*) AS n_docs,
+                   cast(sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END)
+                     AS bigint) AS n_pred_match,
+                   cast(sum(len(string_split(text, ' '))) AS bigint)
+                     AS total_ws_tokens,
+                   round(avg(quality), 4) AS mean_quality
+            FROM pred GROUP BY 1 ORDER BY 1
         """,
         "embedding_topk": """
             WITH n AS (

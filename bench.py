@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "lang_id",
     "quality_score",
     "fingerprint",
+    "training_pipeline",
     "embedding_topk",
     "embedding_near_dup",
     "similarity_lsh",

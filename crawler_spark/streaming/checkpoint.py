@@ -189,3 +189,17 @@ class CrawlCheckpoint:
     def stats(self, batch_id: int) -> dict:
         with open(self._manifest(batch_id)) as fh:
             return json.load(fh)["stats"]
+
+    def part_rows(self, batch_id: int, name: str) -> int:
+        """Exact row count of a written part from parquet footer metadata —
+        pure driver-side file reads, no Spark job. Lets the driver loop
+        test frontier emptiness off the manifest instead of running an
+        isEmpty() job per batch."""
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self._batch_dir(batch_id), name)
+        return sum(
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )

@@ -576,7 +576,13 @@ class CrawlEngine:
             _f_parts = _ex.submit(self.ckpt.write_parts, b, parts)
             n_admitted, n_docs = _f_adm.result(), _f_docs.result()
             _f_parts.result()
-        stats = {"admitted": n_admitted, "docs": n_docs}
+        stats = {
+            "admitted": n_admitted,
+            "docs": n_docs,
+            # Frontier emptiness read off parquet footers (driver-side) —
+            # saves the loop an isEmpty() Spark job per batch.
+            "frontier": self.ckpt.part_rows(b, "frontier"),
+        }
         if bloom_on:
             stats[self.filter_kind] = self._bloom_params
         self.ckpt.finalize(b, stats)
@@ -596,17 +602,24 @@ class CrawlEngine:
         if last is not None:
             b = last + 1
             frontier = self.ckpt.read_part(last, "frontier")
+            # May be absent in manifests written before the stat existed;
+            # None falls back to the isEmpty() job below.
+            n_frontier = self.ckpt.stats(last).get("frontier")
             self._seen_total = sum(
                 self.ckpt.stats(i).get("docs", 0) for i in range(last + 1)
             )
         else:
             b = 0
             frontier = self._seed_frontier()
-        while b < max_batches and not frontier.isEmpty():
+            n_frontier = None  # seed frontier is driver-built, not checkpointed
+        while b < max_batches and (
+            n_frontier > 0 if n_frontier is not None else not frontier.isEmpty()
+        ):
             nxt = self.run_batch(b, frontier)
             if nxt is None:
                 break
             frontier = nxt
+            n_frontier = self.ckpt.stats(b).get("frontier")
             b += 1
             if self.compact_every and b % self.compact_every == 0:
                 # Bound delta-read fanout: O(1 snapshot + k tail dirs)
