@@ -46,6 +46,8 @@ from crawler_spark.operators.dedup import (
     simhash_near_dup_pairs,
     url_seen_filter,
     url_seen_filter_cuckoo,
+    winnow_fingerprints,
+    winnow_near_dup_pairs,
 )
 from crawler_spark.operators.multimodal import (
     attach_fake_media,
@@ -584,6 +586,38 @@ def q_fingerprint(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (rolling-hash k-gram windows,
+    Schleimer et al. 2003): per-doc count and xor-fold of the selected
+    fingerprint set (k=16 chars, w=8). The set itself is the dedup
+    artifact; count+xor is its order-independent exact summary for the
+    oracle gate."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, k=16, w=8, id_col="doc_id", text_col="text")
+    return (
+        fp.groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.expr("bit_xor(fp)").alias("fp_xor"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Near-dup candidates by winnowing-fingerprint overlap (the MOSS
+    shape): pairs sharing ≥ 8 selected fingerprints, with the doc-frequency
+    cap (≤ 50 docs per fingerprint) killing boilerplate fanout before the
+    self-join."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_near_dup_pairs(
+        docs, k=16, w=8, min_shared=8, id_col="doc_id", text_col="text",
+        max_doc_freq=50,
+    ).orderBy("doc_a", "doc_b")
+
+
 def q_training_pipeline(spark, sf_dir):
     """The COMPOSED curation pipeline a training-data run actually
     executes, as one declarative plan: quality-score every document, keep
@@ -863,6 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "winnow_pairs": q_winnow_pairs,
         "training_pipeline": q_training_pipeline,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1426,6 +1462,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id
+        """,
+        # Winnowing (k=16, w=8): gram hash = md5-derived 60-bit long, window
+        # min over full windows only (short docs keep the pos=0 window) —
+        # renders operators/dedup.winnow_fingerprints exactly.
+        "winnow_fingerprint": """
+            WITH ok AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+              FROM documents
+              WHERE length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) >= 16),
+            pg AS (
+              SELECT doc_id, t, length(t) - 15 AS n,
+                     unnest(range(0, length(t) - 15)) AS pos
+              FROM ok),
+            grams AS (
+              SELECT doc_id, n, pos,
+                     ('0x' || substr(md5(substr(t, pos + 1, 16)), 1, 15))::BIGINT AS h
+              FROM pg),
+            wins AS (
+              SELECT doc_id, n, pos,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+              FROM grams),
+            sel AS (
+              SELECT DISTINCT doc_id, fp FROM wins
+              WHERE pos < greatest(n - 7, 1))
+            SELECT doc_id, count(*) AS n_fp, bit_xor(fp) AS fp_xor
+            FROM sel GROUP BY doc_id ORDER BY doc_id
+        """,
+        "winnow_pairs": """
+            WITH ok AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+              FROM documents
+              WHERE length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) >= 16),
+            pg AS (
+              SELECT doc_id, t, length(t) - 15 AS n,
+                     unnest(range(0, length(t) - 15)) AS pos
+              FROM ok),
+            grams AS (
+              SELECT doc_id, n, pos,
+                     ('0x' || substr(md5(substr(t, pos + 1, 16)), 1, 15))::BIGINT AS h
+              FROM pg),
+            wins AS (
+              SELECT doc_id, n, pos,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+              FROM grams),
+            sel AS (
+              SELECT DISTINCT doc_id AS doc, fp FROM wins
+              WHERE pos < greatest(n - 7, 1)),
+            keep AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 50),
+            kept AS (SELECT sel.* FROM sel JOIN keep USING (fp))
+            SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared
+            FROM kept a JOIN kept b USING (fp)
+            WHERE a.doc < b.doc
+            GROUP BY 1, 2
+            HAVING count(*) >= 8
+            ORDER BY doc_a, doc_b
         """,
         "training_pipeline": f"""
             WITH scored AS (

@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "lang_id",
     "quality_score",
     "fingerprint",
+    "winnow_fingerprint",
+    "winnow_pairs",
     "training_pipeline",
     "embedding_topk",
     "embedding_near_dup",

@@ -598,6 +598,99 @@ def embedding_near_dup_lsh(
 
 
 # ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprint set per document: the distinct window-minimum
+    k-gram hashes — (doc, fp) rows. The classic rolling-hash document
+    fingerprint for copy/clone detection, with the winnowing GUARANTEE:
+    any shared normalized substring of length ≥ k + w - 1 between two
+    documents yields at least one shared fingerprint.
+
+    All JVM-side: normalize (lowercase, strip non-alnum) → character
+    k-grams hashed once into a materialized array (md5-derived 60-bit
+    longs, so DuckDB renders them exactly; the array is an attribute so
+    Catalyst can't re-inline the hash per window — functions.text
+    shingles_of lesson) → posexplode → per-doc sliding ROWS window min →
+    distinct. (A streaming rolling hash saves the per-gram re-hash on one
+    core; in a columnar plan the transform IS the single pass, and md5 is
+    the one hash both engines share bit-for-bit.)
+
+    Scale shape: the explode is ~n_chars rows per doc; the only shuffle is
+    the per-doc window partition (bounded by max doc length, no cross-doc
+    skew); the distinct folds into a partial-agg before exchange. Documents
+    shorter than k normalized chars have no k-gram and are absent; documents
+    with fewer than w grams contribute their single all-gram minimum (the
+    first window is the only full-coverage one)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    base = docs.select(
+        F.col(id_col).alias("doc"), norm.alias("t")
+    ).filter(F.length("t") >= k)
+    gram_hashes = F.expr(
+        f"transform(sequence(1, length(t) - {k - 1}),"
+        f" i -> cast(conv(substring(md5(substring(t, i, {k})), 1, 15), 16, 10)"
+        f" as bigint))"
+    )
+    grams = base.select(
+        "doc",
+        (F.length("t") - F.lit(k - 1)).alias("n"),
+        F.posexplode(gram_hashes).alias("pos", "h"),
+    )
+    win = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        # pos is 0-based: full windows start at pos ∈ [0, n-w]; short docs
+        # (n < w) keep only pos=0, the min over all their grams.
+        .filter(F.col("pos") < F.greatest(F.col("n") - F.lit(w - 1), F.lit(1)))
+        .select("doc", "fp")
+        .distinct()
+    )
+
+
+def winnow_near_dup_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup/clone candidates by winnowing-fingerprint overlap: pairs of
+    documents sharing ≥ ``min_shared`` selected fingerprints (the MOSS
+    shape). ``max_doc_freq`` drops fingerprints present in more than that
+    many documents before the self-join — boilerplate k-grams otherwise
+    create |docs|² fanout, same cap discipline as ngram_jaccard_pairs."""
+    fp = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    if max_doc_freq is not None:
+        keep = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("fp")
+        )
+        fp = fp.join(keep, on="fp", how="left_semi")
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cluster collapse: near-dup pairs → connected components → representative
 # ---------------------------------------------------------------------------
 

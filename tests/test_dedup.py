@@ -203,3 +203,71 @@ def test_simhash_near_dup(spark):
            simhash_near_dup_pairs(docs, max_hamming=3).collect()}
     assert got.get((1, 2)) == 0
     assert (1, 3) not in got and (2, 3) not in got
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+def _winnow_py(text: str, k: int, w: int) -> set[int]:
+    """Single-threaded reference winnowing: md5-derived 60-bit gram hashes,
+    min per full window (all-gram min when fewer than w grams), distinct."""
+    import hashlib
+
+    t = "".join(ch for ch in text.lower() if ch.isalnum())
+    if len(t) < k:
+        return set()
+    hs = [
+        int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(t) - k + 1)
+    ]
+    n = len(hs)
+    out = set()
+    for start in range(max(n - w + 1, 1)):
+        out.add(min(hs[start : start + w]))
+    return out
+
+
+def test_winnow_fingerprints_match_python_reference(spark):
+    import random
+
+    from crawler_spark.operators.dedup import winnow_fingerprints
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(
+            "".join(rng.choice("abcdefg ,.") for _ in range(rng.randrange(0, 40)))
+            for _ in range(rng.randrange(1, 6))
+        ))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc, r.fp)
+        for r in winnow_fingerprints(df, k=8, w=4).collect()
+    }
+    want = {
+        (i, fp) for i, text in docs for fp in _winnow_py(text, 8, 4)
+    }
+    assert got == want
+
+
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
+    """The winnowing guarantee: a shared normalized substring of length
+    ≥ k + w - 1 forces at least one shared selected fingerprint."""
+    from crawler_spark.operators.dedup import winnow_near_dup_pairs
+
+    k, w = 8, 4
+    shared = "thequickbrownfoxjumps"  # 21 ≥ k+w-1 = 11
+    docs = [
+        (1, "prefix one " + shared + " tail alpha"),
+        (2, "completely different lead " + shared + " other ending"),
+        (3, "no overlap with anything here at all zzz qqq"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_near_dup_pairs(df, k=k, w=w, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
