@@ -463,13 +463,23 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
         # merged in DOCUMENT ORDER by one tree walk — the .children-walk
         # interleaving of zeenews.py:119-122 without a shared container
         # (interaksyon's featured image lives outside the content div,
-        # interaksyon.py:46-48).
-        para_ids = {
-            id(n) for n in htmlsel.select(dom(), block["para_sel"])
-        } if block.get("para_sel") else set()
-        img_ids = {
-            id(n) for n in htmlsel.select(dom(), block["img_sel"])
-        } if block.get("img_sel") else set()
+        # interaksyon.py:46-48). Either key may be a LIST of selectors
+        # (union, document order preserved by the walk) — sites with two
+        # image markups, e.g. clickthecity's lead '.elementor-image img'
+        # + in-body 'figure img' (clickthecity.py:131-136), the selector
+        # twin of the regex side's src/src2/src3 alternation.
+        def ids_of(key):
+            sels = block.get(key)
+            if not sels:
+                return set()
+            if isinstance(sels, str):
+                sels = [sels]
+            return {
+                id(n) for s in sels for n in htmlsel.select(dom(), s)
+            }
+
+        para_ids = ids_of("para_sel")
+        img_ids = ids_of("img_sel")
         src_attr = block.get("img_attr", "src")
         for n in htmlsel.walk(dom()):
             if id(n) in para_ids:
@@ -499,10 +509,20 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
         fb = first("body_fallback")
         if fb:
             paras = [fb]
+    # Composite date: a site may publish the date and time-of-day in two
+    # separate elements joined before parsing (clickthecity.py:138-155:
+    # the --type-date span + the regex-trimmed --type-time span; no time
+    # span or a failed trim ⇒ the date alone, exactly the reference's
+    # branch).
+    pub_raw = first("pub")
+    if pub_raw is not None and rules.get("pub2"):
+        p2 = first("pub2")
+        if p2 is not None:
+            pub_raw = pub_raw + " " + p2
     return {
         "title": first("title"),
         "abstract": first("abstract"),
-        "pub_time_raw": first("pub"),
+        "pub_time_raw": pub_raw,
         "cat1": first("cat1"),
         "cat2": first("cat2"),
         "paras": paras,
@@ -656,9 +676,32 @@ def parse_page(
         return None, requests
 
     if eff_kind in ("list", "api"):
-        # U2/U4: entries newest-first; cutoff stops entries AND pagination.
+        # Per-URL PAGINATION-rule dispatch — the pagination twin of the
+        # extraction ``variants`` (P5 as data): clickthecity.py:44-52
+        # routes its 'Events'/'Campus' menu labels to a /page/N path chain
+        # and every other label to the next-link chain (label ≡ URL slug,
+        # so URL dispatch is equivalent). ``path_bootstrap``: the category
+        # ROOT page parses nothing — it emits only its own /page/1 request
+        # with dont_filter=True (parse_special_1, clickthecity.py:54-62).
+        for v in site.get("rule_variants", ()):
+            if re.search(v["match"], url):
+                rule = v.get("rule", rule)
+                if v.get("path_bootstrap") and not re.search(
+                    r"/page/\d+/?$", url
+                ):
+                    emit(url.rstrip("/") + "/page/1", kind, dict(meta),
+                         dont_filter=True)
+                    return None, requests
+                break
         entries = payload.get("entries", [])
         probe_last = site.get("probe_last", False)
+        # Scrapy snapshots meta at Request construction, so a list loop
+        # that mutates meta['abstract'] per entry gives each article the
+        # LAST abstract seen so far — carry-forward, not per-entry — and
+        # the next-page request inherits the final value
+        # (clickthecity.py:75-80's shared-dict mutation).
+        abstract_carry = site.get("abstract_carry", False)
+        carry_abstract = meta.get("abstract")
         # category1 scraped off THIS list page's own header overrides the
         # menu-link label for every entry it emits; each pagination page
         # re-reads its own (latestnews1.py:55 — the next-page Request is
@@ -678,7 +721,12 @@ def parse_page(
                     "lead_img": entry.get("img"),
                 }
             )
-            if entry.get("abstract") is not None:
+            if abstract_carry:
+                if entry.get("abstract") is not None:
+                    carry_abstract = entry["abstract"]
+                if carry_abstract is not None:
+                    entry_meta["abstract"] = carry_abstract
+            elif entry.get("abstract") is not None:
                 # list-page abstracts ride down in meta (philboxing.py:44-45)
                 entry_meta["abstract"] = entry["abstract"]
             pt = _epoch(None, as_of, entry.get("pub_time_raw"), date_style)
@@ -761,7 +809,12 @@ def parse_page(
                 nxt = next_page_request(rule, url, body, payload)
                 if nxt:
                     n_url, n_method, n_body = nxt
-                    emit(n_url, kind, dict(meta),
+                    page_meta = dict(meta)
+                    if abstract_carry and carry_abstract is not None:
+                        # the mutated meta dict rides into the next-page
+                        # request (clickthecity.py:79,113)
+                        page_meta["abstract"] = carry_abstract
+                    emit(n_url, kind, page_meta,
                          child_method=n_method, child_body=n_body)
         return None, requests
 

@@ -1,7 +1,7 @@
 """Real spider rule-sets as registry content, with fixtures shaped on the
 actual sites' markup (VERDICT r2 'Next round #4').
 
-Eleven deployed spiders from the reference corpus are ported as
+Twelve deployed spiders from the reference corpus are ported as
 rules-as-data registry entries — no per-site code, only data consumed by
 the one generic extractor (plans/parser.extract_payload) and the shared
 dataflow (plans/parser.parse_page):
@@ -19,6 +19,7 @@ dataflow (plans/parser.parse_page):
 | hatawtabloid     |  532 | Cloudflare-clearance cookie on every request (cookie-gated pages), eight-seed category lists with no menu hop, /page/N PATH pagination, positional selector indexing ([1] date span, nth-child(3) breadcrumb) | no_pass/cloudfare/hatawtabloid.py:15-21,28,37-51,53-70 |
 | boholchronicle   |  448 | multi-GROUP menus (id-keyed sub-menus each hardcoding category1, link text as category2, one direct link with category2=None), sibling-combinator body selectors (`.heateorSssClear ~ p`), page-level byline pagination gate | 已部署/boholchronicle.py:12-13,28-34,39-43,45-58 |
 | latestnews1      |  936 | menu skip-first slice (Home never crawled), category1 re-read off each LIST page's own header (menu labels ignored), SOFT-404 detection by selector (HTTP 200 error template → no doc), ISO+TZ datetime attributes, whole-container body fallback when no <p> survives | 已部署/latestnews1.py:46,55,63,75-77,84-96 |
+| clickthecity     | 1248 | per-LABEL menu dispatch (Events/Campus → /page/N path chain bootstrapped with a dont_filter self-request, others → next-link chain), abstract CARRY-FORWARD across list entries (Scrapy meta-snapshot semantics), composite date+time pub spans, lead-image + figure-image selector-list block, excluded menu label | 已部署/clickthecity.py:38-62,70-105,120-155 |
 
 The mock pages here are deterministic miniatures of each site's real
 markup (class names, attribute shapes, and nesting mirror the spiders'
@@ -1389,6 +1390,212 @@ def _build_hatawtabloid(g: _G) -> None:
 
 
 # ---------------------------------------------------------------------------
+# clickthecity — per-LABEL menu dispatch (Events/Campus route to a /page/N
+# path chain bootstrapped with a dont_filter self-request; every other
+# label to a next-link chain), abstract carry-forward across list entries
+# (Scrapy meta-snapshot semantics), composite date+time pub spans, lead
+# image + in-body figure images via a selector-list block
+# (已部署/clickthecity.py)
+# ---------------------------------------------------------------------------
+
+CLICKTHECITY_RULES = {
+    "rule": NEXT_LINK,  # parse_category2's a.page-numbers.next chain
+    "format": "html",
+    "title_priority": "page",  # clickthecity.py:125 reads the article h1
+    "article_pub_priority": "page",
+    # parse_special_2/parse_category2 mutate ONE meta dict per entry and
+    # Scrapy snapshots it at Request construction, so each article carries
+    # the LAST abstract seen so far and the next page inherits the final
+    # value (clickthecity.py:75-80,101-105)
+    "abstract_carry": True,
+    # parse() dispatches by menu LABEL: 'Events'/'Campus' →
+    # parse_special_1's /page/N path chain (bootstrapped dont_filter),
+    # everything else → parse_category2 (clickthecity.py:40-52); label ≡
+    # URL slug, so URL dispatch expresses it
+    "rule_variants": [
+        {"match": r"clickthecity\.com/(events|campus)/",
+         "rule": PAGE_PATH, "path_bootstrap": True},
+    ],
+    "extract": {
+        # parse(): ul li>a with span labels; 'Privileges' skipped
+        # (clickthecity.py:38-42)
+        "category": {"sel": "ul.menu-ctc li a"},
+        "excluded_labels": ["Privileges"],
+        "variants": [
+            # the special (/page/N) list markup: div#blog-entries article
+            # (clickthecity.py:70-85)
+            {"match": r"/(events|campus)/page/",
+             "entry": {
+                 "sel": "#blog-entries article",
+                 "fields": {
+                     "href": {"sel": "h2.blog-entry-title.entry-title a",
+                              "attr": "href"},
+                     "abstract": {"sel": ".blog-entry-summary.clr p"},
+                 },
+             },
+             # continues while the page has entries AND the LAST entry's
+             # date passes the cutoff (clickthecity.py:80-93; a missing
+             # date div kills pagination — ddl=None → stop)
+             "more": {"sel": "#blog-entries article"},
+             "page_time": {"sel": "#blog-entries article"
+                                  " .blog-entry-date.clr", "index": -1}},
+        ],
+        # parse_category2's elementor list markup (clickthecity.py:97-105)
+        "entry": {
+            "sel": ".elementor-widget-container article",
+            "fields": {
+                "href": {"sel": "h3.elementor-post__title a",
+                         "attr": "href"},
+                "abstract": {"sel": ".elementor-post__excerpt p"},
+            },
+        },
+        "next": {"sel": "a.page-numbers.next", "attr": "href"},
+        "page_time": {"sel": "span.elementor-post-date", "index": -1},
+        # article (parse_category3, clickthecity.py:120-155)
+        "title": {"sel": ".elementor-widget-container h1"},
+        # composite pub: the --type-date span + the regex-trimmed
+        # --type-time span ('10:15 am' → '10:15'); no time span ⇒ date
+        # alone (clickthecity.py:138-155)
+        "pub": {"sel": "span.elementor-post-info__item--type-date"},
+        "pub2": {"sel": "span.elementor-post-info__item--type-time",
+                 "re": r"(.*?) .*?m.*?"},
+        # lead select_one('div.elementor-image img') first, then every
+        # in-body 'figure img' (clickthecity.py:128-136) — a selector
+        # LIST, merged in document order by the tree walk
+        "block": {
+            "para_sel": ".elementor-widget-container p",
+            "img_sel": [".elementor-image img",
+                        ".elementor-widget-container figure img"],
+        },
+    },
+}
+
+
+def _ctc_date(dt: datetime) -> str:
+    return f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+
+
+def _ctc_article(g: _G, base: str, host: str, slug: str, tag: str,
+                 dt: datetime, with_time: bool = True) -> str:
+    url = f"{base}/{slug}-story-{tag}/"
+    time_span = (
+        '<span class="elementor-icon-list-text elementor-post-info__item'
+        ' elementor-post-info__item--type-time">10:15 am PHT</span>'
+        if with_time else ""
+    )
+    g.page(
+        url, "article",
+        "<html><body>"
+        f'<div class="elementor-image"><img src="{base}/img/{slug}{tag}'
+        'lead.jpg"/></div>'
+        '<div class="elementor-widget-container">'
+        f"<h1>{slug.capitalize()} story {tag}</h1>"
+        f"<p>{slug} para {tag}-0</p>"
+        f'<figure><img src="{base}/img/{slug}{tag}fig.jpg"/></figure>'
+        f"<p>{slug} para {tag}-1</p></div>"
+        '<span class="elementor-icon-list-text elementor-post-info__item'
+        f' elementor-post-info__item--type-date">{_ctc_date(dt)}</span>'
+        f"{time_span}</body></html>",
+        host,
+    )
+    return url
+
+
+def _build_clickthecity(g: _G) -> None:
+    host = "www.clickthecity.com"
+    wid = 1248  # clickthecity.py:17
+    g.registry[wid] = dict(CLICKTHECITY_RULES)
+    base = f"https://{host}"
+    g.seeds.append({"url": f"{base}/", "website_id": wid,
+                    "language_id": 1866})
+    g.page(
+        f"{base}/", "menu",
+        '<html><body><ul class="menu-ctc">'
+        f'<li><a href="/privileges/"><span>Privileges</span></a></li>'
+        f'<li><a href="/events/"><span>Events</span></a></li>'
+        f'<li><a href="/campus/"><span>Campus</span></a></li>'
+        f'<li><a href="/food/"><span>Food</span></a></li>'
+        "</ul></body></html>",
+        host,
+    )
+    # -- special route: category ROOT pages parse nothing (bootstrap only)
+    for slug in ("events", "campus"):
+        g.page(f"{base}/{slug}/", "list",
+               "<html><body><div>landing</div></body></html>", host)
+
+    def special_list(slug: str, page: int, dts: list[datetime],
+                     first_abstract: bool) -> None:
+        arts = []
+        for e, dt in enumerate(dts):
+            aurl = _ctc_article(g, base, host, slug, f"{page}-{e}", dt)
+            summary = (
+                f'<div class="blog-entry-summary clr"><p>{slug} abstract'
+                f" {page}-{e}</p></div>"
+                if first_abstract and e == 0 else ""
+            )
+            arts.append(
+                "<article>"
+                f'<h2 class="blog-entry-title entry-title">'
+                f'<a href="{aurl}">{slug} list {page}-{e}</a></h2>'
+                f"{summary}"
+                f'<div class="blog-entry-date clr">{_ctc_date(dt)}</div>'
+                "</article>"
+            )
+        g.page(
+            f"{base}/{slug}/page/{page}", "list",
+            '<html><body><div id="blog-entries">' + "".join(arts)
+            + "</div></body></html>",
+            host,
+        )
+
+    # events: page/1 fresh (last date ≥ cutoff → page/2 fetched), page/2's
+    # last date 3+ days old (→ page/3 never requested)
+    special_list("events", 1, [BASE_DT, BASE_DT - timedelta(hours=2)], True)
+    special_list("events", 2,
+                 [BASE_DT - timedelta(days=3),
+                  BASE_DT - timedelta(days=3, hours=2)], True)
+    # campus: page/1's last date is already old → the chain stops at once
+    special_list("campus", 1, [BASE_DT - timedelta(days=4)], True)
+
+    # -- next-link route (Food): elementor list markup
+    def food_list(url: str, page: int, dts: list[datetime],
+                  next_url: str | None) -> None:
+        arts = []
+        for e, dt in enumerate(dts):
+            aurl = _ctc_article(g, base, host, "food", f"{page}-{e}", dt,
+                                with_time=(e == 0))
+            excerpt = (
+                f'<div class="elementor-post__excerpt"><p>food excerpt'
+                f" {page}-{e}</p></div>" if e == 0 else ""
+            )
+            arts.append(
+                "<article>"
+                f'<h3 class="elementor-post__title">'
+                f'<a href="{aurl}">food list {page}-{e}</a></h3>'
+                f"{excerpt}"
+                f'<span class="elementor-post-date">{_ctc_date(dt)}</span>'
+                "</article>"
+            )
+        nav = (f'<a class="page-numbers next" href="{next_url}">Next</a>'
+               if next_url else "")
+        g.page(
+            url, "list",
+            '<html><body><div class="elementor-widget-container">'
+            + "".join(arts) + f"</div>{nav}</body></html>",
+            host,
+        )
+
+    food_list(f"{base}/food/", 1,
+              [BASE_DT - timedelta(hours=1), BASE_DT - timedelta(hours=3)],
+              f"{base}/food/page-2/")
+    # page-2's last date is old: the page-3 link exists but the gate stops
+    food_list(f"{base}/food/page-2/", 2,
+              [BASE_DT - timedelta(days=4),
+               BASE_DT - timedelta(days=4, hours=2)],
+              f"{base}/food/page-3/")
+
+
+# ---------------------------------------------------------------------------
 # Combined graph
 # ---------------------------------------------------------------------------
 
@@ -1404,6 +1611,7 @@ SITE_BUILDERS = {
     "boholchronicle": _build_boholchronicle,
     "latestnews1": _build_latestnews1,
     "hatawtabloid": _build_hatawtabloid,
+    "clickthecity": _build_clickthecity,
 }
 
 

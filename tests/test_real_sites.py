@@ -1,4 +1,4 @@
-"""The eleven ported real-site rule-sets (sources/real_sites.py): semantic
+"""The twelve ported real-site rule-sets (sources/real_sites.py): semantic
 assertions on the reference-semantics simulator, plus byte-for-byte
 engine-vs-simulator parity over the combined graph — the same invariant
 tests/test_crawl_e2e.py enforces for the synthetic corpus, here over
@@ -41,7 +41,7 @@ def _docs_by_site(sim) -> dict[int, list[dict]]:
 def test_all_sites_produce_documents(sim):
     by_site = _docs_by_site(sim)
     assert set(by_site) == {
-        1033, 467, 1194, 190, 1225, 473, 184, 490, 532, 448, 936,
+        1033, 467, 1194, 190, 1225, 473, 184, 490, 532, 448, 936, 1248,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -315,6 +315,64 @@ def test_shangbao_offset_pagination_and_ymd_dates(sim):
         for d in docs for s in d["spans"] if s["kind"] == "text"
     )
     assert all(len(d["pub_time"]) == 19 for d in docs)
+
+
+def test_clickthecity_label_dispatch_and_abstract_carry(sim):
+    """clickthecity.py: the menu dispatches by LABEL — Events/Campus go to
+    a /page/N path chain whose category root parses nothing and emits only
+    its own /page/1 request with dont_filter=True (py:44-62), every other
+    label to the next-link chain (py:97-117); 'Privileges' is excluded
+    (py:40-41); list abstracts CARRY FORWARD across entries and pages
+    because the shared meta dict is snapshotted per Request (py:75-80);
+    the article pub is the date span + the regex-trimmed time span
+    (py:138-155); spans = lead elementor-image img, then body paras with
+    the in-body figure img interleaved (py:126-136)."""
+    docs = _docs_by_site(sim)[1248]
+    urls = [u for _, u in sim["crawl_log"] if "clickthecity" in u]
+    # excluded label never fetched
+    assert not any("/privileges/" in u for u in urls)
+    # special route: root → dont_filter /page/1 bootstrap → gate-driven
+    # /page/2; page/3 never (page/2's last date is old); campus stops at
+    # its first page (old last date)
+    assert any(u.endswith("/events/") for u in urls)
+    assert any(u.endswith("/events/page/1") for u in urls)
+    assert any(u.endswith("/events/page/2") for u in urls)
+    assert not any(u.endswith("/events/page/3") for u in urls)
+    assert not any(u.endswith("/campus/page/2") for u in urls)
+    # each dont_filter bootstrap page is fetched exactly once
+    assert urls.count("https://www.clickthecity.com/events/page/1") == 1
+    assert urls.count("https://www.clickthecity.com/campus/page/1") == 1
+    # next-link route: page-2 fetched, its page-3 link gated off
+    assert any(u.endswith("/food/page-2/") for u in urls)
+    assert not any(u.endswith("/food/page-3/") for u in urls)
+    assert len(docs) == 9  # events 4 + campus 1 + food 4
+    by_url = {d["request_url"]: d for d in docs}
+    base = "https://www.clickthecity.com"
+    # abstract carry-forward: entry 1 has no summary — it inherits entry
+    # 0's; page 2 overrides with its own first summary
+    assert by_url[f"{base}/events-story-1-0/"]["abstract"] == \
+        "events abstract 1-0"
+    assert by_url[f"{base}/events-story-1-1/"]["abstract"] == \
+        "events abstract 1-0"
+    assert by_url[f"{base}/events-story-2-1/"]["abstract"] == \
+        "events abstract 2-0"
+    assert by_url[f"{base}/food-story-1-1/"]["abstract"] == \
+        "food excerpt 1-0"
+    # composite date+time pub ('May 30, 2021' + '10:15' off '10:15 am
+    # PHT'); the no-time-span article keeps the date alone
+    assert by_url[f"{base}/events-story-1-0/"]["pub_time"] == \
+        "2021-05-30 10:15:00"
+    assert by_url[f"{base}/food-story-1-1/"]["pub_time"] == \
+        "2021-05-30 00:00:00"
+    # span shape: lead image, para, in-body figure image, para
+    assert all(
+        [s["kind"] for s in d["spans"]] == ["image", "text", "image", "text"]
+        and d["spans"][0]["media_ref"].endswith("lead.jpg")
+        for d in docs
+    )
+    # categories from the menu labels; category2 never set
+    assert {d["category1"] for d in docs} == {"Events", "Campus", "Food"}
+    assert all(d["category2"] is None for d in docs)
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,

@@ -29,7 +29,7 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
     "menu_parse": (
         r"def parse\(",
         "menu kind + `category` rule (regex or selector; groups/skip)",
-        "all 11 fixture sites",
+        "all 12 fixture sites",
     ),
     "two_level_menu": (
         r"parse_category2|parse_second|menu2|category2'?\]\s*=\s*(?!None|''|\"\")",
@@ -44,7 +44,7 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
     "page_path_pagination": (
         r"/page/'?\s*\+|'page/'\s*\+|\"page/\"\s*\+|page/%d|page/\{",
         "PAGE_PATH rule (stateless /page/N advance)",
-        "hatawtabloid",
+        "hatawtabloid, clickthecity (dont_filter bootstrap + rule_variants)",
     ),
     "page_param_pagination": (
         r"curpg|[?&]page=|page=%d|page=\{",
@@ -71,7 +71,7 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
         r"dont_filter\s*=\s*True",
         "probe kind + probe_first/probe_last (fingerprint-bypassing"
         " refetch)",
-        "maharashtratimes, clickthecity-shape covered by same path",
+        "maharashtratimes (probe_last), clickthecity (path_bootstrap)",
     ),
     "time_cutoff_gate": (
         r"时间截止|>=\s*(?:int\()?self\.time|self\.time\s*(?:is None|==\s*None)",
@@ -154,7 +154,7 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
     "excluded_categories": (
         r"not in \[|continue\b.*#.*排除|in \[.*\]:\s*\n\s*continue",
         "excluded_labels / excluded_slugs (P4)",
-        "zeenews (slugs), clickthecity-shape via labels",
+        "zeenews (slugs), clickthecity (labels)",
     ),
     "programmatic_seeds": (
         r"start_requests",
@@ -229,7 +229,7 @@ def main() -> int:
         "Reading the table: every mechanic with a nonzero spider count has"
         " a rule-surface feature and a fixture; a spider not yet in the"
         " registry is DATA away (a rules dict + a fixture page set), not"
-        " code away. The 11 ported sites were chosen as the union cover of"
+        " code away. The 12 ported sites were chosen as the union cover of"
         " the mechanic set, not by popularity.",
     ]
     with open(out_path, "w") as fh:
