@@ -11,6 +11,7 @@ in this container, so this module rebuilds the needed subset on
 selectors of the form
 
     tag .class #id [attr] [attr=value]      (simple selectors, combinable)
+    [attr^=value]                           (value-prefix, quotes optional)
     A B                                     (descendant)
     A > B                                   (child)
     A ~ B                                   (general sibling — B after A)
@@ -114,9 +115,11 @@ def parse_html(html: str) -> Node:
 
 _SIMPLE_RE = re.compile(
     r"(?P<tag>[a-zA-Z][\w-]*)?"
-    r"(?P<rest>(?:[.#][\w-]+|\[[\w-]+(?:=[^\]]*)?\])*)$"
+    r"(?P<rest>(?:[.#][\w-]+|\[[\w-]+(?:\^?=[^\]]*)?\])*)$"
 )
-_PART_RE = re.compile(r"\.([\w-]+)|#([\w-]+)|\[([\w-]+)(?:=([^\]]*))?\]")
+_PART_RE = re.compile(
+    r"\.([\w-]+)|#([\w-]+)|\[([\w-]+)(?:(\^?=)([^\]]*))?\]"
+)
 
 
 def _parse_simple(token: str):
@@ -131,7 +134,11 @@ def _parse_simple(token: str):
         elif cm.group(2):
             node_id = cm.group(2)
         else:
-            attrs.append((cm.group(3), cm.group(4)))
+            val = cm.group(5)
+            if val is not None and len(val) >= 2 and val[0] == val[-1] \
+                    and val[0] in "'\"":
+                val = val[1:-1]
+            attrs.append((cm.group(3), cm.group(4), val))
     return (m.group("tag"), classes, node_id, attrs)
 
 
@@ -157,10 +164,18 @@ def _match(node: Node, simple) -> bool:
         return False
     if classes and not set(classes) <= node.classes():
         return False
-    for name, val in attrs:
+    for name, op, val in attrs:
         if name not in node.attrs:
             return False
-        if val is not None and node.attrs.get(name) != val:
+        if op is None:
+            continue
+        have = node.attrs.get(name) or ""
+        # [attr^=v]: value-prefix match — the href-filtered menu selector
+        # shape `a[href^="https://…/category/"]` (bworldonline.py:40)
+        if op == "^=":
+            if not have.startswith(val):
+                return False
+        elif have != val:
             return False
     return True
 

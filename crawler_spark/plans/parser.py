@@ -128,20 +128,24 @@ def _epoch(dt_str_or_none, as_of: datetime, raw: str | None,
 
 
 def next_page_request(rule: str, url: str, body: str,
-                      payload: dict) -> tuple[str, str, str] | None:
+                      payload: dict,
+                      form_page_param: str = "page",
+                      ) -> tuple[str, str, str] | None:
     """Next list-page request per pagination rule → (url, method, body).
 
     FORM_PAGE keeps the URL constant and advances the form body
     (FormRequest infinite scroll, yehey.py:70-71,103); every other rule is
-    a GET with an advanced URL."""
+    a GET with an advanced URL. ``form_page_param``: the body field that
+    carries the page counter — 'page' for yehey, the theme-specific
+    'loopState[currentPage]' for bworldonline.py:72."""
     if rule == FORM_PAGE:
         if not payload.get("has_more"):
             return None
         params = dict(
             kv.split("=", 1) for kv in body.split("&") if "=" in kv
         ) if body else {}
-        page = int(params.get("page", "1"))
-        params["page"] = str(page + 1)
+        page = int(params.get(form_page_param, "1"))
+        params[form_page_param] = str(page + 1)
         new_body = "&".join(f"{k}={v}" for k, v in sorted(params.items()))
         return url, "POST", new_body
     if rule == NEXT_LINK:
@@ -581,9 +585,14 @@ def parse_page(
             payload_json, extract or {}, url,
         )
     elif fmt == "json_html":
+        # The envelope key is site data: manila wraps its HTML in 'data'
+        # (manila.py:71), bworldonline in 'server_reply_html_data'
+        # (bworldonline.py:60).
         outer = json.loads(payload_json)
         payload = extract_payload(
-            "api", outer.get("data") or "", extract or {}, url
+            "api",
+            outer.get(site.get("json_html_key", "data")) or "",
+            extract or {}, url,
         )
     else:
         payload = json.loads(payload_json)
@@ -665,7 +674,22 @@ def parse_page(
         pt = _epoch(None, as_of, pub_raw, date_style)
         if cutoff_epoch is None or pt >= cutoff_epoch:
             base = meta.get("list_url")
-            if base:
+            lbody = meta.get("list_body")
+            if base and lbody is not None:
+                # The probed chain is a FORM-paginated API feed: advance
+                # by re-POSTing the carried form body with its page field
+                # bumped (bworldonline.py:71-73's FormRequest re-post).
+                nxt = next_page_request(
+                    FORM_PAGE, base, lbody, {"has_more": True},
+                    form_page_param=site.get("form_page_param", "page"),
+                )
+                if nxt:
+                    n_url, n_method, n_body = nxt
+                    nmeta = dict(meta)
+                    nmeta["list_body"] = n_body
+                    emit(n_url, "api", nmeta,
+                         child_method=n_method, child_body=n_body)
+            elif base:
                 page = int(meta.get("page", "1")) + 1
                 nmeta = dict(meta)
                 nmeta["page"] = str(page)
@@ -694,7 +718,26 @@ def parse_page(
                     return None, requests
                 break
         entries = payload.get("entries", [])
+        # probe_last may be scoped to one page kind: bworldonline probes
+        # only its API feed pages (bworldonline.py:62-65) while its HTML
+        # category pages yield every grid entry unprobed (py:50-51); True
+        # applies to both kinds (maharashtratimes lists).
         probe_last = site.get("probe_last", False)
+        if isinstance(probe_last, str):
+            probe_last = probe_last == kind
+        # category1/category2 regexed off the LIST page's own URL
+        # (bworldonline.py:45-49 reads response.url path segments); they
+        # override the meta lineage for entries AND ride into the form
+        # chain below. A non-matching URL (the fixed admin-ajax endpoint)
+        # leaves the inherited meta untouched.
+        for _ck, _rk in (("category1", "cat1_url_re"),
+                         ("category2", "cat2_url_re")):
+            _rx = site.get(_rk)
+            if _rx:
+                _m = re.search(_rx, url)
+                if _m:
+                    meta = dict(meta)
+                    meta[_ck] = _m.group(1)
         # Scrapy snapshots meta at Request construction, so a list loop
         # that mutates meta['abstract'] per entry gives each article the
         # LAST abstract seen so far — carry-forward, not per-entry — and
@@ -756,8 +799,22 @@ def parse_page(
         # seeded with fields scraped off the page (currentday) plus the
         # category slug regexed out of the list URL.
         if flag and payload.get("form_params") and site.get("form_api_url"):
-            params = {k: v for k, v in payload["form_params"].items()}
-            params["page"] = "2"
+            # Scraped fields land on site-named body keys (named regex
+            # groups must be identifiers, but form field names need not
+            # be: bworldonline.py:54's 'loopState[atts][category_id]');
+            # constant fields come from form_fixed_params (the spider's
+            # class-level data dict, bworldonline.py:21-31); the page
+            # counter field + its bootstrap value are site data too
+            # (yehey starts at 2, bworldonline re-posts page 1 first).
+            pmap = site.get("form_param_map", {})
+            params = dict(site.get("form_fixed_params", {}))
+            params.update(
+                (pmap.get(k, k), v)
+                for k, v in payload["form_params"].items()
+            )
+            params[site.get("form_page_param", "page")] = str(
+                site.get("form_start_page", 2)
+            )
             if site.get("url_cat_re"):
                 m = re.search(site["url_cat_re"], url)
                 if m:
@@ -776,6 +833,12 @@ def parse_page(
                  "pub_time_raw": last.get("pub_time_raw"),
                  "lead_img": last.get("img")}
             )
+            if rule == FORM_PAGE:
+                # the probe decides pagination by re-POSTing this API
+                # page's own form body, page field bumped — carry it
+                # (bworldonline.py:64-65 keeps the form dict in meta)
+                pmeta["list_url"] = url
+                pmeta["list_body"] = body
             emit(last["href"], "probe", pmeta, dont_filter=True)
         # Page-level time gate (philboxing.py:67-95, yehey.py:92-101):
         # pagination is decided by a page-level date, not per entry; no
@@ -806,7 +869,10 @@ def parse_page(
                         "api", nmeta,
                     )
             else:
-                nxt = next_page_request(rule, url, body, payload)
+                nxt = next_page_request(
+                    rule, url, body, payload,
+                    form_page_param=site.get("form_page_param", "page"),
+                )
                 if nxt:
                     n_url, n_method, n_body = nxt
                     page_meta = dict(meta)

@@ -1,7 +1,7 @@
 """Real spider rule-sets as registry content, with fixtures shaped on the
 actual sites' markup (VERDICT r2 'Next round #4').
 
-Twelve deployed spiders from the reference corpus are ported as
+Fifteen deployed spiders from the reference corpus are ported as
 rules-as-data registry entries — no per-site code, only data consumed by
 the one generic extractor (plans/parser.extract_payload) and the shared
 dataflow (plans/parser.parse_page):
@@ -20,6 +20,9 @@ dataflow (plans/parser.parse_page):
 | boholchronicle   |  448 | multi-GROUP menus (id-keyed sub-menus each hardcoding category1, link text as category2, one direct link with category2=None), sibling-combinator body selectors (`.heateorSssClear ~ p`), page-level byline pagination gate | 已部署/boholchronicle.py:12-13,28-34,39-43,45-58 |
 | latestnews1      |  936 | menu skip-first slice (Home never crawled), category1 re-read off each LIST page's own header (menu labels ignored), SOFT-404 detection by selector (HTTP 200 error template → no doc), ISO+TZ datetime attributes, whole-container body fallback when no <p> survives | 已部署/latestnews1.py:46,55,63,75-77,84-96 |
 | clickthecity     | 1248 | per-LABEL menu dispatch (Events/Campus → /page/N path chain bootstrapped with a dont_filter self-request, others → next-link chain), abstract CARRY-FORWARD across list entries (Scrapy meta-snapshot semantics), composite date+time pub spans, lead-image + figure-image selector-list block, excluded menu label | 已部署/clickthecity.py:38-62,70-105,120-155 |
+| coconuts         | 1247 | two-level menus sharing ONE exclusion list at both levels, /page/1/ dont_filter bootstrap on EVERY category landing, page-level-only time gate (old entries still stored), body-paragraph IFRAMES as media with the figure image last | 已部署/coconuts.py:27-61,64-87,89-112 |
+| parstoday        | 1155 | one-level menu mixing label AND slug ('/' link) exclusions, ?page=N pagination off the bare category URL, unconditional entry yield + last-entry gate, single lead image, introtext-vs-first-paragraph abstract fallback | 已部署/parstoday.py:29-49,51-69 |
+| bworldonline     |  191 | href-PREFIX-filtered menu selector, category1/2 from the list URL's path segments, form-POST API chain (admin-ajax) bootstrapped with a page-scraped category_id, JSON-wrapping-HTML under a site-named key, LAST-entry dont_filter probe that re-POSTs the form body with its page field bumped | 已部署/bworldonline.py:21-32,38-56,59-76,78-94 |
 
 The mock pages here are deterministic miniatures of each site's real
 markup (class names, attribute shapes, and nesting mirror the spiders'
@@ -30,6 +33,7 @@ simulator parity suite are the correctness gate.
 
 from __future__ import annotations
 
+import json
 from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1596,6 +1600,446 @@ def _build_clickthecity(g: _G) -> None:
 
 
 # ---------------------------------------------------------------------------
+# coconuts — TWO-level menus with the SAME exclusion list at both levels,
+# a /page/1/ dont_filter bootstrap on EVERY second-level landing page
+# (parse_category3), page-level-only time gating (every fetched page's
+# entries become articles, even past the cutoff), iframes-as-media inside
+# body paragraphs with the figure image appended LAST
+# (已部署/coconuts.py)
+# ---------------------------------------------------------------------------
+
+COCONUTS_RULES = {
+    "rule": PAGE_PATH,  # parse_category4's url + 'page/' + N advance
+    "format": "html",
+    "title_priority": "page",  # coconuts.py:94-95 reads the article h1
+    "article_pub_priority": "page",
+    "menu_child_kind": "menu2",  # parse → parse_category2 (two levels)
+    # parse_category3 parses NOTHING on the category landing — it emits
+    # only its own /page/1 request with dont_filter=True
+    # (coconuts.py:54-61); every list URL takes the same chain.
+    "rule_variants": [
+        {"match": r"coconuts\.co/", "path_bootstrap": True},
+    ],
+    "extract": {
+        # parse(): ul.main-menu li a labels (coconuts.py:33-40)
+        "category": {"sel": "ul.main-menu.list-float li a"},
+        # parse_category2(): the global navbar links (coconuts.py:44-52);
+        # the SAME label exclusions apply at both menu levels
+        # (coconuts.py:36,47)
+        "category2": {
+            "sel": "ul.global-navbar__links-main.global-navbar__links"
+                   " li a",
+        },
+        "excluded_labels": ["Join COCO+", "Newsletters", "SHOP"],
+        # parse_category4(): div.co-river__entry links; NO per-entry time
+        # gate — every entry of a fetched page is requested, the cutoff
+        # decides only whether page N+1 is fetched, off the LAST entry's
+        # <time> text (coconuts.py:69-78)
+        "entry": {"sel": "div.co-river__entry a.today-news-link"},
+        "more": {"sel": "div.co-river__entry"},
+        "page_time": {"sel": "div.co-river__entry time", "index": -1},
+        # parse_category5(): h1.post-title, div.post-body paragraphs with
+        # in-paragraph IFRAMES collected as media, then the figure image
+        # appended after the body loop (coconuts.py:94-107); pub from the
+        # time.post-timeago datetime attribute → format_time2
+        # (coconuts.py:108-111)
+        "title": {"sel": "h1.post-title"},
+        "pub": {"sel": "time.post-timeago", "attr": "datetime"},
+        "block": {
+            "para_sel": "div.post-body p",
+            "img_sel": ["div.post-body p iframe", "figure img"],
+        },
+    },
+}
+
+
+def _coco_date(dt: datetime) -> str:
+    return (f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+            f" {dt.hour:02d}:{dt.minute:02d}")
+
+
+def _coco_article(g: _G, base: str, host: str, slug: str, tag: str,
+                  dt: datetime) -> str:
+    url = f"{base}/{slug}-news-{tag}/"
+    g.page(
+        url, "article",
+        "<html><body>"
+        f'<h1 class="post-title">{slug.capitalize()} news {tag}</h1>'
+        '<div class="post-body">'
+        f"<p>{slug} para {tag}-0 "
+        f'<iframe src="{base}/embed/{slug}{tag}.mp4"></iframe></p>'
+        f"<p>{slug} para {tag}-1</p></div>"
+        f'<figure><img src="{base}/img/{slug}{tag}.jpg"/></figure>'
+        f'<time class="post-timeago" datetime="{_coco_date(dt)}">ago'
+        "</time></body></html>",
+        host,
+    )
+    return url
+
+
+def _build_coconuts(g: _G) -> None:
+    host = "coconuts.co"
+    wid = 1247  # coconuts.py:14
+    g.registry[wid] = dict(COCONUTS_RULES)
+    base = f"https://{host}"
+    g.seeds.append({"url": f"{base}/", "website_id": wid,
+                    "language_id": 1866})
+    g.page(
+        f"{base}/", "menu",
+        '<html><body><ul class="main-menu list-float">'
+        '<li><a href="/plus/">Join COCO+</a></li>'
+        '<li><a href="/bangkok/">Bangkok</a></li>'
+        '<li><a href="/manila/">Manila</a></li>'
+        '<li><a href="/shop/">SHOP</a></li>'
+        "</ul></body></html>",
+        host,
+    )
+    # second-level menus (the navbar); Newsletters excluded at THIS level
+    g.page(
+        f"{base}/bangkok/", "menu2",
+        "<html><body>"
+        '<ul class="global-navbar__links-main global-navbar__links">'
+        '<li><a href="/bangkok/news/">News</a></li>'
+        '<li><a href="/newsletters/">Newsletters</a></li>'
+        "</ul></body></html>",
+        host,
+    )
+    g.page(
+        f"{base}/manila/", "menu2",
+        "<html><body>"
+        '<ul class="global-navbar__links-main global-navbar__links">'
+        '<li><a href="/manila/news/">News</a></li>'
+        "</ul></body></html>",
+        host,
+    )
+    # category landings: nothing to parse — bootstrap-only pages
+    for c in ("bangkok", "manila"):
+        g.page(f"{base}/{c}/news/", "list",
+               "<html><body><div>landing</div></body></html>", host)
+
+    def coco_list(slug: str, page: int, dts: list[datetime]) -> None:
+        entries = []
+        for e, dt in enumerate(dts):
+            aurl = _coco_article(g, base, host, slug, f"{page}-{e}", dt)
+            entries.append(
+                '<div class="co-river__entry">'
+                f'<a class="today-news-link" href="{aurl}">'
+                f"{slug} entry {page}-{e}</a>"
+                f"<time>{_coco_date(dt)}</time></div>"
+            )
+        g.page(f"{base}/{slug}/news/page/{page}", "list",
+               "<html><body>" + "".join(entries) + "</body></html>", host)
+
+    # bangkok: page 1 fresh (last entry ≥ cutoff → page 2 fetched);
+    # page 2's entries are OLD yet still stored (no per-entry gate) and
+    # its last entry kills page 3
+    coco_list("bangkok", 1, [BASE_DT - timedelta(hours=2),
+                             BASE_DT - timedelta(hours=4)])
+    coco_list("bangkok", 2, [BASE_DT - timedelta(days=3),
+                             BASE_DT - timedelta(days=4)])
+    # manila: the first page's only entry is old → stored, chain stops
+    coco_list("manila", 1, [BASE_DT - timedelta(days=5)])
+
+
+# ---------------------------------------------------------------------------
+# parstoday — one-level menu mixing label AND slug exclusions (the bare
+# '/' link + 'Products'), ?page=N pagination off the BARE category URL
+# (no bootstrap page), unconditional entry yield with a last-entry page
+# gate, single lead image, introtext-vs-first-paragraph abstract
+# (已部署/parstoday.py)
+# ---------------------------------------------------------------------------
+
+PARSTODAY_RULES = {
+    "rule": PAGE_PARAM,  # parse2: meta['url'] + '?page=' + N
+    "format": "html",
+    "title_priority": "page",  # parse_news reads .item-title
+    "article_pub_priority": "page",
+    "extract": {
+        # parse(): '#menu > div > div > div > ul > li' anchors; the bare
+        # '/' link and the 'Products' label are skipped
+        # (parstoday.py:31-35)
+        "category": {"sel": "#menu > div > div > div > ul > li a"},
+        "excluded_labels": ["Products"],
+        "excluded_slugs": [""],  # url != '/' — '' is '/'.split('/')[-1]
+        # parse2(): itemlist entries, yielded UNCONDITIONALLY; the LAST
+        # entry's div.date text gates ?page=N+1 (parstoday.py:39-49)
+        "entry": {
+            "sel": "#itemlist > div > div.panel-body.items > ul > li a",
+        },
+        "more": {"sel": "#itemlist > div > div.panel-body.items > ul > li"},
+        "page_time": {
+            "sel": "#itemlist > div > div.panel-body.items > ul > li"
+                   " div.date",
+            "index": -1,
+        },
+        # parse_news(): .item-title / .item-date / one .item-media lead
+        # image / .item-text paragraphs / .introtext abstract with
+        # first-body-line fallback (parstoday.py:56-62)
+        "title": {"sel": ".item-title"},
+        "pub": {"sel": ".item-date"},
+        "abstract": {"sel": ".introtext"},
+        "block": {
+            "para_sel": ".item-text p",
+            "img_sel": ".item-media img",
+        },
+    },
+}
+
+
+def _build_parstoday(g: _G) -> None:
+    host = "parstoday.com"
+    wid = 1155  # parstoday.py:13
+    g.registry[wid] = dict(PARSTODAY_RULES)
+    base = f"https://{host}"
+    g.seeds.append({"url": f"{base}/hi", "website_id": wid,
+                    "language_id": 1930})
+    g.page(
+        f"{base}/hi", "menu",
+        '<html><body><div id="menu"><div><div><div><ul>'
+        '<li><a href="/">Home</a></li>'
+        f'<li><a href="{base}/hi/world">World</a></li>'
+        f'<li><a href="{base}/hi/sports">Sports</a></li>'
+        '<li><a href="/products">Products</a></li>'
+        "</ul></div></div></div></div></body></html>",
+        host,
+    )
+
+    def pars_article(slug: str, tag: str, dt: datetime,
+                     introtext: bool) -> str:
+        url = f"{base}/hi/{slug}/item/{tag}"
+        intro = ('<div class="introtext">intro for '
+                 f"{slug} {tag}</div>" if introtext else "")
+        g.page(
+            url, "article",
+            "<html><body>"
+            f'<div class="item-title">{slug.capitalize()} item {tag}</div>'
+            f'<div class="item-date">{_coco_date(dt)}</div>'
+            f'<div class="item-media"><img src="{base}/img/{slug}{tag}.jpg"'
+            "/></div>"
+            f"{intro}"
+            f'<div class="item-text"><p>{slug} body {tag}-0</p>'
+            f"<p>{slug} body {tag}-1</p></div>"
+            "</body></html>",
+            host,
+        )
+        return url
+
+    def pars_list(slug: str, url: str, page: int,
+                  dts: list[datetime]) -> None:
+        lis = []
+        for e, dt in enumerate(dts):
+            aurl = pars_article(slug, f"{page}-{e}", dt,
+                                introtext=(e == 0))
+            lis.append(
+                f'<li><a href="{aurl}">{slug} {page}-{e}</a>'
+                f'<div class="date">{_coco_date(dt)}</div></li>'
+            )
+        g.page(
+            url, "list",
+            '<html><body><div id="itemlist"><div>'
+            '<div class="panel-body items"><ul>' + "".join(lis)
+            + "</ul></div></div></div></body></html>",
+            host,
+        )
+
+    # world: bare category URL is page 1; its last entry is fresh →
+    # ?page=2 fetched; page 2's old entries still stored, chain stops
+    pars_list("world", f"{base}/hi/world", 1,
+              [BASE_DT - timedelta(hours=1), BASE_DT - timedelta(hours=3)])
+    pars_list("world", f"{base}/hi/world?page=2", 2,
+              [BASE_DT - timedelta(days=3), BASE_DT - timedelta(days=4)])
+    # sports: one old entry → stored, no ?page=2
+    pars_list("sports", f"{base}/hi/sports", 1,
+              [BASE_DT - timedelta(days=5)])
+
+
+# ---------------------------------------------------------------------------
+# bworldonline — menu links filtered by an href PREFIX selector,
+# category1/category2 derived from the list URL's path segments, a grid of
+# unprobed articles on the HTML category page, then a form-POST API chain
+# (admin-ajax.php) bootstrapped with a category_id scraped off the page
+# text, JSON wrapping HTML under 'server_reply_html_data', and pagination
+# decided by a dont_filter probe of each API page's LAST entry that
+# re-POSTs the form with its page field bumped
+# (已部署/bworldonline.py)
+# ---------------------------------------------------------------------------
+
+BWORLD_API_URL = ("https://www.bworldonline.com/wp-admin/admin-ajax.php"
+                  "?td_theme_name=Newsmag&v=3.3.1")  # bworldonline.py:32
+
+# the spider's class-level form dict minus the scraped/advanced fields
+# (bworldonline.py:21-31)
+BWORLD_FIXED = {
+    "action": "td_ajax_loop",
+    "loopState[sidebarPosition]": "",
+    "loopState[moduleId]": "td_module_category_list",
+    "loopState[max_num_pages]": "0",
+    "loopState[atts][offset]": "3",
+    "loopState[ajax_pagination_infinite_stop]": "0",
+    "loopState[server_reply_html_data]": "",
+}
+
+BWORLD_RULES = {
+    "rule": FORM_PAGE,
+    "format": "html",
+    "title_priority": "page",  # parse_item reads .entry-title
+    "article_pub_priority": "page",
+    "api_format": "json_html",  # parse2: json.loads(...)['server_reply...']
+    "json_html_key": "server_reply_html_data",
+    # parse1: category1/2 = response.url.split('/')[4]/[5]
+    # (bworldonline.py:45-49); a one-segment category yields '' for
+    # category2, exactly list[5] of '/category/<c1>/'
+    "cat1_url_re": r"/category/([^/]+)",
+    "cat2_url_re": r"/category/[^/]+/([^/]*)",
+    # parse1 → FormRequest(self.url, formdata=data) with the scraped
+    # category_id and currentPage still at its class-dict value '1'
+    # (bworldonline.py:53-56); parse_time advances 'loopState[currentPage]'
+    # (bworldonline.py:71-73)
+    "form_api_url": BWORLD_API_URL,
+    "form_fixed_params": BWORLD_FIXED,
+    "form_param_map": {"cat_id": "loopState[atts][category_id]"},
+    "form_page_param": "loopState[currentPage]",
+    "form_start_page": 1,
+    # only the API feed pages probe their last entry (parse2,
+    # bworldonline.py:62-65); the HTML grid yields everything
+    "probe_last": "api",
+    "extract": {
+        # parse(): menu anchors filtered to category links by href prefix
+        # (bworldonline.py:40)
+        "category": {
+            "sel": '#menu-main-menu > li >'
+                   ' a[href^="https://www.bworldonline.com/category/"]',
+        },
+        # parse1(): the big-grid article links (bworldonline.py:50)
+        "entry": {
+            "sel": ".td-pb-span12 .td-big-grid-wrapper"
+                   " .td-module-thumb > a",
+        },
+        # the scraped form field (bworldonline.py:54) — regex over raw
+        # page text, mapped onto loopState[atts][category_id]
+        "form_params": r"'category_id':(?P<cat_id>\d+)",
+        "variants": [
+            # parse2(): the API fragment's module list markup
+            # (bworldonline.py:62)
+            {"match": r"admin-ajax\.php",
+             "entry": {
+                 "sel": ".td_module_category_list.td_module_wrap"
+                        ".td-meta-info-hide .td-module-thumb > a",
+             }},
+        ],
+        # parse_item(): .entry-title; body = '.column-meta ~ p' siblings;
+        # single featured image; pub off '.td-post-date > time'
+        # (bworldonline.py:81-93)
+        "title": {"sel": ".entry-title"},
+        "pub": {"sel": ".td-post-date > time"},
+        "block": {
+            "para_sel": ".td-post-content-area .column-meta ~ p",
+            "img_sel": ".td-post-content-area .td-post-featured-image img",
+        },
+    },
+}
+
+
+def _bworld_body(cat_id: str, page: int) -> str:
+    """The exact engine-built form body: fixed fields + scraped
+    category_id + the page counter, '&'-joined in sorted key order."""
+    params = dict(BWORLD_FIXED)
+    params["loopState[atts][category_id]"] = cat_id
+    params["loopState[currentPage]"] = str(page)
+    return "&".join(f"{k}={v}" for k, v in sorted(params.items()))
+
+
+def _build_bworldonline(g: _G) -> None:
+    host = "www.bworldonline.com"
+    wid = 191  # bworldonline.py:11
+    g.registry[wid] = dict(BWORLD_RULES)
+    base = f"https://{host}"
+    g.seeds.append({"url": f"{base}/", "website_id": wid,
+                    "language_id": 1866})
+    g.page(
+        f"{base}/", "menu",
+        '<html><body><ul id="menu-main-menu">'
+        f'<li><a href="{base}/about/">About</a></li>'
+        f'<li><a href="{base}/category/economy/banking/">Banking</a></li>'
+        f'<li><a href="{base}/category/corporate/">Corporate</a></li>'
+        "</ul></body></html>",
+        host,
+    )
+
+    def bw_article(slug: str, tag: str, dt: datetime) -> str:
+        url = f"{base}/{slug}-report-{tag}/"
+        g.page(
+            url, "article",
+            "<html><body>"
+            f'<h1 class="entry-title">{slug.capitalize()} report {tag}</h1>'
+            '<div class="td-post-date"><time>'
+            f"{_coco_date(dt)}</time></div>"
+            '<div class="td-post-content-area">'
+            '<div class="td-post-featured-image">'
+            f'<img src="{base}/img/{slug}{tag}.jpg"/></div>'
+            '<div class="column-meta">meta</div>'
+            f"<p>{slug} para {tag}-0</p><p>{slug} para {tag}-1</p>"
+            "</div></body></html>",
+            host,
+        )
+        return url
+
+    def bw_grid_page(cat_path: str, slug: str, cat_id: str,
+                     dts: list[datetime]) -> None:
+        links = "".join(
+            '<div class="td-module-thumb">'
+            f'<a href="{bw_article(slug, f"g-{e}", dt)}">g{e}</a></div>'
+            for e, dt in enumerate(dts)
+        )
+        g.page(
+            f"{base}/category/{cat_path}/", "list",
+            "<html><body>"
+            f"<script>var x = {{'category_id':{cat_id}}};</script>"
+            '<div class="td-pb-span12"><div class="td-big-grid-wrapper">'
+            f"{links}</div></div></body></html>",
+            host,
+        )
+
+    def bw_api_page(slug: str, cat_id: str, page: int,
+                    dts: list[datetime]) -> None:
+        links = "".join(
+            '<div class="td-module-thumb">'
+            f'<a href="{bw_article(slug, f"{page}-{e}", dt)}">a{e}</a>'
+            "</div>"
+            for e, dt in enumerate(dts)
+        )
+        frag = ('<div class="td_module_category_list td_module_wrap'
+                f' td-meta-info-hide">{links}</div>')
+        g.page(
+            BWORLD_API_URL, "api",
+            json.dumps({"server_reply_html_data": frag}),
+            host, method="POST", body=_bworld_body(cat_id, page),
+        )
+
+    # banking (two-segment category → category2='banking'): grid of 2
+    # fresh articles; API page 1's probe (last entry) is fresh → page 2;
+    # page 2's probe is old → stop (the probe itself is still stored)
+    bw_grid_page("economy/banking", "banking", "77",
+                 [BASE_DT - timedelta(hours=1),
+                  BASE_DT - timedelta(hours=2)])
+    bw_api_page("banking", "77", 1,
+                [BASE_DT - timedelta(hours=5),
+                 BASE_DT - timedelta(hours=6),
+                 BASE_DT - timedelta(hours=7)])
+    bw_api_page("banking", "77", 2,
+                [BASE_DT - timedelta(days=3),
+                 BASE_DT - timedelta(days=3, hours=1),
+                 BASE_DT - timedelta(days=4)])
+    # corporate (one-segment category → category2=''): grid of 1, API
+    # page 1's probe already old → chain stops at once
+    bw_grid_page("corporate", "corporate", "88",
+                 [BASE_DT - timedelta(hours=3)])
+    bw_api_page("corporate", "88", 1,
+                [BASE_DT - timedelta(hours=4),
+                 BASE_DT - timedelta(days=5)])
+
+
+# ---------------------------------------------------------------------------
 # Combined graph
 # ---------------------------------------------------------------------------
 
@@ -1612,6 +2056,9 @@ SITE_BUILDERS = {
     "latestnews1": _build_latestnews1,
     "hatawtabloid": _build_hatawtabloid,
     "clickthecity": _build_clickthecity,
+    "coconuts": _build_coconuts,
+    "parstoday": _build_parstoday,
+    "bworldonline": _build_bworldonline,
 }
 
 

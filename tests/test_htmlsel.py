@@ -258,3 +258,20 @@ def test_body_fallback_trim():
         "article", '<div class="ec"><p>para</p></div>', rules
     )
     assert out2["paras"] == ["para"]
+
+
+def test_attr_prefix_match():
+    """``[attr^=value]`` value-prefix matching, quoted or bare — the
+    href-filtered menu selector of bworldonline.py:40."""
+    tree = parse_html(
+        "<ul id='m'>"
+        "<li><a href='https://ex.com/category/econ/'>c</a></li>"
+        "<li><a href='https://ex.com/about/'>a</a></li>"
+        "<li><a>none</a></li></ul>"
+    )
+    hits = select(tree, '#m > li > a[href^="https://ex.com/category/"]')
+    assert [n.attr("href") for n in hits] == ["https://ex.com/category/econ/"]
+    # bare (unquoted) value and exact [attr=v] still work
+    assert len(select(tree, "a[href^=https://ex.com/]")) == 2
+    assert len(select(tree, "a[href=https://ex.com/about/]")) == 1
+    assert len(select(tree, "a[href]")) == 2

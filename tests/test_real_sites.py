@@ -1,4 +1,4 @@
-"""The twelve ported real-site rule-sets (sources/real_sites.py): semantic
+"""The fifteen ported real-site rule-sets (sources/real_sites.py): semantic
 assertions on the reference-semantics simulator, plus byte-for-byte
 engine-vs-simulator parity over the combined graph — the same invariant
 tests/test_crawl_e2e.py enforces for the synthetic corpus, here over
@@ -42,6 +42,7 @@ def test_all_sites_produce_documents(sim):
     by_site = _docs_by_site(sim)
     assert set(by_site) == {
         1033, 467, 1194, 190, 1225, 473, 184, 490, 532, 448, 936, 1248,
+        1247, 1155, 191,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -253,7 +254,8 @@ def test_yehey_form_scroll_and_header_image_first(sim):
     assert all(d["category2"] in ("Nation", "Metro") for d in docs)
     # POST pages: page 2 fetched (gate May 29 12:00 ≥ cutoff), page 3's
     # gate (May 28 12:00) fails → page 4 never requested
-    posts = [r for r in sim["crawl_log_full"] if r["method"] == "POST"]
+    posts = [r for r in sim["crawl_log_full"]
+             if r["method"] == "POST" and "yehey" in r["url"]]
     pages = {r["body"].split("page=")[1].split("&")[0] for r in posts}
     assert pages == {"2", "3"}
     # every POST hits the one scroll endpoint with scraped currentday
@@ -373,6 +375,121 @@ def test_clickthecity_label_dispatch_and_abstract_carry(sim):
     # categories from the menu labels; category2 never set
     assert {d["category1"] for d in docs} == {"Events", "Campus", "Food"}
     assert all(d["category2"] is None for d in docs)
+
+
+def test_coconuts_shared_exclusions_bootstrap_and_iframe_media(sim):
+    """coconuts.py: one exclusion list applies at BOTH menu levels
+    (py:36,47); every second-level landing emits only its own /page/1
+    dont_filter bootstrap (py:54-61); entries are never time-gated — a
+    fetched page's articles are stored even past the cutoff, and only the
+    LAST entry's <time> decides page N+1 (py:69-78); article media are
+    in-paragraph iframes plus a trailing figure image (py:103-107)."""
+    docs = _docs_by_site(sim)[1247]
+    urls = [u for _, u in sim["crawl_log"] if "coconuts" in u]
+    base = "https://coconuts.co"
+    # exclusions at level 1 (Join COCO+/SHOP) and level 2 (Newsletters)
+    assert not any("/plus/" in u or "/shop/" in u or "/newsletters/" in u
+                   for u in urls)
+    # landing → dont_filter /page/1 bootstrap, fetched exactly once
+    assert urls.count(f"{base}/bangkok/news/") == 1
+    assert urls.count(f"{base}/bangkok/news/page/1") == 1
+    assert any(u.endswith("/bangkok/news/page/2") for u in urls)
+    assert not any(u.endswith("/bangkok/news/page/3") for u in urls)
+    assert not any(u.endswith("/manila/news/page/2") for u in urls)
+    assert len(docs) == 5  # bangkok 4 + manila 1
+    by_url = {d["request_url"]: d for d in docs}
+    # page 2's entries are PAST the cutoff yet stored (page-level gate
+    # only)
+    old = by_url[f"{base}/bangkok-news-2-0/"]
+    assert old["pub_time"] == "2021-05-27 12:00:00"
+    # two-level lineage
+    assert {(d["category1"], d["category2"]) for d in docs} == {
+        ("Bangkok", "News"), ("Manila", "News"),
+    }
+    # spans: para text, its iframe, para text, then the figure image LAST
+    fresh = by_url[f"{base}/bangkok-news-1-0/"]
+    assert [s["kind"] for s in fresh["spans"]] == [
+        "text", "image", "text", "image",
+    ]
+    assert fresh["spans"][1]["media_ref"].endswith(".mp4")
+    assert fresh["spans"][3]["media_ref"].endswith(".jpg")
+    assert fresh["abstract"] == "bangkok para 1-0-0"
+    assert fresh["pub_time"] == "2021-05-30 10:00:00"
+
+
+def test_parstoday_slug_exclusion_page_param_and_abstract_fallback(sim):
+    """parstoday.py: the menu drops the bare '/' link AND the 'Products'
+    label (py:34); pagination appends ?page=N to the bare category URL
+    (py:43-47); entries are yielded unconditionally with a last-entry
+    gate (py:40-46); abstract comes from .introtext when present, else
+    the first body line (py:62); images = the single .item-media lead
+    (py:58)."""
+    docs = _docs_by_site(sim)[1155]
+    urls = [u for _, u in sim["crawl_log"] if "parstoday" in u]
+    base = "https://parstoday.com"
+    assert not any(u.rstrip("/") in (base, "") or "/products" in u
+                   for u in urls if u != f"{base}/hi")
+    assert any(u.endswith("/hi/world?page=2") for u in urls)
+    assert not any(u.endswith("/hi/world?page=3") for u in urls)
+    assert not any(u.endswith("/hi/sports?page=2") for u in urls)
+    assert len(docs) == 5  # world 4 + sports 1
+    by_url = {d["request_url"]: d for d in docs}
+    # introtext abstract on first entries, first-paragraph fallback on
+    # the rest
+    assert by_url[f"{base}/hi/world/item/1-0"]["abstract"] == \
+        "intro for world 1-0"
+    assert by_url[f"{base}/hi/world/item/1-1"]["abstract"] == \
+        "world body 1-1-0"
+    # old page-2 entries stored (page-level gate only)
+    assert by_url[f"{base}/hi/world/item/2-0"]["pub_time"] == \
+        "2021-05-27 12:00:00"
+    # single lead image before the body text
+    assert all(
+        [s["kind"] for s in d["spans"]] == ["image", "text", "text"]
+        for d in docs
+    )
+    assert {(d["category1"], d["category2"]) for d in docs} == {
+        ("World", None), ("Sports", None),
+    }
+
+
+def test_bworldonline_url_categories_form_api_and_probe(sim):
+    """bworldonline.py: menu anchors are filtered by an href-prefix
+    selector (py:40); category1/2 come from the list URL's path segments
+    (py:45-49) — '' for a one-segment category; the HTML grid's entries
+    are all stored unprobed (py:50-51); the form-POST API chain is
+    bootstrapped with a category_id scraped off the page (py:53-56),
+    wraps HTML in 'server_reply_html_data' (py:60), and each API page's
+    LAST entry is a dont_filter probe that re-POSTs the form with
+    loopState[currentPage] bumped (py:62-73)."""
+    from crawler_spark.sources.real_sites import BWORLD_API_URL
+
+    docs = _docs_by_site(sim)[191]
+    urls = [u for _, u in sim["crawl_log"] if "bworldonline" in u]
+    base = "https://www.bworldonline.com"
+    # href-prefix filter: the non-category menu link is never fetched
+    assert not any("/about/" in u for u in urls)
+    # API posts: banking page 1 + page 2 (fresh probe) + corporate page 1
+    # (old probe stops at once) — three fetches of the one endpoint URL
+    assert urls.count(BWORLD_API_URL) == 3
+    # each API page's last entry is fetched twice: probe then article
+    assert urls.count(f"{base}/banking-report-1-2/") == 2
+    assert urls.count(f"{base}/banking-report-2-2/") == 2
+    assert urls.count(f"{base}/corporate-report-1-1/") == 2
+    # grid entries are fetched once (no probe on the HTML page)
+    assert urls.count(f"{base}/banking-report-g-0/") == 1
+    assert len(docs) == 11  # banking 2+3+3, corporate 1+2
+    # URL-derived categories: two-segment vs one-segment ('' category2)
+    cats = {(d["category1"], d["category2"]) for d in docs}
+    assert cats == {("economy", "banking"), ("corporate", "")}
+    by_url = {d["request_url"]: d for d in docs}
+    # page 2's old probe article is still stored
+    assert by_url[f"{base}/banking-report-2-2/"]["pub_time"] == \
+        "2021-05-26 12:00:00"
+    # featured image leads the spans; abstract = first paragraph
+    d = by_url[f"{base}/banking-report-g-0/"]
+    assert [s["kind"] for s in d["spans"]] == ["image", "text", "text"]
+    assert d["abstract"] == "banking para g-0-0"
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,

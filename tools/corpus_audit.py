@@ -29,12 +29,13 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
     "menu_parse": (
         r"def parse\(",
         "menu kind + `category` rule (regex or selector; groups/skip)",
-        "all 12 fixture sites",
+        "all 15 fixture sites",
     ),
     "two_level_menu": (
         r"parse_category2|parse_second|menu2|category2'?\]\s*=\s*(?!None|''|\"\")",
         "menu2 kind + `category2` rule / menu groups with fixed labels",
-        "aajtak, manila, yehey, maharashtratimes, boholchronicle",
+        "aajtak, manila, yehey, maharashtratimes, boholchronicle,"
+        " coconuts (shared exclusions at both levels)",
     ),
     "next_link_pagination": (
         r"next_page|next last|nav-links|page-numbers|next_url",
@@ -44,12 +45,13 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
     "page_path_pagination": (
         r"/page/'?\s*\+|'page/'\s*\+|\"page/\"\s*\+|page/%d|page/\{",
         "PAGE_PATH rule (stateless /page/N advance)",
-        "hatawtabloid, clickthecity (dont_filter bootstrap + rule_variants)",
+        "hatawtabloid, clickthecity (dont_filter bootstrap + rule_variants),"
+        " coconuts (bootstrap on EVERY category landing)",
     ),
     "page_param_pagination": (
         r"curpg|[?&]page=|page=%d|page=\{",
         "PAGE_PARAM / page_url_fmt bootstrap",
-        "maharashtratimes",
+        "maharashtratimes, parstoday (?page=N off the bare category URL)",
     ),
     "offset_pagination": (
         r"start=\'?\s*\+|offset=|start=%d|start=\{",
@@ -59,19 +61,22 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
     "api_json": (
         r"json\.loads|response\.json\(\)",
         "api kind + api_format/json_html envelopes + API_TEMPLATE",
-        "manila, yehey",
+        "manila, yehey, bworldonline (HTML under a site-named JSON key)",
     ),
     "form_post": (
         r"FormRequest|method=['\"]POST",
         "FORM_PAGE rule + form_params bootstrap + method/body frontier"
         " columns",
-        "yehey",
+        "yehey, bworldonline (scraped category_id mapped onto"
+        " theme-named body fields, probe-driven page bump)",
     ),
     "dont_filter_probe": (
         r"dont_filter\s*=\s*True",
         "probe kind + probe_first/probe_last (fingerprint-bypassing"
         " refetch)",
-        "maharashtratimes (probe_last), clickthecity (path_bootstrap)",
+        "maharashtratimes (probe_last), clickthecity (path_bootstrap),"
+        " bworldonline (probe_last scoped to API pages, re-POSTs the"
+        " form body)",
     ),
     "time_cutoff_gate": (
         r"时间截止|>=\s*(?:int\()?self\.time|self\.time\s*(?:is None|==\s*None)",
@@ -117,8 +122,9 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
     ),
     "category_from_url": (
         r"response\.url\.split\(.\/.\)\[",
-        "cat1_from_url_re (post-redirect response.url)",
-        "interaksyon",
+        "cat1_from_url_re (post-redirect response.url) /"
+        " cat1_url_re+cat2_url_re (list URL path segments)",
+        "interaksyon, bworldonline (two- vs one-segment categories)",
     ),
     "category_from_list_page": (
         r"category1.\]\s*=\s*soup\.select_one",
@@ -154,7 +160,8 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
     "excluded_categories": (
         r"not in \[|continue\b.*#.*排除|in \[.*\]:\s*\n\s*continue",
         "excluded_labels / excluded_slugs (P4)",
-        "zeenews (slugs), clickthecity (labels)",
+        "zeenews (slugs), clickthecity (labels), parstoday (label+slug"
+        " mix), coconuts (one list, both menu levels)",
     ),
     "programmatic_seeds": (
         r"start_requests",
@@ -229,7 +236,7 @@ def main() -> int:
         "Reading the table: every mechanic with a nonzero spider count has"
         " a rule-surface feature and a fixture; a spider not yet in the"
         " registry is DATA away (a rules dict + a fixture page set), not"
-        " code away. The 12 ported sites were chosen as the union cover of"
+        " code away. The 15 ported sites were chosen as the union cover of"
         " the mechanic set, not by popularity.",
     ]
     with open(out_path, "w") as fh:
