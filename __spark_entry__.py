@@ -49,9 +49,15 @@ from crawler_spark.operators.dedup import (
     winnow_fingerprints,
     winnow_near_dup_pairs,
 )
+from crawler_spark.operators.curation import (
+    decontaminate,
+    repetition_stats,
+    stratified_sample,
+)
 from crawler_spark.operators.multimodal import (
     attach_fake_media,
     extract_media_features,
+    sample_frames_and_resize,
 )
 from crawler_spark.operators.politeness import (
     admit_per_host,
@@ -663,6 +669,41 @@ def q_training_pipeline(spark, sf_dir):
     )
 
 
+# Per-language keep rates for the stratified-sample query (integer-exact
+# buckets out of 10 000; see operators/curation.py).
+SAMPLE_RATES = {"en": 0.5, "es": 0.25, "de": 0.2, "fr": 0.1, "zh": 0.05}
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher/MassiveText repetition quality filters: duplicate-token
+    fraction + top 2-/3-gram occupancy + keep flag (Rae et al. 2021)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        repetition_stats(docs)
+        .withColumn("keep_flag", F.col("keep").cast("int"))
+        .drop("keep")
+        .orderBy("doc_id")
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language hash sampling: md5-derived bucket vs a
+    per-stratum integer rate — map-side only, re-run-stable."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, SAMPLE_RATES).orderBy("doc_id")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination (GPT-3 appendix C / PaLM shape):
+    docs sharing any distinct 8-gram with the deterministic pseudo-eval
+    slice (doc_id % 37 == 0), with the benchmark side broadcast."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(docs, bench_mod=37, n=8).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: similarity search (embeddings table)
 # ---------------------------------------------------------------------------
@@ -800,6 +841,23 @@ def q_multimodal_features(spark, sf_dir):
     return extract_media_features(media).orderBy("doc_id")
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Frame sampling (stride over n_frames) + aspect-preserving resize
+    planning, one row per sampled frame — the video/image preprocessing
+    stage of a multimodal training pipeline, exercised end-to-end through
+    the same Arrow-batched plumbing as the fake decoder."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+                 F.lit(".jpg")).alias("media_ref"),
+    )
+    feats = extract_media_features(attach_fake_media(docs))
+    return sample_frames_and_resize(feats, k=2, target=224).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Crawl-lifecycle queries (engine vs reference-semantics simulator — the
 # e2e parity invariant surfaced through the driver's oracle gate; VERDICT
@@ -900,6 +958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": q_winnow_fingerprint,
         "winnow_pairs": q_winnow_pairs,
         "training_pipeline": q_training_pipeline,
+        "gopher_repetition": q_gopher_repetition,
+        "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "similarity_lsh": q_similarity_lsh,
@@ -907,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_hourly_agg": q_event_hourly_agg,
         "interleaved_spans": q_interleaved_spans,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "crawl_docs": q_crawl_docs,
         "crawl_spans": q_crawl_spans,
         "crawl_log": q_crawl_log,
@@ -1555,6 +1617,70 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(quality), 4) AS mean_quality
             FROM pred GROUP BY 1 ORDER BY 1
         """,
+        "gopher_repetition": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            base AS (
+              SELECT doc_id, cast(len(w) AS bigint) AS n_words,
+                     round(1.0 - len(list_distinct(w))::double / len(w), 4)
+                       AS dup_word_frac
+              FROM w),
+            bg0 AS (SELECT doc_id, unnest(list_transform(
+                      range(1, greatest(len(w) - 1, 0) + 1),
+                      i -> array_to_string(list_slice(w, i, i + 1), ' ')))
+                      AS g FROM w),
+            bgc AS (SELECT doc_id, g, count(*) AS c FROM bg0 GROUP BY 1, 2),
+            bg AS (SELECT doc_id,
+                          round(max(c)::double / sum(c), 4)
+                            AS top_bigram_frac
+                   FROM bgc GROUP BY 1),
+            tg0 AS (SELECT doc_id, unnest(list_transform(
+                      range(1, greatest(len(w) - 2, 0) + 1),
+                      i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+                      AS g FROM w),
+            tgc AS (SELECT doc_id, g, count(*) AS c FROM tg0 GROUP BY 1, 2),
+            tg AS (SELECT doc_id,
+                          round(max(c)::double / sum(c), 4)
+                            AS top_trigram_frac
+                   FROM tgc GROUP BY 1)
+            SELECT b.doc_id, n_words, dup_word_frac,
+                   coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+                   coalesce(top_trigram_frac, 0.0) AS top_trigram_frac,
+                   CASE WHEN dup_word_frac <= 0.80
+                         AND coalesce(top_bigram_frac, 0.0) <= 0.20
+                         AND coalesce(top_trigram_frac, 0.0) <= 0.18
+                        THEN 1 ELSE 0 END AS keep_flag
+            FROM base b
+            LEFT JOIN bg USING (doc_id)
+            LEFT JOIN tg USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "stratified_sample": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))
+                       ::bigint % 10000 AS bucket
+              FROM documents)
+            SELECT doc_id, lang, bucket FROM b
+            WHERE bucket < CASE lang
+              WHEN 'de' THEN 2000 WHEN 'en' THEN 5000 WHEN 'es' THEN 2500
+              WHEN 'fr' THEN 1000 WHEN 'zh' THEN 500 ELSE 0 END
+            ORDER BY doc_id
+        """,
+        "decontaminate": """
+            WITH sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, greatest(len(string_split(text, ' ')) - 7, 0) + 1),
+                i -> array_to_string(
+                  list_slice(string_split(text, ' '), i, i + 7), ' '))))
+                AS g
+              FROM documents),
+            bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 37 = 0)
+            SELECT doc_id, count(*) AS n_hits
+            FROM sh JOIN bench USING (g)
+            WHERE doc_id % 37 <> 0
+            GROUP BY 1 ORDER BY 1
+        """,
         "embedding_topk": """
             WITH n AS (
               SELECT vec_id, embedding::double[] AS e,
@@ -1613,6 +1739,36 @@ def oracle_sql() -> dict[str, str]:
                    cast(1 + ('0x' || substr(content_sha256, 5, 2))::int % 4 AS int)
                      AS n_frames
             FROM d ORDER BY doc_id
+        """,
+        "multimodal_frames": """
+            WITH m AS (
+              SELECT cast(doc_id AS varchar) AS doc_id,
+                     source || '/' || cast(doc_id AS varchar) || '.jpg' AS media_ref
+              FROM documents),
+            d AS (SELECT doc_id, media_ref,
+                         sha256(sha256(media_ref)) AS content_sha256
+                  FROM m),
+            f AS (SELECT doc_id, media_ref, content_sha256,
+                         64 + ('0x' || substr(content_sha256, 1, 2))::int % 192
+                           AS width,
+                         64 + ('0x' || substr(content_sha256, 3, 2))::int % 192
+                           AS height,
+                         1 + ('0x' || substr(content_sha256, 5, 2))::int % 4
+                           AS n_frames
+                  FROM d),
+            fr AS (
+              SELECT DISTINCT doc_id, media_ref, content_sha256,
+                     width, height,
+                     cast((j * n_frames) // 2 AS int) AS frame_idx
+              FROM f CROSS JOIN range(0, 2) t(j))
+            SELECT doc_id, media_ref, frame_idx,
+                   sha256(content_sha256 || ':' || cast(frame_idx AS varchar))
+                     AS frame_sha256,
+                   cast((width * 224) // greatest(width, height) AS int)
+                     AS out_width,
+                   cast((height * 224) // greatest(width, height) AS int)
+                     AS out_height
+            FROM fr ORDER BY doc_id, frame_idx
         """,
         # Crawl-lifecycle oracles: the reference-semantics simulator's
         # outputs (written by crawler_spark.oracle_crawl.ensure_sim_outputs

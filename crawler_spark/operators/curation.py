@@ -1,0 +1,195 @@
+"""Corpus-curation operators for LLM training-data pipelines: repetition
+quality filters, deterministic stratified sampling, and benchmark
+decontamination.
+
+These are the set-oriented jobs a 100 TB curation run executes between
+crawling and training. All three are pure built-in DataFrame plans (no
+Python in the hot path) with exact DuckDB oracles in
+``__spark_entry__.oracle_sql``:
+
+* ``repetition_stats`` — the n-gram repetition filters from the Gopher /
+  MassiveText data pipeline (Rae et al. 2021, "Scaling Language Models:
+  Methods, Analysis & Insights from Training Gopher", table A1):
+  documents dominated by one repeated n-gram or by duplicate tokens are
+  boilerplate/spam and get dropped before training.
+* ``stratified_sample`` — per-language hash sampling with integer-exact
+  keep buckets: ``md5(doc_id)``-derived 60-bit uniform mod 10 000 against
+  a per-stratum rate. Deterministic (re-runs pick the same rows; no RNG
+  state), map-side only (no shuffle), and cross-engine exact — the shape
+  used to rebalance language/source mixes at corpus scale.
+* ``decontaminate`` — n-gram overlap against an evaluation set (the
+  GPT-3 appendix-C / PaLM procedure: a training document sharing any
+  long n-gram with a benchmark is contaminated and must be excluded).
+  The benchmark side is tiny relative to the corpus, so the join
+  broadcasts it; the corpus side stays a single scan → explode →
+  broadcast-hash-join → partial-agg count, which is the 100 TB shape.
+
+The reference crawler has no curation layer (its only analytics are the
+per-site row counts in baogao.py:56); these operators are first-class
+scale additions per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.text import md5_long60, shingles_of
+
+# Gopher-style keep thresholds (Rae et al. 2021 use character-fraction
+# cutoffs of 0.20/0.18 for top 2-/3-grams; we apply the same cutoffs to
+# token fractions since the synthetic corpus has no line structure).
+TOP_BIGRAM_MAX = 0.20
+TOP_TRIGRAM_MAX = 0.18
+DUP_WORD_MAX = 0.80
+
+# Stratified-sample rates are expressed as integer buckets out of 10 000
+# so the keep predicate is integer-exact in both engines (no float rate).
+SAMPLE_BUCKETS = 10_000
+
+
+def _tagged(words: Column, n: int) -> Column:
+    """(n, gram) structs for every n-gram of a materialized token array."""
+    grams = words if n == 1 else shingles_of(words, n)
+    return F.transform(
+        grams,
+        lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition metrics + keep flag per document.
+
+    Output: ``id, n_words, dup_word_frac, top_bigram_frac,
+    top_trigram_frac, keep``. ``dup_word_frac`` = 1 − distinct/total
+    whitespace tokens; the top-n-gram fractions measure how much of the
+    document one repeated n-gram occupies. ``keep`` applies the module
+    thresholds. Docs too short for an n-gram get fraction 0.0 (nothing
+    repeats).
+
+    Plan shape: ONE scan + ONE explode of (n, gram)-tagged 1-/2-/3-grams
+    feeding two partial-agg shuffles ((doc, n, gram) counts, then per
+    (doc) conditional aggregates) — no self-join of the corpus, which a
+    per-n tree would cost three scans and two joins at 100 TB. All
+    per-gram metrics fall out of the same count rows: distinct unigrams =
+    row count at n=1, totals = sum of counts, top fraction = max/sum."""
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("w")
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.flatten(
+                F.array(
+                    _tagged(F.col("w"), 1),
+                    _tagged(F.col("w"), 2),
+                    _tagged(F.col("w"), 3),
+                )
+            )
+        ).alias("t"),
+    ).select(id_col, F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+    per_gram = grams.groupBy(id_col, "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = per_gram.groupBy(id_col).agg(
+        F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("t1"),
+        F.count(F.when(F.col("n") == 1, F.lit(1))).alias("d1"),
+        F.max(F.when(F.col("n") == 2, F.col("c"))).alias("m2"),
+        F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("t2"),
+        F.max(F.when(F.col("n") == 3, F.col("c"))).alias("m3"),
+        F.sum(F.when(F.col("n") == 3, F.col("c"))).alias("t3"),
+    )
+    joined = stats.select(
+        id_col,
+        F.col("t1").cast("long").alias("n_words"),
+        F.round(
+            F.lit(1.0) - F.col("d1").cast("double") / F.col("t1"), 4
+        ).alias("dup_word_frac"),
+        F.coalesce(
+            F.round(F.col("m2").cast("double") / F.col("t2"), 4), F.lit(0.0)
+        ).alias("top_bigram_frac"),
+        F.coalesce(
+            F.round(F.col("m3").cast("double") / F.col("t3"), 4), F.lit(0.0)
+        ).alias("top_trigram_frac"),
+    )
+    keep = (
+        (F.col("dup_word_frac") <= DUP_WORD_MAX)
+        & (F.col("top_bigram_frac") <= TOP_BIGRAM_MAX)
+        & (F.col("top_trigram_frac") <= TOP_TRIGRAM_MAX)
+    )
+    return joined.withColumn("keep", keep)
+
+
+def sample_bucket(id_col: Column) -> Column:
+    """Deterministic uniform bucket in [0, SAMPLE_BUCKETS): md5-derived
+    60-bit long mod 10 000 — identical in DuckDB as
+    ``('0x' || substr(md5(cast(id as varchar)), 1, 15))::bigint % 10000``."""
+    return md5_long60(id_col.cast("string")) % SAMPLE_BUCKETS
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Keep each row iff its hash bucket falls below the stratum's rate.
+
+    ``rates`` maps stratum value → keep fraction; strata absent from the
+    map are dropped entirely. Purely map-side (scan → project → filter):
+    at 100 TB this is one pass with the predicate pushed to the scan, no
+    shuffle, and re-running selects the identical subset."""
+    rate_buckets = None
+    for k, v in sorted(rates.items()):
+        lit_b = F.lit(int(round(v * SAMPLE_BUCKETS)))
+        rate_buckets = (
+            F.when(F.col(stratum_col) == k, lit_b)
+            if rate_buckets is None
+            else rate_buckets.when(F.col(stratum_col) == k, lit_b)
+        )
+    rate_buckets = rate_buckets.otherwise(F.lit(0))
+    return (
+        docs.withColumn("bucket", sample_bucket(F.col(id_col)))
+        .filter(F.col("bucket") < rate_buckets)
+        .select(id_col, stratum_col, "bucket")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench_mod: int = 37,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark n-gram contamination counts per training document.
+
+    The "benchmark" here is the deterministic pseudo-eval slice
+    ``id % bench_mod == 0`` (the brief forbids external data); a real
+    deployment swaps in the actual eval-set DataFrame — the plan shape is
+    unchanged. A training doc is contaminated if it shares ANY distinct
+    word n-gram with the benchmark; output is ``id, n_hits`` for
+    contaminated docs only (the exclusion list a pipeline anti-joins on).
+
+    Scale: distinct benchmark grams are broadcast (eval sets are MBs, the
+    corpus is TBs); the corpus side is scan → explode distinct grams →
+    broadcast hash join → partial-agg count. No shuffle touches the full
+    corpus rows."""
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("w")
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_of(F.col("w"), n))).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col(id_col) % bench_mod == 0).select("g").distinct()
+    )
+    cand = grams.filter(F.col(id_col) % bench_mod != 0)
+    return (
+        cand.join(F.broadcast(bench), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

@@ -80,6 +80,57 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = (
+    "doc_id string, media_ref string, frame_idx int, frame_sha256 string, "
+    "out_width int, out_height int"
+)
+
+
+def sample_frames_and_resize(
+    features: DataFrame, k: int = 2, target: int = 224
+) -> DataFrame:
+    """Frame sampling + resize planning over decoded media metadata
+    (mapInPandas; one output row per sampled frame).
+
+    Stride sampling picks up to ``k`` frames at indices
+    ``(j * n_frames) // k`` (deduplicated — a 1-frame image yields one
+    row); the resize step fits (width, height) into a ``target`` square
+    preserving aspect ratio with integer floor math. The frame payload
+    hash is the deterministic fake-decode stand-in
+    ``sha256(content_sha256 || ':' || frame_idx)`` so the DuckDB oracle
+    reproduces it exactly; a real decoder replaces the hash with actual
+    frame bytes behind the same row-explosion contract."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "media_ref": [], "frame_idx": [],
+                "frame_sha256": [], "out_width": [], "out_height": [],
+            }
+            for row in pdf.itertuples(index=False):
+                n = int(row.n_frames)
+                idxs = sorted({(j * n) // k for j in range(k)})
+                mx = max(int(row.width), int(row.height))
+                ow = (int(row.width) * target) // mx
+                oh = (int(row.height) * target) // mx
+                for idx in idxs:
+                    out["doc_id"].append(row.doc_id)
+                    out["media_ref"].append(row.media_ref)
+                    out["frame_idx"].append(idx)
+                    out["frame_sha256"].append(
+                        hashlib.sha256(
+                            f"{row.content_sha256}:{idx}".encode()
+                        ).hexdigest()
+                    )
+                    out["out_width"].append(ow)
+                    out["out_height"].append(oh)
+            yield pd.DataFrame(out)
+
+    return features.select(
+        "doc_id", "media_ref", "content_sha256", "width", "height",
+        "n_frames",
+    ).mapInPandas(run, FRAME_SCHEMA)
+
+
 def image_spans(docs_with_spans: DataFrame) -> DataFrame:
     """Flatten interleaved documents to their image spans, preserving
     document order (the span-sequence invariant): one row per image span

@@ -1,0 +1,173 @@
+"""Curation operators (operators/curation.py): Gopher-style repetition
+filters, deterministic stratified sampling, benchmark decontamination —
+exact values vs hand-computed / pure-Python references, plus the plan
+disciplines that make them hold at 100 TB (no Python eval nodes; the
+decontamination join broadcasts the benchmark side)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from crawler_spark.operators.curation import (
+    SAMPLE_BUCKETS,
+    decontaminate,
+    repetition_stats,
+    sample_bucket,
+    stratified_sample,
+)
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_repetition_stats_hand_computed(spark):
+    docs = _docs(spark, [
+        # 6 words, 4 distinct -> dup 1-4/6=0.3333; bigrams: "a b" x2 of 5
+        # -> 0.4; trigrams: all 4 distinct -> 0.25
+        (1, "a b a b c d", "en"),
+        # no repetition at all: dup 0.0, every 2-/3-gram unique
+        (2, "one two three four", "en"),
+        # one word repeated: dup 1-1/4=0.75, top bigram "x x" 3/3=1.0
+        (3, "x x x x", "en"),
+    ])
+    out = {r["doc_id"]: r.asDict()
+           for r in repetition_stats(docs).collect()}
+    assert out[1] == {
+        "doc_id": 1, "n_words": 6, "dup_word_frac": 0.3333,
+        "top_bigram_frac": 0.4, "top_trigram_frac": 0.25, "keep": False,
+    }
+    assert out[2] == {
+        "doc_id": 2, "n_words": 4, "dup_word_frac": 0.0,
+        "top_bigram_frac": 0.3333, "top_trigram_frac": 0.5, "keep": False,
+    }
+    assert out[3]["dup_word_frac"] == 0.75
+    assert out[3]["top_bigram_frac"] == 1.0
+    assert out[3]["keep"] is False
+
+
+def test_repetition_keep_flag_thresholds(spark):
+    # 20 distinct words: dup 0, top bigram 1/19=0.0526, trigram 1/18 ->
+    # passes every Gopher threshold
+    good = " ".join(f"w{i}" for i in range(20))
+    docs = _docs(spark, [(1, good, "en")])
+    row = repetition_stats(docs).collect()[0]
+    assert row["keep"] is True
+
+
+def test_repetition_short_doc_no_ngrams(spark):
+    # 1 word: no bigrams/trigrams -> fractions coalesce to 0.0
+    docs = _docs(spark, [(1, "solo", "en")])
+    row = repetition_stats(docs).collect()[0]
+    assert row["top_bigram_frac"] == 0.0
+    assert row["top_trigram_frac"] == 0.0
+    assert row["dup_word_frac"] == 0.0
+    assert row["keep"] is True
+
+
+def _py_bucket(doc_id: int) -> int:
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+    return h % SAMPLE_BUCKETS
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    rows = [(i, f"text {i}", ["en", "es", "zz"][i % 3]) for i in range(300)]
+    docs = _docs(spark, rows)
+    rates = {"en": 0.5, "es": 0.1}  # zz absent -> dropped entirely
+    got = {(r["doc_id"], r["lang"], r["bucket"])
+           for r in stratified_sample(docs, rates).collect()}
+    want = set()
+    for i, _t, lang in rows:
+        b = _py_bucket(i)
+        rate = {"en": 5000, "es": 1000}.get(lang, 0)
+        if b < rate:
+            want.add((i, lang, b))
+    assert got == want
+    assert any(lang == "en" for _, lang, _b in got)
+    assert all(lang != "zz" for _, lang, _b in got)
+    # re-run selects the identical subset (hash, not RNG)
+    again = {(r["doc_id"], r["lang"], r["bucket"])
+             for r in stratified_sample(docs, rates).collect()}
+    assert again == got
+
+
+def test_sample_bucket_matches_python_md5(spark):
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        sample_bucket(F.col("id")).alias("b"),
+    )
+    for r in df.collect():
+        assert r["b"] == _py_bucket(r["doc_id"])
+
+
+def _py_decontaminate(rows, bench_mod=37, n=8):
+    shingles = {}
+    for doc_id, text, _lang in rows:
+        w = text.split(" ")
+        shingles[doc_id] = {
+            " ".join(w[i:i + n]) for i in range(len(w) - n + 1)
+        }
+    bench = set()
+    for doc_id, sh in shingles.items():
+        if doc_id % bench_mod == 0:
+            bench |= sh
+    out = {}
+    for doc_id, sh in shingles.items():
+        if doc_id % bench_mod == 0:
+            continue
+        hits = len(sh & bench)
+        if hits:
+            out[doc_id] = hits
+    return out
+
+
+def test_decontaminate_matches_python_reference(spark):
+    # doc 0 is benchmark; doc 5 shares its tail 8-gram; doc 6 shares
+    # nothing; doc 74 (2*37) is also benchmark and matches doc 0 — but
+    # benchmark docs are never reported
+    phrase = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, "lead in words " + phrase, "en"),
+        (5, phrase + " trailing words here", "en"),
+        (6, " ".join(f"u{i}" for i in range(12)), "en"),
+        (74, phrase + " more words", "en"),
+    ]
+    docs = _docs(spark, rows)
+    got = {r["doc_id"]: r["n_hits"]
+           for r in decontaminate(docs, bench_mod=37, n=8).collect()}
+    assert got == _py_decontaminate(rows)
+    assert got == {5: 1}
+
+
+def test_decontaminate_counts_distinct_shingles_once(spark):
+    # a doc repeating a contaminated 8-gram twice still counts it once
+    phrase = "p1 p2 p3 p4 p5 p6 p7 p8"
+    rows = [
+        (0, phrase, "en"),
+        (1, phrase + " mid " + phrase, "en"),
+    ]
+    docs = _docs(spark, rows)
+    got = {r["doc_id"]: r["n_hits"]
+           for r in decontaminate(docs, bench_mod=37, n=8).collect()}
+    assert got[1] == 1
+
+
+def test_curation_plans_stay_jvm_side(spark):
+    """No Python eval nodes anywhere; the decontamination benchmark side
+    is broadcast (no shuffle of the corpus-side rows for the join)."""
+    docs = _docs(spark, [(i, f"a b c d e f g h i{i}", "en")
+                         for i in range(40)])
+    for df in (
+        repetition_stats(docs),
+        stratified_sample(docs, {"en": 0.5}),
+        decontaminate(docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+    plan = decontaminate(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
