@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "winnow_fingerprint",
     "winnow_pairs",
     "training_pipeline",
+    "gopher_repetition",
+    "stratified_sample",
+    "decontaminate",
     "embedding_topk",
     "embedding_near_dup",
     "similarity_lsh",
@@ -69,6 +72,7 @@ BENCH_QUERIES = [
     "event_hourly_agg",
     "interleaved_spans",
     "multimodal_features",
+    "multimodal_frames",
 ]
 # The five crawl_* queries are deliberately absent: each is a projection of
 # the same fixture crawl the `crawl` section below times end-to-end.
