@@ -108,36 +108,68 @@ class HttpFetcher:
 
     ``g_kind`` is the request's own parse_kind ('probe' resolves to the
     article markup inside parse_page) — a live site has no oracle kind
-    column; the crawl's routing IS the request lineage. The politeness
-    schedule is already enforced upstream (admission window + per-host
-    budget), so this stage only executes the fetches it is handed.
+    column; the crawl's routing IS the request lineage.
+
+    ``paced=True`` additionally honors the politeness slot AT FETCH TIME
+    (the reference's DOWNLOAD_DELAY spacing, settings.py:28): rows are
+    co-located per host (repartition) and each request sleeps until its
+    ``(host_rank − 1) × crawl_delay`` offset from the partition's fetch
+    start — the wall-clock realization of ``fetch_schedule``'s
+    ``scheduled_at``. Requires the admission columns ``host_rank`` and
+    ``crawl_delay`` (admit_per_host emits both). Off by default: tests
+    and the mock path measure dataflow, not wall clock, and upstream
+    admission already bounds per-host volume per batch. Spacing is
+    enforced within each Arrow batch sequence of a partition; a host
+    spanning multiple partitions (impossible after the repartition) or a
+    >maxRecordsPerBatch host would be the one seam to revisit.
     """
 
     def __init__(self, timeout_s: float = FETCH_TIMEOUT_S,
-                 opener_factory=None):
+                 opener_factory=None, paced: bool = False):
         # opener_factory: () -> urllib-style opener; injectable for tests.
         self.timeout_s = timeout_s
         self.opener_factory = opener_factory
+        self.paced = paced
 
     def fetch(self, admitted: DataFrame) -> DataFrame:
         timeout = self.timeout_s
         opener_factory = self.opener_factory
+        paced = self.paced
         out_schema = ", ".join(
             [f"{f.name} {f.dataType.simpleString()}"
              for f in admitted.schema.fields]
             + ["g_response_url string", "g_kind string", "g_payload string",
                "g_bytes long", "f_status string"]
         )
+        if paced:
+            missing = {"host_rank", "crawl_delay"} - set(admitted.columns)
+            if missing:
+                raise ValueError(
+                    f"paced HttpFetcher needs admission columns {missing}"
+                )
+            admitted = admitted.repartition(F.col("host")).withColumn(
+                "pace_off",
+                (F.col("host_rank") - 1).cast("double")
+                * F.col("crawl_delay"),
+            )
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import time as _time
             import urllib.error
             import urllib.request
 
             opener = (opener_factory() if opener_factory
                       else urllib.request.build_opener())
+            t0 = _time.monotonic()
             for pdf in batches:
+                if paced:
+                    pdf = pdf.sort_values("pace_off", kind="stable")
                 resp_urls, payloads, byte_counts, statuses = [], [], [], []
                 for row in pdf.itertuples(index=False):
+                    if paced:
+                        wait = row.pace_off - (_time.monotonic() - t0)
+                        if wait > 0:
+                            _time.sleep(wait)
                     req = urllib.request.Request(
                         row.url,
                         data=(row.body.encode() or None)
@@ -168,7 +200,8 @@ class HttpFetcher:
                         payloads.append(None)
                         byte_counts.append(0)
                         statuses.append("retryable")  # timeout/conn reset
-                out = pdf.copy()
+                out = (pdf.drop(columns=["pace_off"]) if paced
+                       else pdf).copy()
                 out["g_response_url"] = resp_urls
                 # probe requests fetch article pages (maharashtratimes.py:45);
                 # non-ok rows carry no response columns (contract).

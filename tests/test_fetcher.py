@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
@@ -58,6 +59,7 @@ class _GraphHandler(BaseHTTPRequestHandler):
 
     graph: dict = {}
     hits: dict = {}
+    hit_times: dict = {}
     lock = threading.Lock()
 
     def _serve(self, method: str):
@@ -65,6 +67,8 @@ class _GraphHandler(BaseHTTPRequestHandler):
         body = self.rfile.read(length).decode() if length else ""
         url = f"http://{self.headers['Host']}{self.path}"
         key = (url, method, body)
+        with self.lock:
+            self.hit_times.setdefault(key, []).append(time.monotonic())
         page = self.graph["pages"].get(key)
         if page is None:
             # redirect target: serve the redirecting page's content
@@ -239,3 +243,58 @@ def test_engine_over_real_http_matches_simulator(spark, http_graph,
     assert _engine_metrics(res) == sorted(sim["metrics"])
     # the flaky pages really went through the HTTP retry path
     assert res["crawl_log"].filter("attempt > 0").count() > 0
+
+
+def test_paced_http_fetcher_honors_schedule(spark, http_graph):
+    """paced=True realizes fetch_schedule's scheduled_at on the wall
+    clock: same-host requests arrive at the server ≥ crawl_delay apart
+    (DOWNLOAD_DELAY semantics, settings.py:28); unpaced requests arrive
+    as one burst. Measured at the SERVER (arrival timestamps), not by
+    Spark wall time."""
+    pages = [p for p in http_graph["pages"].values()
+             if p["response_url"] == p["url"] and not p.get("fail_times")
+             and p["method"] == "GET"]
+    three = pages[:3]
+    assert len(three) == 3
+    delay = 0.6
+    rows = [
+        (p["url"], "GET", "", 0, p["kind"], "ua-x", None, "127.0.0.1",
+         rank, delay)
+        for rank, p in enumerate(three, start=1)
+    ]
+    adf = spark.createDataFrame(
+        rows,
+        "url string, method string, body string, attempt int,"
+        " parse_kind string, ua string, cookie string, host string,"
+        " host_rank int, crawl_delay double",
+    )
+    _GraphHandler.hit_times = {}
+    out = HttpFetcher(timeout_s=10, paced=True).fetch(adf).collect()
+    assert {r.f_status for r in out} == {"ok"}
+    assert not any(hasattr(r, "pace_off") for r in out)
+    times = sorted(
+        t for ts in _GraphHandler.hit_times.values() for t in ts
+    )
+    assert len(times) == 3
+    gaps = [b - a for a, b in zip(times, times[1:])]
+    assert all(g >= delay * 0.75 for g in gaps), gaps
+    # unpaced: the same rows arrive in one burst, no spacing imposed
+    _GraphHandler.hit_times = {}
+    HttpFetcher(timeout_s=10).fetch(adf).collect()
+    times2 = sorted(
+        t for ts in _GraphHandler.hit_times.values() for t in ts
+    )
+    assert len(times2) == 3
+    assert max(times2) - min(times2) < delay
+
+
+def test_paced_fetcher_requires_admission_columns(spark):
+    import pytest as _pytest
+
+    adf = spark.createDataFrame(
+        [("http://x/", "GET", "", 0, "article", "ua", None, "x")],
+        "url string, method string, body string, attempt int,"
+        " parse_kind string, ua string, cookie string, host string",
+    )
+    with _pytest.raises(ValueError, match="host_rank"):
+        HttpFetcher(paced=True).fetch(adf)
