@@ -178,6 +178,15 @@ class CuckooFilter:
                 slots = np.flatnonzero(self.table[b] == f)
                 if slots.size:
                     self.table[b, slots[0]] = 0
+                    # Re-pack the bucket: placement (_bulk_place /
+                    # _insert_one) writes at slot index occupancy, which
+                    # assumes filled slots are a prefix — a mid-bucket
+                    # hole left by deletion would make the next insert
+                    # OVERWRITE the last live fingerprint (a false
+                    # negative on a still-inserted item).
+                    live = self.table[b][self.table[b] != 0]
+                    self.table[b] = 0
+                    self.table[b, : live.size] = live
                     done = True
                     break
             if not done and self.stash.size:

@@ -141,13 +141,10 @@ def stratified_sample(
     map are dropped entirely. Purely map-side (scan → project → filter):
     at 100 TB this is one pass with the predicate pushed to the scan, no
     shuffle, and re-running selects the identical subset."""
-    rate_buckets = None
+    rate_buckets = F.when(F.lit(False), F.lit(0))  # empty rates drop all
     for k, v in sorted(rates.items()):
-        lit_b = F.lit(int(round(v * SAMPLE_BUCKETS)))
-        rate_buckets = (
-            F.when(F.col(stratum_col) == k, lit_b)
-            if rate_buckets is None
-            else rate_buckets.when(F.col(stratum_col) == k, lit_b)
+        rate_buckets = rate_buckets.when(
+            F.col(stratum_col) == k, F.lit(int(round(v * SAMPLE_BUCKETS)))
         )
     rate_buckets = rate_buckets.otherwise(F.lit(0))
     return (

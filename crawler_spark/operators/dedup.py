@@ -96,6 +96,28 @@ def url_seen_bloom(spark: SparkSession, url_seen: DataFrame,
     return build_bloom(url_seen, "url_hash", expected_items=expected_items)
 
 
+def _url_seen_filter_prefiltered(
+    candidates: DataFrame,
+    url_seen: DataFrame,
+    probe,
+) -> DataFrame:
+    """The shared two-tier kernel both sharded prefilter tiers run:
+    dont_filter bypass (middlewares.py:55) → ``probe(subject)`` marks
+    ``_maybe`` (False = guaranteed-new, skips the shuffle) → exact
+    left-anti join decides every actual drop. One copy of the semantics,
+    so a fix to the bypass rule or the join shape can never drift between
+    the bloom and cuckoo tiers."""
+    bypass = candidates.filter(F.col("dont_filter"))
+    subject = candidates.filter(~F.col("dont_filter"))
+    maybe = probe(subject)
+    definitely_new = maybe.filter(~F.col("_maybe")).drop("_maybe")
+    suspects = maybe.filter(F.col("_maybe")).drop("_maybe")
+    survivors = suspects.join(
+        url_seen.select("url").distinct(), on="url", how="left_anti"
+    )
+    return survivors.unionByName(definitely_new).unionByName(bypass)
+
+
 def url_seen_filter_sharded(
     spark: SparkSession,
     candidates: DataFrame,
@@ -111,15 +133,10 @@ def url_seen_filter_sharded(
     decides every drop."""
     from crawler_spark.operators.bloom import bloom_probe_sharded
 
-    bypass = candidates.filter(F.col("dont_filter"))
-    subject = candidates.filter(~F.col("dont_filter"))
-    maybe = bloom_probe_sharded(subject, bloom_shards, "url_hash", num_shards)
-    definitely_new = maybe.filter(~F.col("_maybe")).drop("_maybe")
-    suspects = maybe.filter(F.col("_maybe")).drop("_maybe")
-    survivors = suspects.join(
-        url_seen.select("url").distinct(), on="url", how="left_anti"
+    return _url_seen_filter_prefiltered(
+        candidates, url_seen,
+        lambda s: bloom_probe_sharded(s, bloom_shards, "url_hash", num_shards),
     )
-    return survivors.unionByName(definitely_new).unionByName(bypass)
 
 
 def url_seen_filter_cuckoo(
@@ -137,15 +154,10 @@ def url_seen_filter_cuckoo(
     bloom path: tables stay distributed, probed via cogroup."""
     from crawler_spark.operators.cuckoo import cuckoo_probe_sharded
 
-    bypass = candidates.filter(F.col("dont_filter"))
-    subject = candidates.filter(~F.col("dont_filter"))
-    maybe = cuckoo_probe_sharded(subject, cuckoo_shards, "url_hash", num_shards)
-    definitely_new = maybe.filter(~F.col("_maybe")).drop("_maybe")
-    suspects = maybe.filter(F.col("_maybe")).drop("_maybe")
-    survivors = suspects.join(
-        url_seen.select("url").distinct(), on="url", how="left_anti"
+    return _url_seen_filter_prefiltered(
+        candidates, url_seen,
+        lambda s: cuckoo_probe_sharded(s, cuckoo_shards, "url_hash", num_shards),
     )
-    return survivors.unionByName(definitely_new).unionByName(bypass)
 
 
 # ---------------------------------------------------------------------------

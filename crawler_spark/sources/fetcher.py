@@ -154,6 +154,7 @@ class HttpFetcher:
             )
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import http.client as _http_client
             import time as _time
             import urllib.error
             import urllib.request
@@ -170,16 +171,16 @@ class HttpFetcher:
                         wait = row.pace_off - (_time.monotonic() - t0)
                         if wait > 0:
                             _time.sleep(wait)
-                    req = urllib.request.Request(
-                        row.url,
-                        data=(row.body.encode() or None)
-                        if row.method == "POST" else None,
-                        method=row.method or "GET",
-                    )
-                    req.add_header("User-Agent", row.ua)
-                    if getattr(row, "cookie", None):
-                        req.add_header("Cookie", row.cookie)
                     try:
+                        req = urllib.request.Request(
+                            row.url,
+                            data=(row.body.encode() or None)
+                            if row.method == "POST" else None,
+                            method=row.method or "GET",
+                        )
+                        req.add_header("User-Agent", row.ua)
+                        if getattr(row, "cookie", None):
+                            req.add_header("Cookie", row.cookie)
                         with opener.open(req, timeout=timeout) as resp:
                             body = resp.read()
                             resp_urls.append(resp.geturl())
@@ -195,11 +196,23 @@ class HttpFetcher:
                         statuses.append(
                             "retryable" if e.code >= 500 else "gone"
                         )
-                    except (urllib.error.URLError, TimeoutError, OSError):
+                    except ValueError:
+                        # malformed/unsupported URL (Request or open
+                        # raises before any network I/O) — permanent,
+                        # never retried; must not kill the Spark task.
                         resp_urls.append(None)
                         payloads.append(None)
                         byte_counts.append(0)
-                        statuses.append("retryable")  # timeout/conn reset
+                        statuses.append("gone")
+                    except (urllib.error.URLError, TimeoutError, OSError,
+                            _http_client.HTTPException):
+                        # timeout / conn reset / protocol garbage
+                        # (BadStatusLine, IncompleteRead, ...) — all
+                        # transient per the retry-middleware taxonomy.
+                        resp_urls.append(None)
+                        payloads.append(None)
+                        byte_counts.append(0)
+                        statuses.append("retryable")
                 out = (pdf.drop(columns=["pace_off"]) if paced
                        else pdf).copy()
                 out["g_response_url"] = resp_urls

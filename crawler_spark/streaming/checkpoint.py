@@ -97,6 +97,27 @@ class CrawlCheckpoint:
     def read_part(self, batch_id: int, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._batch_dir(batch_id), name))
 
+    def prune_part(self, name: str, upto_batch: int) -> None:
+        """Delete stale copies of a SNAPSHOT part (the URL-seen filter)
+        from committed batches strictly below ``upto_batch``. Delta parts
+        (docs/crawl_log/metrics) are unioned across history and compacted;
+        a snapshot part is only ever read from the NEWEST committed batch,
+        so older copies are dead weight — at the 10^10-URL design point
+        the filter is GBs per copy and would otherwise accumulate
+        O(num_batches × filter_size) on disk. Never touches
+        ``upto_batch`` itself and only prunes batches whose manifest
+        exists, so a crash mid-prune always leaves the newest committed
+        snapshot readable."""
+        for d in os.listdir(self.root):
+            if not d.startswith("batch_"):
+                continue
+            b = int(d.split("_")[1])
+            if b >= upto_batch:
+                continue
+            part = os.path.join(self.root, d, name)
+            if os.path.exists(part) and os.path.exists(self._manifest(b)):
+                shutil.rmtree(part)
+
     def has_part(self, batch_id: int, name: str) -> bool:
         return os.path.exists(os.path.join(self._batch_dir(batch_id), name))
 

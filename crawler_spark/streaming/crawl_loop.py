@@ -586,6 +586,11 @@ class CrawlEngine:
         if bloom_on:
             stats[self.filter_kind] = self._bloom_params
         self.ckpt.finalize(b, stats)
+        if bloom_on:
+            # Only the newest committed snapshot is ever read back
+            # (_bloom_state reads prev_batch); older full-filter copies
+            # would accumulate O(batches × filter_size) on disk.
+            self.ckpt.prune_part(self.filter_kind, b)
         self._seen_total += n_docs
         for df in (dedup_out, cands, admitted, fetched, parsed, docs_delta):
             df.unpersist()

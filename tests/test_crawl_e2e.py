@@ -196,6 +196,11 @@ def test_crawl_with_bloom_identical(spark, graph, sim, tmp_path_factory,
     }
     assert stored == scratch
     assert stored  # non-degenerate
+    # Snapshot pruning: only the newest committed batch keeps a filter
+    # copy (_bloom_state only ever reads prev_batch); stale copies would
+    # accumulate O(batches × filter_size) on disk.
+    assert [b for b in range(last + 1)
+            if eng.ckpt.has_part(b, "bloom")] == [last]
 
 
 def test_crawl_with_cuckoo_identical(spark, graph, sim, tmp_path_factory):
@@ -249,6 +254,8 @@ def test_bloom_auto_activates_and_stays_sharded(spark, tmp_path_factory,
     assert _engine_docs(res) == _sim_docs(s)
     last = eng.ckpt.last_complete_batch()
     assert eng.ckpt.has_part(last, "bloom")  # sharded state was maintained
+    assert [b for b in range(last + 1)
+            if eng.ckpt.has_part(b, "bloom")] == [last]  # pruned history
 
 
 def test_no_request_fetched_twice(spark, graph, tmp_path_factory):

@@ -58,6 +58,33 @@ def test_kernel_delete_preserves_survivors():
     assert f.might_contain_np(gone).mean() < 0.01
 
 
+def test_kernel_insert_after_delete_keeps_survivors():
+    """Regression: deletion used to leave a mid-bucket hole while
+    placement writes at slot index = occupancy (prefix-packing
+    assumption), so the next insert into that bucket OVERWROTE the last
+    live fingerprint — a false negative on a still-inserted item. The
+    bucket is re-packed on delete; this pins it with a fully colliding
+    bucket (same i1, distinct fps)."""
+    nb = 8
+    f = CuckooFilter.empty(nb)
+    mk = lambda fp: np.array([(3 << 16) | fp], dtype=np.int64)  # bucket 3
+    for fp in (1, 2, 3):
+        f.insert_np(mk(fp))
+    assert f.delete_np(mk(1)).all()
+    f.insert_np(mk(4))  # would have clobbered fp=3 pre-fix
+    for fp in (2, 3, 4):
+        assert f.might_contain_np(mk(fp)).all(), fp
+    assert not f.might_contain_np(mk(1)).any()
+    # interleaved delete/insert churn at volume: survivors never lost
+    ins = _hashes(7, 20_000)
+    g = CuckooFilter.empty(CuckooFilter.buckets_for(ins.shape[0]))
+    g.insert_np(ins[:15_000])
+    assert g.delete_np(ins[:5_000]).all()
+    g.insert_np(ins[15_000:])
+    kept = np.setdiff1d(ins, ins[:5_000])
+    assert (~g.might_contain_np(kept)).sum() == 0
+
+
 def test_kernel_stash_catches_overflow():
     """An undersized table forces eviction-chain failures; the stash must
     keep the no-false-negative contract anyway."""

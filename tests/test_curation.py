@@ -94,6 +94,11 @@ def test_stratified_sample_deterministic_and_exact(spark):
     assert again == got
 
 
+def test_stratified_sample_empty_rates_drops_all(spark):
+    docs = _docs(spark, [(1, "a b", "en"), (2, "c d", "es")])
+    assert stratified_sample(docs, {}).count() == 0
+
+
 def test_sample_bucket_matches_python_md5(spark):
     df = spark.range(50).select(
         F.col("id").alias("doc_id"),

@@ -288,6 +288,19 @@ def test_paced_http_fetcher_honors_schedule(spark, http_graph):
     assert max(times2) - min(times2) < delay
 
 
+def test_http_fetcher_malformed_url_is_gone_not_crash(spark):
+    """A malformed URL raises ValueError inside urllib BEFORE any network
+    I/O; the fetch stage must record f_status='gone' for that row instead
+    of killing the Spark task (one bad href in a batch must not abort the
+    crawl batch)."""
+    adf = _admitted_df(spark, [
+        ("not a url at all", "GET", "", 0, "article", "ua", None, "h"),
+    ])
+    out = {r.url: r.f_status
+           for r in HttpFetcher(timeout_s=2).fetch(adf).collect()}
+    assert out == {"not a url at all": "gone"}
+
+
 def test_paced_fetcher_requires_admission_columns(spark):
     import pytest as _pytest
 
