@@ -97,6 +97,56 @@ class CrawlCheckpoint:
     def read_part(self, batch_id: int, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._batch_dir(batch_id), name))
 
+    def replace_part(self, batch_id: int, name: str, df: DataFrame) -> None:
+        """Atomically swap a committed batch's part with new contents
+        (used for filter surgery on eviction). Write-new → rename-old-away
+        → rename-new-in → drop-old; a crash at any point leaves either the
+        old or the new part fully readable — never a torn mix."""
+        bdir = self._batch_dir(batch_id)
+        final = os.path.join(bdir, name)
+        tmp = final + "__tmp"
+        old = final + "__old"
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        df.coalesce(self.write_partitions).write.mode("overwrite").parquet(tmp)
+        os.rename(final, old)
+        os.rename(tmp, final)
+        shutil.rmtree(old)
+
+    # -- eviction log (recrawl / retention rolls) ---------------------------
+
+    def _evictions_root(self) -> str:
+        return os.path.join(self.root, "evictions")
+
+    def append_evictions(self, df: DataFrame) -> None:
+        """Append evicted URLs (url, url_hash, evicted_at_batch) — an
+        append-only side log
+        the seen-set derivation subtracts, so evicted URLs become
+        refetchable without rewriting the docs history. Atomic per append
+        (write to tmp dir, rename into place)."""
+        root = self._evictions_root()
+        os.makedirs(root, exist_ok=True)
+        n = len([d for d in os.listdir(root) if d.startswith("ev_")])
+        final = os.path.join(root, f"ev_{n:05d}")
+        tmp = final + "__tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+
+    def read_evictions(self) -> DataFrame | None:
+        root = self._evictions_root()
+        if not os.path.isdir(root):
+            return None
+        paths = sorted(
+            os.path.join(root, d) for d in os.listdir(root)
+            if d.startswith("ev_") and not d.endswith("__tmp")
+        )
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
     def prune_part(self, name: str, upto_batch: int) -> None:
         """Delete stale copies of a SNAPSHOT part (the URL-seen filter)
         from committed batches strictly below ``upto_batch``. Delta parts

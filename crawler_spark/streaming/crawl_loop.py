@@ -133,6 +133,12 @@ class CrawlEngine:
         # Sharded-bloom maintenance state: parameters of the live filter
         # (None until first build / restored from the manifest on resume).
         self._bloom_params: dict | None = None
+        # First batch of the CURRENT run: the intra-run dupefilter
+        # (Scrapy's RFPDupeFilter) resets every `scrapy crawl` invocation,
+        # so on a recrawl pass the scheduled-set check must only see this
+        # run's crawl_log — cross-run dedup stays the url_seen projection
+        # (the reference's DB probe, middlewares.py:51).
+        self._run_start_batch = 0
         self._registry_bc = spark.sparkContext.broadcast(registry)
         # Per-site clearance cookies (hatawtabloid.py:28,37) — a tiny
         # dimension, broadcast-joined onto admitted rows at fetch time.
@@ -150,7 +156,7 @@ class CrawlEngine:
 
     # -- state ---------------------------------------------------------------
 
-    def _seed_frontier(self) -> DataFrame:
+    def _seed_frontier(self, batch_id: int = 0) -> DataFrame:
         """Seeds → depth-0 frontier rows (SURVEY §2.1 S1); seq is the seed's
         position in the fixed seed list."""
         # The seed list's own order is the ordering contract (start.bat:1
@@ -164,7 +170,7 @@ class CrawlEngine:
                 # page, no menu hop (interaksyon.py:13,25).
                 registry.get(int(r.website_id), {}).get("seed_kind", "menu"),
                 False, "{}",
-                int(r.website_id), int(r.language_id), 0, 0, "GET", "",
+                int(r.website_id), int(r.language_id), batch_id, 0, "GET", "",
             )
             for i, r in enumerate(seeds.itertuples(index=False))
         ]
@@ -198,10 +204,29 @@ class CrawlEngine:
         docs = self.ckpt.read_deltas("docs", upto_batch) if upto_batch >= 0 else None
         if docs is None:
             return self._empty_url_seen()
-        return docs.select(
+        seen = docs.select(
             F.col("request_url").alias("url"),
             F.xxhash64(canonicalize_col(F.col("request_url"))).alias("url_hash"),
+            # cole_time encodes the storing batch exactly (run_batch stamps
+            # base_epoch + b·batch_seconds); recovering it here keeps the
+            # docs history schema untouched.
+            ((F.unix_timestamp("cole_time") - F.lit(self.base_epoch))
+             / F.lit(self.batch_seconds)).cast("long").alias("_b"),
         )
+        # Retention rolls / recrawl eviction (evict_urls): an eviction at
+        # batch k subtracts only doc rows stored AT OR BEFORE k — a row
+        # stored by a later recrawl pass makes the URL seen again. The
+        # docs history stays append-only; eviction is a side log.
+        ev = self.ckpt.read_evictions()
+        if ev is not None:
+            latest = ev.groupBy("url").agg(
+                F.max("evicted_at_batch").alias("_ev_b")
+            )
+            seen = (
+                seen.join(latest, on="url", how="left")
+                .filter(F.col("_ev_b").isNull() | (F.col("_b") > F.col("_ev_b")))
+            )
+        return seen.select("url", "url_hash")
 
     def _scheduled_state(self, upto_batch: int) -> DataFrame | None:
         """Intra-run dupefilter state = projection of the crawl log, keyed
@@ -214,7 +239,10 @@ class CrawlEngine:
         log = self.ckpt.read_deltas("crawl_log", upto_batch) if upto_batch >= 0 else None
         return (
             None if log is None
-            else log.filter(~F.col("dont_filter")).select(*REQUEST_FP_COLS)
+            else log.filter(
+                (~F.col("dont_filter"))
+                & (F.col("batch_id") >= F.lit(self._run_start_batch))
+            ).select(*REQUEST_FP_COLS)
         )
 
     def _bloom_state(self, prev_batch: int, url_seen: DataFrame,
@@ -582,6 +610,9 @@ class CrawlEngine:
             # Frontier emptiness read off parquet footers (driver-side) —
             # saves the loop an isEmpty() Spark job per batch.
             "frontier": self.ckpt.part_rows(b, "frontier"),
+            # Dupefilter scope of the run this batch belongs to, so a
+            # crash-resume of a recrawl pass keeps the per-run reset.
+            "run_start": self._run_start_batch,
         }
         if bloom_on:
             stats[self.filter_kind] = self._bloom_params
@@ -598,13 +629,91 @@ class CrawlEngine:
             bloom_shards.unpersist()
         return self.ckpt.read_part(b, "frontier")
 
+    # -- eviction (retention rolls / forced recrawl) ----------------------------
+
+    def evict_urls(self, urls: DataFrame) -> int:
+        """Evict URLs from the seen set so the next recrawl pass refetches
+        them (TTL-based recrawl / retention roll). The docs history stays
+        append-only: eviction is an append to the side log the seen-set
+        projection subtracts (checkpoint.read_evictions).
+
+        With the cuckoo tier active, the stored filter shards are also
+        updated in place via per-fingerprint DELETION (the capability the
+        bloom tier lacks) — no rebuild over the full history. With the
+        bloom tier nothing is deleted; the now-stale maybe-positives cost
+        one exact-anti-join row each and never correctness (the exact join
+        is always authoritative). Returns the number of URLs evicted.
+
+        ``urls``: any DataFrame with a ``url`` column. Only URLs actually
+        in the current seen set are evicted (and only their hashes deleted
+        from the filter — deleting a never-inserted fingerprint could
+        evict a colliding entry, Fan et al. §3.3)."""
+        last = self.ckpt.last_complete_batch()
+        upto = last if last is not None else -1
+        seen = self._url_seen_state(upto)
+        ev = (
+            urls.select("url").distinct()
+            .join(seen.select("url").distinct(), on="url", how="left_semi")
+            .select(
+                F.col("url"),
+                F.xxhash64(canonicalize_col(F.col("url"))).alias("url_hash"),
+                F.lit(upto).cast("long").alias("evicted_at_batch"),
+            )
+            .persist()
+        )
+        n = ev.count()
+        if n == 0:
+            ev.unpersist()
+            return 0
+        if (
+            last is not None
+            and self.filter_kind == "cuckoo"
+            and self.ckpt.has_part(last, "cuckoo")
+        ):
+            from crawler_spark.operators.cuckoo import delete_cuckoo_shards
+
+            p = self.ckpt.stats(last)["cuckoo"]
+            # NOTE on duplicates: a URL stored k times (multiset docs)
+            # inserted k fingerprint copies; one delete leaves k-1 —
+            # a stale maybe-positive, which the exact join resolves.
+            updated = delete_cuckoo_shards(
+                self.ckpt.read_part(last, "cuckoo"),
+                ev.select("url_hash"),
+                "url_hash", p["num_shards"], p["num_buckets"],
+            )
+            self.ckpt.replace_part(last, "cuckoo", updated)
+        self.ckpt.append_evictions(ev)
+        ev.unpersist()
+        return n
+
     # -- driver loop -----------------------------------------------------------
 
-    def run(self, max_batches: int = 1000, resume: bool = False) -> dict:
-        """Run to frontier exhaustion (or max_batches). With resume=True,
-        continues from the last complete checkpoint without re-fetching."""
-        last = self.ckpt.last_complete_batch() if resume else None
-        if last is not None:
+    def run(self, max_batches: int = 1000, resume: bool = False,
+            recrawl: bool = False) -> dict:
+        """Run to frontier exhaustion (or up to max_batches more batches).
+
+        resume=True: continue an interrupted run from the last complete
+        checkpoint without re-fetching (same intra-run dupefilter scope).
+
+        recrawl=True: start a NEW crawl pass from the seeds on top of the
+        existing checkpoint — the reference's daily operating model
+        (start.bat re-invokes every spider each day with a fresh ``time``
+        cutoff against the persistent ``news`` table). Cross-run dedup is
+        the url_seen projection as always; the intra-run dupefilter resets
+        (RFPDupeFilter is per-invocation), so menus/lists are refetched
+        and only never-stored article URLs — new articles, or evicted ones
+        (evict_urls) — produce documents. Batch numbering and the docs /
+        crawl_log / metrics history stay append-only across runs."""
+        last = self.ckpt.last_complete_batch() if (resume or recrawl) else None
+        if last is not None and recrawl:
+            b = last + 1
+            self._run_start_batch = b
+            frontier = self._seed_frontier(batch_id=b)
+            n_frontier = None
+            self._seen_total = sum(
+                self.ckpt.stats(i).get("docs", 0) for i in range(last + 1)
+            )
+        elif last is not None:
             b = last + 1
             frontier = self.ckpt.read_part(last, "frontier")
             # May be absent in manifests written before the stat existed;
@@ -613,10 +722,15 @@ class CrawlEngine:
             self._seen_total = sum(
                 self.ckpt.stats(i).get("docs", 0) for i in range(last + 1)
             )
+            # The interrupted run's dupefilter scope (0 for pre-recrawl
+            # checkpoints).
+            self._run_start_batch = self.ckpt.stats(last).get("run_start", 0)
         else:
             b = 0
+            self._run_start_batch = 0
             frontier = self._seed_frontier()
             n_frontier = None  # seed frontier is driver-built, not checkpointed
+        max_batches = b + max_batches
         while b < max_batches and (
             n_frontier > 0 if n_frontier is not None else not frontier.isEmpty()
         ):
