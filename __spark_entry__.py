@@ -914,6 +914,29 @@ def q_crawl_categories(spark, sf_dir):
     return oracle_crawl.engine_categories(spark)
 
 
+def q_crawl_recrawl_log(spark, sf_dir):
+    """W5+ multi-run recrawl: pass 2 from the seeds on the same checkpoint
+    after evicting a deterministic subset — the per-run dupefilter resets
+    (menus/lists refetch), the cross-run seen set holds (stored articles
+    dedup), and the evicted articles are re-admitted. Oracle = the
+    simulator seeded with pass 1's surviving seen set."""
+    from crawler_spark import oracle_crawl
+
+    _prep(spark)
+    oracle_crawl.ensure_sim_outputs()
+    return oracle_crawl.engine_recrawl_log(spark)
+
+
+def q_crawl_recrawl_docs(spark, sf_dir):
+    """Eviction contract through the driver's gate: pass 2 stores EXACTLY
+    the evicted articles (doc-for-doc, spans included upstream)."""
+    from crawler_spark import oracle_crawl
+
+    _prep(spark)
+    oracle_crawl.ensure_sim_outputs()
+    return oracle_crawl.engine_recrawl_docs(spark)
+
+
 def q_crawl_metrics(spark, sf_dir):
     """A4/W6: per-(batch, host) measured fetch metrics (scheduled, deduped,
     fetched, bytes, max_depth) from the checkpointed metrics table."""
@@ -974,6 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_log": q_crawl_log,
         "crawl_metrics": q_crawl_metrics,
         "crawl_categories": q_crawl_categories,
+        "crawl_recrawl_log": q_crawl_recrawl_log,
+        "crawl_recrawl_docs": q_crawl_recrawl_docs,
     }
 
 
@@ -1801,5 +1826,16 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_SIM_ORACLE_DIR}/sim_docs.parquet')
             GROUP BY category1, category2
             ORDER BY category1, category2
+        """,
+        "crawl_recrawl_log": f"""
+            SELECT rank, batch_id, url, host, method, body, attempt, ua
+            FROM read_parquet('{_SIM_ORACLE_DIR}/sim_recrawl_log.parquet')
+            ORDER BY rank
+        """,
+        "crawl_recrawl_docs": f"""
+            SELECT doc_id, title, abstract, category1, category2, pub_time,
+                   request_url, response_url, website_id, language_id, html
+            FROM read_parquet('{_SIM_ORACLE_DIR}/sim_recrawl_docs.parquet')
+            ORDER BY doc_id
         """,
     }

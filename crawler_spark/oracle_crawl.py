@@ -74,7 +74,14 @@ REAL_FIXTURE_SITES = [
     "aajtak", "maharashtratimes", "interaksyon", "boholchronicle",
     "latestnews1",
 ]
-_FIXTURE_VERSION = 5  # bump when fixture composition/output shape changes
+_FIXTURE_VERSION = 6  # bump when fixture composition/output shape changes
+
+# The recrawl pass (crawl_recrawl_* rows): after pass 1 the first
+# RECRAWL_EVICT_N stored request_urls (sorted) are evicted, then a second
+# run starts from the seeds — certifying through the driver's gate that a
+# recrawl refetches menus/lists and EXACTLY the evicted articles
+# (run(recrawl=True) + evict_urls semantics, W5+).
+RECRAWL_EVICT_N = 5
 
 # Fixed path the oracle SQL reads — fingerprinted on the fixture config so
 # a stale parquet set from an older code version can never be compared.
@@ -218,6 +225,17 @@ def ensure_sim_outputs(out_dir: str = SIM_ORACLE_DIR) -> str:
     pq.write_table(spans, os.path.join(tmp, "sim_spans.parquet"))
     pq.write_table(_log_table(sim), os.path.join(tmp, "sim_log.parquet"))
     pq.write_table(_metrics_table(sim), os.path.join(tmp, "sim_metrics.parquet"))
+    # pass 2: evict, then recrawl with the surviving seen set
+    evict = sorted({d["request_url"] for d in sim["docs_rows"]})
+    evict = set(evict[:RECRAWL_EVICT_N])
+    sim2 = simulate_crawl(
+        fixture_graph(), url_seen_init=sim["url_seen"] - evict
+    )
+    docs2, _ = _docs_tables(sim2)
+    pq.write_table(docs2, os.path.join(tmp, "sim_recrawl_docs.parquet"))
+    pq.write_table(
+        _log_table(sim2), os.path.join(tmp, "sim_recrawl_log.parquet")
+    )
     with open(os.path.join(tmp, "_COMPLETE"), "w") as fh:
         fh.write("ok")
     # Atomic publish: another process may be racing; first rename wins.
@@ -232,7 +250,7 @@ def ensure_sim_outputs(out_dir: str = SIM_ORACLE_DIR) -> str:
 # Spark side: engine outputs as DataFrames (one engine run per process)
 # ---------------------------------------------------------------------------
 
-_ENGINE_CACHE: dict[str, dict] = {}
+_ENGINE_CACHE: dict[str, object] = {}
 
 
 def engine_results(spark: SparkSession) -> dict:
@@ -254,7 +272,29 @@ def engine_results(spark: SparkSession) -> dict:
     )
     res = eng.run()
     _ENGINE_CACHE[key] = res
+    _ENGINE_CACHE["eng"] = eng
     return res
+
+
+def engine_recrawl(spark: SparkSession) -> tuple[dict, int]:
+    """(pass-2 results, pass-2 first batch): evict the deterministic
+    subset, then run(recrawl=True) on the SAME checkpoint — memoized.
+    Pass-1 DataFrames stay valid (delta dirs are append-only)."""
+    if "r2" in _ENGINE_CACHE:
+        return _ENGINE_CACHE["r2"], _ENGINE_CACHE["b0"]
+    res1 = engine_results(spark)
+    eng: CrawlEngine = _ENGINE_CACHE["eng"]  # type: ignore[assignment]
+    b0 = res1["last_batch"] + 1
+    evict = sorted(
+        r.request_url for r in res1["docs"].select("request_url").distinct().collect()
+    )[:RECRAWL_EVICT_N]
+    eng.evict_urls(
+        spark.createDataFrame([(u,) for u in evict], "url string")
+    )
+    res2 = eng.run(recrawl=True)
+    _ENGINE_CACHE["r2"] = res2
+    _ENGINE_CACHE["b0"] = b0
+    return res2, b0
 
 
 def engine_docs(spark: SparkSession) -> DataFrame:
@@ -313,6 +353,45 @@ def engine_categories(spark: SparkSession) -> DataFrame:
         res["docs"]
         .groupBy("category1", "category2")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def engine_recrawl_log(spark: SparkSession) -> DataFrame:
+    """Pass-2 crawl log, batch ids remapped to the simulator's 0-based
+    numbering — certifies the per-run dupefilter reset (menus/lists
+    refetch) and that only never-stored/evicted articles are fetched."""
+    res2, b0 = engine_recrawl(spark)
+    scoped = res2["crawl_log"].filter(F.col("batch_id") >= F.lit(b0))
+    w = Window.orderBy("batch_id", F.desc("priority"), "seq")
+    return scoped.select(
+        F.row_number().over(w).alias("rank"),
+        (F.col("batch_id") - F.lit(b0)).cast("int").alias("batch_id"),
+        "url", "host", "method", "body", "attempt", "ua",
+    )
+
+
+def engine_recrawl_docs(spark: SparkSession) -> DataFrame:
+    """Pass-2 stored documents — must be EXACTLY the evicted articles,
+    re-stored (the eviction + recrawl contract)."""
+    res2, b0 = engine_recrawl(spark)
+    eng: CrawlEngine = _ENGINE_CACHE["eng"]  # type: ignore[assignment]
+    cut = eng.base_epoch + b0 * eng.batch_seconds
+    return (
+        res2["docs"]
+        .filter(F.unix_timestamp("cole_time") >= F.lit(cut))
+        .select(
+            "doc_id",
+            "title",
+            "abstract",
+            "category1",
+            "category2",
+            F.date_format("pub_time", "yyyy-MM-dd HH:mm:ss").alias("pub_time"),
+            "request_url",
+            "response_url",
+            "website_id",
+            "language_id",
+            "html",
+        )
     )
 
 
