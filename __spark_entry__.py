@@ -62,6 +62,7 @@ from crawler_spark.operators.multimodal import (
 from crawler_spark.operators.politeness import (
     admit_per_host,
     apply_robots,
+    autothrottle_fold_col,
     fetch_schedule,
     priority_score_col,
 )
@@ -347,6 +348,39 @@ def q_fetch_schedule(spark, sf_dir):
         fetch_schedule(admitted, batch_start_epoch=1000.0)
         .select("host", "url", "host_rank", "scheduled_at")
         .orderBy("host", "host_rank")
+    )
+
+
+def q_autothrottle_delay(spark, sf_dir):
+    """W4: Scrapy's AutoThrottle delay-adjustment policy (shipped
+    commented-out in the reference with its default knobs,
+    demo/settings.py:72-82) as a pure-JVM per-host fold: each delivered
+    response's latency moves the host's delay through
+    clamp(0.2, max(t, (d+t)/2), 60) in politeness-slot order, from the
+    5 s START_DELAY. Latencies are synthesized deterministically from
+    lineitem; the DuckDB oracle folds the identical IEEE-double sequence
+    via list_reduce (all ops are +, /2, min, max — bit-exact across
+    engines)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    obs = li.select(
+        F.concat(
+            F.lit("site"), F.pmod(F.col("l_suppkey"), F.lit(40)).cast("string")
+        ).alias("host"),
+        F.col("l_orderkey").cast("long").alias("o"),
+        F.col("l_linenumber").cast("int").alias("l"),
+        ((F.pmod(F.col("l_partkey"), F.lit(2900)) + F.lit(100)).cast("double")
+         / F.lit(512.0)).alias("lat"),
+    )
+    return (
+        obs.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            autothrottle_fold_col(
+                F.collect_list(F.struct("o", "l", "lat")), F.lit(5.0)
+            ).alias("at_delay"),
+        )
+        .orderBy("host")
     )
 
 
@@ -963,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_admission": q_politeness_admission,
         "robots_filter": q_robots_filter,
         "fetch_schedule": q_fetch_schedule,
+        "autothrottle_delay": q_autothrottle_delay,
         "priority_score": q_priority_score,
         "event_sessionize": q_event_sessionize,
         "time_cutoff": q_time_cutoff,
@@ -1352,6 +1387,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, url, host_rank,
                    1000.0::double + (host_rank - 1) * (0.2::double) AS scheduled_at
             FROM adm ORDER BY host, host_rank
+        """,
+        # W4 AutoThrottle: the same IEEE-double fold the JVM aggregate
+        # runs (clamp(0.2, max(t, (d+t)/2), 60) from the 5 s start),
+        # rendered as list_reduce over the slot-ordered latency list.
+        "autothrottle_delay": """
+            SELECT host, COUNT(*) AS n_obs,
+                   list_reduce(
+                     list_prepend(5.0, list(lat ORDER BY o, l, lat)),
+                     (acc, t) -> least(60.0, greatest(0.2,
+                                       greatest(t, (acc + t) / 2)))
+                   ) AS at_delay
+            FROM (
+              SELECT 'site' || (l_suppkey % 40) AS host,
+                     l_orderkey AS o, l_linenumber AS l,
+                     ((l_partkey % 2900) + 100) / 512.0 AS lat
+              FROM lineitem
+            ) GROUP BY host ORDER BY host
         """,
         "priority_score": """
             SELECT event_id,

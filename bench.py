@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "politeness_admission",
     "robots_filter",
     "fetch_schedule",
+    "autothrottle_delay",
     "priority_score",
     "event_sessionize",
     "time_cutoff",

@@ -157,3 +157,105 @@ def fetch_schedule(admitted: DataFrame, batch_start_epoch: float) -> DataFrame:
         F.lit(float(batch_start_epoch))
         + (F.col("host_rank") - 1).cast("double") * F.col("crawl_delay"),
     )
+
+
+# -- W4: AutoThrottle — adaptive per-host delay -------------------------------
+#
+# The reference ships Scrapy's AutoThrottle extension commented out with its
+# default knobs (demo/settings.py:72-82: START_DELAY 5, MAX_DELAY 60,
+# TARGET_CONCURRENCY 1.0); SURVEY §2.7 W4. The engine implements the same
+# published adjustment policy (scrapy/extensions/throttle.py semantics) as a
+# per-host batch fold:
+#
+#     target = latency / target_concurrency
+#     d'     = clamp(min_delay, max(target, (d + target) / 2), max_delay)
+#
+# applied to each delivered response in politeness-slot order (host_rank).
+# Scrapy additionally refuses to LOWER the delay on non-200 responses; in
+# this engine non-ok outcomes carry no latency at all (a timeout has no
+# response; the mock models 404 as absence), so they simply don't adjust —
+# the conservative subset of the same rule. All arithmetic is IEEE-double
+# (+, /2, min, max), so the JVM fold, the simulator's Python mirror, and
+# the DuckDB oracle rendering are bit-identical.
+
+AUTOTHROTTLE_START_DELAY = 5.0  # settings.py:75
+AUTOTHROTTLE_MAX_DELAY = 60.0  # settings.py:77
+AUTOTHROTTLE_TARGET_CONCURRENCY = 1.0  # settings.py:80
+AUTOTHROTTLE_MIN_DELAY = DEFAULT_CRAWL_DELAY  # Scrapy: mindelay = DOWNLOAD_DELAY
+
+
+def autothrottle_step_py(
+    delay: float,
+    latency: float,
+    target_concurrency: float = AUTOTHROTTLE_TARGET_CONCURRENCY,
+    min_delay: float = AUTOTHROTTLE_MIN_DELAY,
+    max_delay: float = AUTOTHROTTLE_MAX_DELAY,
+) -> float:
+    """One response's delay adjustment — the simulator's mirror of the
+    JVM fold step in ``autothrottle_fold_col`` (bit-identical doubles)."""
+    t = latency / target_concurrency
+    return min(max_delay, max(min_delay, max(t, (delay + t) / 2.0)))
+
+
+def autothrottle_fold_col(
+    obs_col,
+    init_col,
+    target_concurrency: float = AUTOTHROTTLE_TARGET_CONCURRENCY,
+    min_delay: float = AUTOTHROTTLE_MIN_DELAY,
+    max_delay: float = AUTOTHROTTLE_MAX_DELAY,
+):
+    """Fold a batch's observed latencies into a host's delay — pure JVM.
+
+    ``obs_col``: array<struct<rank, lat>> (any first-field name sorting to
+    politeness-slot order); ``init_col``: the host's delay entering the
+    batch. The array is sorted here so callers can collect_list freely."""
+
+    def step(acc, x):
+        t = x["lat"] / F.lit(float(target_concurrency))
+        return F.least(
+            F.lit(float(max_delay)),
+            F.greatest(
+                F.lit(float(min_delay)),
+                F.greatest(t, (acc + t) / F.lit(2.0)),
+            ),
+        )
+
+    return F.aggregate(F.array_sort(obs_col), init_col.cast("double"), step)
+
+
+def autothrottle_update(
+    prev: DataFrame,
+    observed: DataFrame,
+    start_delay: float = AUTOTHROTTLE_START_DELAY,
+    target_concurrency: float = AUTOTHROTTLE_TARGET_CONCURRENCY,
+    min_delay: float = AUTOTHROTTLE_MIN_DELAY,
+    max_delay: float = AUTOTHROTTLE_MAX_DELAY,
+) -> DataFrame:
+    """Advance the per-host delay state by one batch of delivered responses.
+
+    ``prev``: (host, at_delay) — state entering the batch (absent host =
+    ``start_delay``, Scrapy's slot initialization). ``observed``: the
+    batch's delivered responses (host, host_rank, g_latency_s). Returns the
+    new full (host, at_delay) state: hosts with no responses this batch
+    pass through unchanged; one shuffle on host, map-side collect_list —
+    state size is O(hosts ever observed), never O(responses)."""
+    obs = observed.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.col("host_rank").alias("rank"),
+                F.col("g_latency_s").cast("double").alias("lat"),
+            )
+        ).alias("_obs")
+    )
+    merged = prev.join(obs, on="host", how="full_outer")
+    init = F.coalesce(F.col("at_delay"), F.lit(float(start_delay)))
+    return merged.select(
+        "host",
+        F.when(F.col("_obs").isNull(), init)
+        .otherwise(
+            autothrottle_fold_col(
+                F.col("_obs"), init, target_concurrency, min_delay, max_delay
+            )
+        )
+        .alias("at_delay"),
+    )

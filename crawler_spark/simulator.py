@@ -20,7 +20,14 @@ import hashlib
 import math
 from datetime import datetime, timezone
 
-from crawler_spark.operators.politeness import priority_score_py
+from crawler_spark.operators.politeness import (
+    AUTOTHROTTLE_MAX_DELAY,
+    AUTOTHROTTLE_MIN_DELAY,
+    AUTOTHROTTLE_START_DELAY,
+    AUTOTHROTTLE_TARGET_CONCURRENCY,
+    autothrottle_step_py,
+    priority_score_py,
+)
 from crawler_spark.plans.parser import parse_page
 from crawler_spark.schema import MAX_RETRIES
 
@@ -34,6 +41,7 @@ def simulate_crawl(
     deny_prefixes: dict[str, list[str]] | None = None,
     url_seen_init: set[str] | None = None,
     max_batches: int = 1000,
+    autothrottle: dict | None = None,
 ) -> dict:
     """Run the reference-semantics crawl over a mock_web graph.
 
@@ -43,6 +51,15 @@ def simulate_crawl(
              metrics: [(batch_id, host, scheduled, deduped, fetched, bytes,
                         max_depth)...]} — the A4 per-host fetch metrics the
     engine must reproduce exactly (measured, never fabricated).
+
+    ``autothrottle`` (W4, settings.py:72-82): pass a dict (empty = Scrapy
+    defaults; keys start_delay / max_delay / target_concurrency /
+    min_delay override) to enable the adaptive per-host delay — admission
+    uses max(static delay, adaptive delay), each delivered response folds
+    its deterministic latency (bytes / 50 KiB/s, the mock fetcher's model)
+    through autothrottle_step_py in politeness-slot order. The returned
+    dict gains ``at_delays: {host: delay}`` — the state the engine's
+    checkpointed at_delays part must match bit-for-bit.
     """
     from collections import Counter
     pages = graph["pages"]
@@ -53,6 +70,15 @@ def simulate_crawl(
     deny_prefixes = deny_prefixes or {}
 
     as_of_epoch = as_of.replace(tzinfo=timezone.utc).timestamp()
+
+    if autothrottle is not None:
+        at_start = autothrottle.get("start_delay", AUTOTHROTTLE_START_DELAY)
+        at_max = autothrottle.get("max_delay", AUTOTHROTTLE_MAX_DELAY)
+        at_tc = autothrottle.get(
+            "target_concurrency", AUTOTHROTTLE_TARGET_CONCURRENCY
+        )
+        at_min = autothrottle.get("min_delay", AUTOTHROTTLE_MIN_DELAY)
+    at_delays: dict[str, float] = {}
 
     frontier: list[dict] = []
     for i, s in enumerate(graph["seeds"]):
@@ -145,6 +171,10 @@ def simulate_crawl(
         for r in cands:
             host = _host(r["url"])
             delay = crawl_delays.get(host, DEFAULT_CRAWL_DELAY)
+            if autothrottle is not None:
+                # W4: adaptive delay (state entering this batch), floored
+                # by the static/robots delay — never more polite than asked.
+                delay = max(delay, at_delays.get(host, at_start))
             budget = max(1, math.floor(batch_seconds / delay))
             if host_used.get(host, 0) < budget:
                 host_used[host] = host_used.get(host, 0) + 1
@@ -201,6 +231,18 @@ def simulate_crawl(
                     nr["attempt"] = r.get("attempt", 0) + 1
                     new_frontier.append(nr)
                 continue
+            if autothrottle is not None:
+                # W4: delivered response (even a cookie-gated one — the
+                # bytes arrived) folds its latency into the host's delay,
+                # in admission order = politeness-slot order.
+                from crawler_spark.sources.fetcher import LATENCY_BYTES_PER_SEC
+
+                h = _host(r["url"])
+                at_delays[h] = autothrottle_step_py(
+                    at_delays.get(h, at_start),
+                    page["bytes"] / LATENCY_BYTES_PER_SEC,
+                    at_tc, at_min, at_max,
+                )
             rule = registry.get(r["website_id"], {})
             # Cloudflare-style clearance gate (middlewares.py:61-62,
             # hatawtabloid.py:28,37): response delivered, payload unusable
@@ -258,6 +300,7 @@ def simulate_crawl(
         "metrics": metrics,
         "fetch_count": fetch_count,
         "batches": batch_id,
+        "at_delays": at_delays,
     }
 
 

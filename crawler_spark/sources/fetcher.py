@@ -42,8 +42,18 @@ from pyspark.sql import functions as F
 
 FETCH_TIMEOUT_S = 30.0  # settings.py:29 DOWNLOAD_TIMEOUT
 
-# Columns every fetcher appends to the admitted rows.
-FETCH_COLS = ("g_response_url", "g_kind", "g_payload", "g_bytes", "f_status")
+# Columns every fetcher appends to the admitted rows. ``g_latency_s`` is
+# the response's download latency (W4 AutoThrottle's input): measured wall
+# time in HttpFetcher; in the mock, a deterministic function of response
+# size (bytes / LATENCY_BYTES_PER_SEC — a 50 KiB/s line) so engine and
+# simulator fold bit-identical doubles. Null whenever f_status != 'ok' (a
+# timeout has no response; the mock models 404 as absence).
+FETCH_COLS = (
+    "g_response_url", "g_kind", "g_payload", "g_bytes", "f_status",
+    "g_latency_s",
+)
+
+LATENCY_BYTES_PER_SEC = 51200.0  # mock latency model: 50 KiB/s
 
 
 class MockWebFetcher:
@@ -94,6 +104,13 @@ class MockWebFetcher:
             out = out.withColumn(c, F.when(ok, F.col(c)))
         out = out.withColumn(
             "g_bytes", F.when(ok, F.col("g_bytes")).otherwise(F.lit(0))
+        ).withColumn(
+            "g_latency_s",
+            F.when(
+                ok,
+                F.col("g_bytes").cast("double")
+                / F.lit(LATENCY_BYTES_PER_SEC),
+            ),
         )
         return out.drop("g_fail_times", "g_required_cookie")
 
@@ -139,7 +156,7 @@ class HttpFetcher:
             [f"{f.name} {f.dataType.simpleString()}"
              for f in admitted.schema.fields]
             + ["g_response_url string", "g_kind string", "g_payload string",
-               "g_bytes long", "f_status string"]
+               "g_bytes long", "f_status string", "g_latency_s double"]
         )
         if paced:
             missing = {"host_rank", "crawl_delay"} - set(admitted.columns)
@@ -166,11 +183,13 @@ class HttpFetcher:
                 if paced:
                     pdf = pdf.sort_values("pace_off", kind="stable")
                 resp_urls, payloads, byte_counts, statuses = [], [], [], []
+                latencies: list[float | None] = []
                 for row in pdf.itertuples(index=False):
                     if paced:
                         wait = row.pace_off - (_time.monotonic() - t0)
                         if wait > 0:
                             _time.sleep(wait)
+                    t_req = _time.monotonic()
                     try:
                         req = urllib.request.Request(
                             row.url,
@@ -187,10 +206,12 @@ class HttpFetcher:
                             payloads.append(body.decode("utf-8", "replace"))
                             byte_counts.append(len(body))
                             statuses.append("ok")
+                            latencies.append(_time.monotonic() - t_req)
                     except urllib.error.HTTPError as e:
                         resp_urls.append(None)
                         payloads.append(None)
                         byte_counts.append(0)
+                        latencies.append(None)
                         # 5xx = transient (retry middleware semantics);
                         # 4xx = permanent miss.
                         statuses.append(
@@ -204,6 +225,7 @@ class HttpFetcher:
                         payloads.append(None)
                         byte_counts.append(0)
                         statuses.append("gone")
+                        latencies.append(None)
                     except (urllib.error.URLError, TimeoutError, OSError,
                             _http_client.HTTPException):
                         # timeout / conn reset / protocol garbage
@@ -213,6 +235,7 @@ class HttpFetcher:
                         payloads.append(None)
                         byte_counts.append(0)
                         statuses.append("retryable")
+                        latencies.append(None)
                 out = (pdf.drop(columns=["pace_off"]) if paced
                        else pdf).copy()
                 out["g_response_url"] = resp_urls
@@ -225,6 +248,7 @@ class HttpFetcher:
                 out["g_payload"] = payloads
                 out["g_bytes"] = pd.array(byte_counts, dtype="int64")
                 out["f_status"] = statuses
+                out["g_latency_s"] = pd.array(latencies, dtype="float64")
                 yield out
 
         return admitted.mapInPandas(run, out_schema)

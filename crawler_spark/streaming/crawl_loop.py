@@ -52,8 +52,13 @@ from crawler_spark.operators.dedup import (
     url_seen_filter_sharded,
 )
 from crawler_spark.operators.politeness import (
+    AUTOTHROTTLE_MAX_DELAY,
+    AUTOTHROTTLE_MIN_DELAY,
+    AUTOTHROTTLE_START_DELAY,
+    AUTOTHROTTLE_TARGET_CONCURRENCY,
     admit_per_host,
     apply_robots,
+    autothrottle_update,
     priority_score_col,
 )
 from crawler_spark.plans.parser import parse_page
@@ -96,6 +101,7 @@ class CrawlEngine:
         bloom_threshold: int = 4096,  # auto-enable bloom above this |url_seen|
         fetcher=None,  # Fetcher seam; default MockWebFetcher(site_graph)
         filter_kind: str = "bloom",  # URL-seen prefilter tier: bloom | cuckoo
+        autothrottle: dict | None = None,  # W4: {} = Scrapy defaults; None = off
     ):
         from crawler_spark.sources.fetcher import MockWebFetcher
 
@@ -130,6 +136,25 @@ class CrawlEngine:
         # exact anti-join still decides), but seen-entries can be EVICTED
         # incrementally (recrawl TTLs) without a filter rebuild.
         self.filter_kind = filter_kind
+        # W4 AutoThrottle (settings.py:72-82, commented out in the reference
+        # with these defaults): when a dict is passed, per-host delays adapt
+        # to observed response latency — admission uses max(robots/static
+        # delay, adaptive delay); each batch's delivered responses fold
+        # through the Scrapy adjustment policy (operators/politeness.py) and
+        # the state checkpoints as the `at_delays` part (one snapshot per
+        # batch, newest kept) so resume continues with learned delays.
+        self.autothrottle = None
+        if autothrottle is not None:
+            self.autothrottle = {
+                "start_delay": autothrottle.get(
+                    "start_delay", AUTOTHROTTLE_START_DELAY),
+                "max_delay": autothrottle.get(
+                    "max_delay", AUTOTHROTTLE_MAX_DELAY),
+                "target_concurrency": autothrottle.get(
+                    "target_concurrency", AUTOTHROTTLE_TARGET_CONCURRENCY),
+                "min_delay": autothrottle.get(
+                    "min_delay", AUTOTHROTTLE_MIN_DELAY),
+            }
         # Sharded-bloom maintenance state: parameters of the live filter
         # (None until first build / restored from the manifest on resume).
         self._bloom_params: dict | None = None
@@ -227,6 +252,14 @@ class CrawlEngine:
                 .filter(F.col("_ev_b").isNull() | (F.col("_b") > F.col("_ev_b")))
             )
         return seen.select("url", "url_hash")
+
+    def _at_delays_state(self, prev_batch: int) -> DataFrame:
+        """W4 adaptive-delay state entering a batch: the newest checkpointed
+        (host, at_delay) snapshot, or empty (all hosts at start_delay) on a
+        fresh crawl / a checkpoint written before autothrottle was on."""
+        if prev_batch >= 0 and self.ckpt.has_part(prev_batch, "at_delays"):
+            return self.ckpt.read_part(prev_batch, "at_delays")
+        return self.spark.createDataFrame([], "host string, at_delay double")
 
     def _scheduled_state(self, upto_batch: int) -> DataFrame | None:
         """Intra-run dupefilter state = projection of the crawl log, keyed
@@ -436,10 +469,31 @@ class CrawlEngine:
         cands = dedup_out.unionByName(retries)
 
         # 2. robots + politeness (SURVEY §2.6-2.7)
+        cands = apply_robots(cands, self.robots)
+        at_prev = None
+        if self.autothrottle is not None:
+            # W4: effective delay = max(robots/static, adaptive). The join
+            # shuffles on host — at web scale the state is one narrow row
+            # per host ever observed, uniform keys (no broadcast assumed).
+            at_prev = self._at_delays_state(b - 1)
+            cands = (
+                cands.join(at_prev, on="host", how="left")
+                .withColumn(
+                    "crawl_delay",
+                    F.greatest(
+                        F.col("crawl_delay"),
+                        F.coalesce(
+                            F.col("at_delay"),
+                            F.lit(self.autothrottle["start_delay"]),
+                        ),
+                    ),
+                )
+                .drop("at_delay")
+            )
         # count() (not isEmpty) so the persisted cache is FULLY
         # materialized here — every later action this batch reads the
         # cache instead of racing to compute residual partitions.
-        cands = apply_robots(cands, self.robots).persist()
+        cands = cands.persist()
         if cands.count() == 0:
             cands.unpersist()
             dedup_out.unpersist()
@@ -570,6 +624,22 @@ class CrawlEngine:
             "crawl_log": crawl_log,
             "metrics": metrics,
         }
+        if self.autothrottle is not None:
+            # W4: fold this batch's delivered latencies into the per-host
+            # delay state (politeness-slot order via host_rank) — O(batch)
+            # work, full snapshot written, older snapshots pruned below.
+            at = self.autothrottle
+            parts["at_delays"] = autothrottle_update(
+                at_prev,
+                fetched.filter(
+                    (F.col("f_status") == "ok")
+                    & F.col("g_latency_s").isNotNull()
+                ).select("host", "host_rank", "g_latency_s"),
+                start_delay=at["start_delay"],
+                target_concurrency=at["target_concurrency"],
+                min_delay=at["min_delay"],
+                max_delay=at["max_delay"],
+            )
         if bloom_on:
             # Incremental filter maintenance: fold this batch's new seen
             # hashes into the stored shard state — O(delta) work, committed
@@ -622,6 +692,8 @@ class CrawlEngine:
             # (_bloom_state reads prev_batch); older full-filter copies
             # would accumulate O(batches × filter_size) on disk.
             self.ckpt.prune_part(self.filter_kind, b)
+        if self.autothrottle is not None:
+            self.ckpt.prune_part("at_delays", b)
         self._seen_total += n_docs
         for df in (dedup_out, cands, admitted, fetched, parsed, docs_delta):
             df.unpersist()
@@ -752,10 +824,13 @@ class CrawlEngine:
         def deltas(name):
             return self.ckpt.read_deltas(name, upto_batch)
 
-        return {
+        out = {
             "last_batch": upto_batch,
             "crawl_log": deltas("crawl_log"),
             "url_seen": self._url_seen_state(upto_batch),
             "docs": deltas("docs"),
             "metrics": deltas("metrics"),
         }
+        if self.autothrottle is not None:
+            out["at_delays"] = self._at_delays_state(upto_batch)
+        return out
