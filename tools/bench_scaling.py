@@ -112,8 +112,12 @@ def main() -> int:
     # approximates uncontended capability. One measured run per subprocess
     # (after an in-process warmup); 10× candidates so the measured region
     # is compute-bound rather than fixed-overhead-bound.
-    levels = (lo, hi, 32)
-    by_level: dict[int, list[dict]] = {c: [] for c in levels}
+    # Only lo and hi feed the efficiency number, so only they run inside
+    # the gated window — a 2-level sweep fits a short clean window that a
+    # 3-level sweep would overrun. local[32] (reported for honesty, not
+    # used in the ratio) is measured once, ungated, at the end.
+    levels = (lo, hi)
+    by_level: dict[int, list[dict]] = {c: [] for c in (*levels, 32)}
     cpu_best, mem_best = load_cal_best()
     for _ in range(2):
         c, m = calibrate()
@@ -156,15 +160,21 @@ def main() -> int:
         for cpus, r in sweep.items():
             by_level[cpus].append(r)
         accepted += 1
+    gated = True
     if not by_level[lo]:
         # Budget exhausted without one clean sweep: fall back to a single
         # ungated sweep so the harness always produces a (flagged) number.
+        gated = False
         print("WARNING: no clean window found; reporting unvalidated sweep",
               file=sys.stderr)
         for cpus in levels:
             by_level[cpus].append(
                 run_level(cpus, sf_dir, frontier_only=True, mult=MULT, runs=1)
             )
+    # local[32] honesty column — once, ungated (not part of the ratio).
+    by_level[32].append(
+        run_level(32, sf_dir, frontier_only=True, mult=MULT, runs=1)
+    )
     best = {
         c: min(rs, key=lambda r: r["frontier"]["sec"]) for c, rs in by_level.items()
     }
@@ -192,7 +202,7 @@ exact anti-join vs seen set → salted per-host politeness admission) over
 {r_lo['frontier']['urls']:,} URLs from {sf_dir} — same input + seed order at
 every parallelism level; `local[{lo}]` vs `local[{hi}]` stands in for N vs 4N
 executors (single-machine sandbox; see tools/bench_scaling.py). Each number
-is the best of {len(all_secs[lo])} accepted interleaved trials (fresh JVM
+is the best of {len(all_secs[lo])} {'accepted' if gated else 'UNGATED-FALLBACK (no clean window found in budget — congestion-era numbers, lower bounds)'} interleaved trials (fresh JVM
 each, in-process warmup run first). The sandbox VM sees bursty host
 interference, so each level sweep is gated by TWO calibration probes
 before and after — a CPU spin AND a memory-bandwidth stream (the resource
@@ -240,7 +250,7 @@ Raw JSON:
 """)
     print(json.dumps({
         "t_lo": t_lo, "t_hi": t_hi, "efficiency": round(eff, 3),
-        "deterministic": deterministic, "md": md,
+        "deterministic": deterministic, "gated": gated, "md": md,
     }))
     return 0 if (eff >= 0.8 and deterministic) else 1
 
