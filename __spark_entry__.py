@@ -59,6 +59,8 @@ from crawler_spark.operators.multimodal import (
     extract_media_features,
     sample_frames_and_resize,
 )
+from crawler_spark.operators.linkgraph import host_pagerank, pagerank_sql
+from crawler_spark.operators.revisit import revisit_schedule, revisit_sql
 from crawler_spark.operators.politeness import (
     admit_per_host,
     apply_robots,
@@ -892,6 +894,60 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+# Host link graph for PageRank: directed host→host edges derived
+# deterministically from orders. Hosts 47-49 never emit links (dangling —
+# a freshly discovered host is always dangling until first parsed).
+_PAGERANK_EDGES_SQL = (
+    "SELECT DISTINCT"
+    " 'site' || CAST(o_custkey % 50 AS VARCHAR) AS src,"
+    " 'site' || CAST(o_orderkey % 50 AS VARCHAR) AS dst"
+    " FROM orders"
+    " WHERE (o_custkey % 50) <> (o_orderkey % 50)"
+    " AND (o_custkey % 50) < 47"
+)
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Link-graph host authority (fixed-point integer PageRank, 4
+    iterations, d=0.85): the third crawl-priority signal next to depth +
+    recency (Cho, Garcia-Molina & Page 1998). Integer fixed-point makes
+    the result bit-identical under any partitioning — float PageRank is
+    not associative-safe — and exactly DuckDB-verifiable."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    src_h = F.col("o_custkey") % 50
+    dst_h = F.col("o_orderkey") % 50
+    edges = (
+        o.filter((src_h != dst_h) & (src_h < 47))
+        .select(
+            F.concat(F.lit("site"), src_h.cast("string")).alias("src"),
+            F.concat(F.lit("site"), dst_h.cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return host_pagerank(edges, n_iter=4, damping_pct=85).orderBy("host")
+
+
+def q_revisit_schedule(spark, sf_dir):
+    """Adaptive recrawl scheduling (Cho & Garcia-Molina 2003): per-URL
+    change-rate λ̂ from the visit log's fingerprint history → clamped
+    revisit interval + next-due time. Window lag + groupBy built-ins,
+    one shuffle on the URL key."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    visits = ev.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 300).cast("string")).alias(
+            "url"
+        ),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        F.col("event_id").alias("seq"),
+        (F.floor(F.col("value")).cast("bigint") % 5).alias("sig"),
+    )
+    return revisit_schedule(
+        visits, min_interval=3600.0, max_interval=7 * 86400.0
+    ).orderBy("url")
+
+
 # ---------------------------------------------------------------------------
 # Crawl-lifecycle queries (engine vs reference-semantics simulator — the
 # e2e parity invariant surfaced through the driver's oracle gate; VERDICT
@@ -1027,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_spans": q_interleaved_spans,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        "host_pagerank": q_host_pagerank,
+        "revisit_schedule": q_revisit_schedule,
         "crawl_docs": q_crawl_docs,
         "crawl_spans": q_crawl_spans,
         "crawl_log": q_crawl_log,
@@ -1847,6 +1905,16 @@ def oracle_sql() -> dict[str, str]:
                      AS out_height
             FROM fr ORDER BY doc_id, frame_idx
         """,
+        "host_pagerank": pagerank_sql(
+            _PAGERANK_EDGES_SQL, n_iter=4, damping_pct=85
+        ),
+        "revisit_schedule": revisit_sql(
+            "SELECT 'u' || CAST(user_id % 300 AS VARCHAR) AS url,"
+            " epoch(ts) AS ts, event_id AS seq,"
+            " CAST(FLOOR(value) AS BIGINT) % 5 AS sig FROM events",
+            min_interval=3600.0,
+            max_interval=7 * 86400.0,
+        ),
         # Crawl-lifecycle oracles: the reference-semantics simulator's
         # outputs (written by crawler_spark.oracle_crawl.ensure_sim_outputs
         # — the Spark-side query callables write them before returning, so
