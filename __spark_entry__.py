@@ -52,6 +52,7 @@ from crawler_spark.operators.dedup import (
 from crawler_spark.operators.curation import (
     decontaminate,
     repetition_stats,
+    sequence_pack,
     stratified_sample,
 )
 from crawler_spark.operators.multimodal import (
@@ -744,6 +745,15 @@ def q_decontaminate(spark, sf_dir):
 # Training-data pipeline: similarity search (embeddings table)
 # ---------------------------------------------------------------------------
 
+def q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk sequence-packing manifest (GPT-3 §2.2 packing):
+    per-language running token total → 2048-token pack id + offset per
+    document, one window shuffle, no token materialization."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return sequence_pack(docs, seq_len=2048).orderBy("stream", "doc_id")
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k (exact ANN baseline); queries = vec_id < 8
     broadcast against the corpus."""
@@ -1075,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
+        "sequence_pack": q_sequence_pack,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "similarity_lsh": q_similarity_lsh,
@@ -1904,6 +1915,25 @@ def oracle_sql() -> dict[str, str]:
                    cast((height * 224) // greatest(width, height) AS int)
                      AS out_height
             FROM fr ORDER BY doc_id, frame_idx
+        """,
+        "sequence_pack": """
+            WITH toks AS (
+              SELECT doc_id, lang AS stream,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, stream, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS s
+              FROM toks
+            )
+            SELECT doc_id, stream, n_tokens,
+                   CAST(s // 2048 AS BIGINT) AS start_pack,
+                   CAST(s % 2048 AS BIGINT) AS pack_offset,
+                   CAST((s + n_tokens - 1) // 2048 AS BIGINT) AS end_pack
+            FROM c ORDER BY stream, doc_id
         """,
         "host_pagerank": pagerank_sql(
             _PAGERANK_EDGES_SQL, n_iter=4, damping_pct=85

@@ -190,3 +190,63 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> DataFrame:
+    """Concat-and-chunk training-sequence packing manifest.
+
+    The final stage of an LLM data pipeline concatenates the curated
+    corpus per stream (here per language) and slices it into fixed
+    ``seq_len``-token training sequences (the GPT-2/3 "packing" recipe —
+    Brown et al. 2020 §2.2 describe documents packed into 2048-token
+    contexts separated by end-of-text). This operator emits the per-doc
+    manifest of that layout WITHOUT materializing the token stream: doc
+    order within a stream is (doc_id) — deterministic, re-run-stable —
+    and a running token total places each document at byte-exact
+    positions:
+
+        start_offset = Σ tokens of preceding docs in the stream
+        start_pack   = start_offset div seq_len
+        end_pack     = (start_offset + n_tokens - 1) div seq_len
+
+    Output: ``id, stream, n_tokens, start_pack, pack_offset (position
+    within start_pack), end_pack``. Docs spanning a boundary straddle
+    packs exactly as the trainer's chunker would split them.
+
+    Scale: one window running-sum over (stream) ordered by id — a single
+    shuffle on the stream key with partial aggregation; no token
+    materialization, no Python. A per-language total order is inherent
+    to deterministic packing (any engine must sequence the stream); skew
+    across languages is bounded by stratified_sample upstream."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.col(stream_col).alias("stream"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        F.col(id_col),
+        "stream",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("_start"),
+    ).select(
+        id_col,
+        "stream",
+        "n_tokens",
+        F.expr(f"_start div {seq_len}").alias("start_pack"),
+        (F.col("_start") % seq_len).alias("pack_offset"),
+        F.expr(f"(_start + n_tokens - 1) div {seq_len}").alias("end_pack"),
+    )

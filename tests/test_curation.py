@@ -14,6 +14,7 @@ from crawler_spark.operators.curation import (
     decontaminate,
     repetition_stats,
     sample_bucket,
+    sequence_pack,
     stratified_sample,
 )
 
@@ -176,3 +177,43 @@ def test_curation_plans_stay_jvm_side(spark):
     plan = decontaminate(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sequence_pack_hand_computed(spark):
+    # Stream "en", seq_len 10, docs in doc_id order with 4/8/3 tokens:
+    #   d1: start 0  -> pack 0 offset 0, end (0+4-1)//10  = 0
+    #   d2: start 4  -> pack 0 offset 4, end (4+8-1)//10  = 1 (straddles)
+    #   d3: start 12 -> pack 1 offset 2, end (12+3-1)//10 = 1
+    docs = _docs(spark, [
+        (1, "a b c d", "en"),
+        (2, "a b c d e f g h", "en"),
+        (3, "x y z", "en"),
+        (4, "p q", "hi"),  # independent stream restarts at offset 0
+    ])
+    out = {r.doc_id: r for r in sequence_pack(docs, seq_len=10).collect()}
+    assert (out[1].start_pack, out[1].pack_offset, out[1].end_pack) == (0, 0, 0)
+    assert (out[2].start_pack, out[2].pack_offset, out[2].end_pack) == (0, 4, 1)
+    assert (out[3].start_pack, out[3].pack_offset, out[3].end_pack) == (1, 2, 1)
+    assert (out[4].start_pack, out[4].pack_offset, out[4].end_pack) == (0, 0, 0)
+
+
+def test_sequence_pack_contiguous_no_gaps(spark):
+    rows = [(i, " ".join(["w"] * (3 + i % 7)), "en") for i in range(50)]
+    docs = _docs(spark, rows)
+    got = sorted(
+        sequence_pack(docs, seq_len=16).collect(), key=lambda r: r.doc_id
+    )
+    pos = 0
+    for r in got:
+        assert r.start_pack * 16 + r.pack_offset == pos
+        pos += r.n_tokens
+        assert r.end_pack == (pos - 1) // 16
+
+
+def test_sequence_pack_deterministic_under_partitioning(spark):
+    rows = [(i, " ".join(["w"] * (1 + i % 5)), "l" + str(i % 3))
+            for i in range(60)]
+    a = sequence_pack(_docs(spark, rows), seq_len=8).collect()
+    b = sequence_pack(_docs(spark, rows).repartition(13), seq_len=8).collect()
+    key = lambda r: r.doc_id
+    assert sorted(a, key=key) == sorted(b, key=key)
