@@ -43,6 +43,7 @@ def host_pagerank(
     edges: DataFrame,
     n_iter: int = 4,
     damping_pct: int = 85,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """PageRank over a host link graph, fixed-point integer semantics.
 
@@ -60,6 +61,15 @@ def host_pagerank(
         dangling   = Σ rank(v) over v with outdeg(v) = 0
         rank'(v)   = ((100-d)·PR_SCALE) div (100·n)
                      + (d · (recv(v) + dangling div n)) div 100
+
+    ``checkpoint_every``: every k iterations, truncate the plan lineage
+    with ``localCheckpoint(eager=True)`` — at production iteration counts
+    (PageRank typically runs 20-100 iterations to convergence) the
+    accumulated join-on-join lineage otherwise grows the plan past what
+    Catalyst can analyze in reasonable time. Off by default: the fixed
+    4-iteration analytic form stays a single declarative plan the
+    optimizer sees whole. Fixed-point values make the result identical
+    either way.
     """
     src_nodes = edges.select(F.col("src").alias("host"))
     dst_nodes = edges.select(F.col("dst").alias("host"))
@@ -82,7 +92,7 @@ def host_pagerank(
     deg = ranks.join(outdeg, "host", "left").withColumn(
         "outdeg", F.coalesce(F.col("outdeg"), F.lit(0))
     )
-    for _ in range(n_iter):
+    for i in range(n_iter):
         recv = (
             deg.filter(F.col("outdeg") > 0)
             .join(edges, deg["host"] == edges["src"])
@@ -118,6 +128,10 @@ def host_pagerank(
                 ).alias("rank_micro"),
             )
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
+            i + 1
+        ) < n_iter:
+            deg = deg.localCheckpoint(eager=True)
     # Plain IEEE division of identical int64 operands is correctly rounded
     # and therefore bit-identical across engines — no ROUND() tie-break
     # hazards (half-even vs half-up on inexact binary doubles).

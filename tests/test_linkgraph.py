@@ -71,3 +71,13 @@ def test_deterministic_under_partitioning(spark):
         for r in host_pagerank(edges.repartition(7)).collect()
     }
     assert a == b
+
+
+def test_checkpoint_every_identical(spark):
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    a = {r.host: r.rank_micro for r in host_pagerank(edges, n_iter=4).collect()}
+    b = {
+        r.host: r.rank_micro
+        for r in host_pagerank(edges, n_iter=4, checkpoint_every=2).collect()
+    }
+    assert a == b
