@@ -60,7 +60,12 @@ from crawler_spark.operators.multimodal import (
     extract_media_features,
     sample_frames_and_resize,
 )
-from crawler_spark.operators.linkgraph import host_pagerank, pagerank_sql
+from crawler_spark.operators.linkgraph import (
+    allocate_budget,
+    budget_sql,
+    host_pagerank,
+    pagerank_sql,
+)
 from crawler_spark.operators.revisit import revisit_schedule, revisit_sql
 from crawler_spark.operators.politeness import (
     admit_per_host,
@@ -938,6 +943,29 @@ def q_host_pagerank(spark, sf_dir):
     return host_pagerank(edges, n_iter=4, damping_pct=85).orderBy("host")
 
 
+def q_budget_allocation(spark, sf_dir):
+    """Global fetch-budget apportionment across hosts by PageRank mass
+    (largest-remainder / Hamilton method): integer-exact, sums to exactly
+    the budget, deterministic tie-break — the scheduler knob that turns
+    link authority into per-host batch quotas."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    src_h = F.col("o_custkey") % 50
+    dst_h = F.col("o_orderkey") % 50
+    edges = (
+        o.filter((src_h != dst_h) & (src_h < 47))
+        .select(
+            F.concat(F.lit("site"), src_h.cast("string")).alias("src"),
+            F.concat(F.lit("site"), dst_h.cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = host_pagerank(edges, n_iter=4, damping_pct=85)
+    return allocate_budget(ranks, total_budget=10_000, min_per_host=2).orderBy(
+        "host"
+    )
+
+
 def q_revisit_schedule(spark, sf_dir):
     """Adaptive recrawl scheduling (Cho & Garcia-Molina 2003): per-URL
     change-rate λ̂ from the visit log's fingerprint history → clamped
@@ -1095,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "host_pagerank": q_host_pagerank,
+        "budget_allocation": q_budget_allocation,
         "revisit_schedule": q_revisit_schedule,
         "crawl_docs": q_crawl_docs,
         "crawl_spans": q_crawl_spans,
@@ -1937,6 +1966,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_pagerank": pagerank_sql(
             _PAGERANK_EDGES_SQL, n_iter=4, damping_pct=85
+        ),
+        "budget_allocation": budget_sql(
+            _PAGERANK_EDGES_SQL, total_budget=10_000, min_per_host=2
         ),
         "revisit_schedule": revisit_sql(
             "SELECT 'u' || CAST(user_id % 300 AS VARCHAR) AS url,"

@@ -142,6 +142,101 @@ def host_pagerank(
     )
 
 
+def allocate_budget(
+    ranks: DataFrame,
+    total_budget: int,
+    min_per_host: int = 0,
+) -> DataFrame:
+    """Apportion a global per-batch fetch budget across hosts by authority.
+
+    Where the per-host politeness window (operators/politeness.py) caps
+    how fast ONE host may be fetched, this decides how much of a bounded
+    GLOBAL budget (driver slots, egress, proxy quota) each host deserves —
+    proportional to its PageRank mass, via the largest-remainder method
+    (Hamilton apportionment): integer-exact, sums to exactly
+    ``total_budget``, and deterministic under any partitioning (ties on
+    the fractional remainder break by host name).
+
+    ``ranks``: output of :func:`host_pagerank` (host, rank_micro, ...).
+    Returns (host, budget long) with ``min_per_host`` guaranteed to every
+    host first (the remainder is apportioned over rank mass).
+
+    Scale: two one-row aggregates folded in via broadcast cross join and
+    one window over the full host set — a single shuffle; the window's
+    sort is the textbook top-k shape AQE handles at 10^8 hosts.
+    """
+    from pyspark.sql import Window
+
+    n_and_total = ranks.agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum("rank_micro").alias("total_mass"),
+    )
+    r = ranks.select("host", "rank_micro").crossJoin(F.broadcast(n_and_total))
+    spend = F.lit(int(total_budget)) - F.lit(int(min_per_host)) * F.col(
+        "n_hosts"
+    )
+    r = r.select(
+        "host",
+        (spend * F.col("rank_micro")).alias("_exact"),
+        "total_mass",
+    ).select(
+        "host",
+        F.expr("_exact div total_mass").alias("_base"),
+        (F.col("_exact") % F.col("total_mass")).alias("_rem"),
+    )
+    leftover = r.agg(
+        (F.lit(int(total_budget))
+         - F.sum("_base")
+         - F.lit(int(min_per_host)) * F.count(F.lit(1))).alias("_left")
+    )
+    w = Window.orderBy(F.desc("_rem"), F.asc("host"))
+    return (
+        r.crossJoin(F.broadcast(leftover))
+        .withColumn("_pos", F.row_number().over(w))
+        .select(
+            "host",
+            (
+                F.lit(int(min_per_host))
+                + F.col("_base")
+                + F.when(F.col("_pos") <= F.col("_left"), 1).otherwise(0)
+            ).cast("long").alias("budget"),
+        )
+    )
+
+
+def budget_sql(
+    edges_sql: str,
+    total_budget: int,
+    min_per_host: int = 0,
+    n_iter: int = 4,
+    damping_pct: int = 85,
+) -> str:
+    """Exact ANSI-SQL mirror of host_pagerank → allocate_budget for the
+    DuckDB oracle (largest-remainder apportionment over rank mass)."""
+    pr = pagerank_sql(edges_sql, n_iter=n_iter, damping_pct=damping_pct)
+    B, m = int(total_budget), int(min_per_host)
+    return f"""
+WITH pr AS ({pr}),
+agg AS (SELECT COUNT(*) AS n_hosts, SUM(rank_micro) AS total_mass FROM pr),
+r AS (SELECT pr.host,
+             ({B} - {m} * agg.n_hosts) * pr.rank_micro AS ex,
+             agg.total_mass AS total_mass
+      FROM pr CROSS JOIN agg),
+b AS (SELECT host,
+             CAST(ex // total_mass AS BIGINT) AS base,
+             ex % total_mass AS rem
+      FROM r),
+l AS (SELECT {B} - SUM(base) - {m} * COUNT(*) AS lft FROM b),
+p AS (SELECT host, base,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, host ASC) AS pos
+      FROM b)
+SELECT p.host,
+       CAST({m} + p.base + CASE WHEN p.pos <= l.lft THEN 1 ELSE 0 END
+            AS BIGINT) AS budget
+FROM p CROSS JOIN l ORDER BY p.host
+"""
+
+
 def pagerank_sql(
     edges_sql: str, n_iter: int = 4, damping_pct: int = 85
 ) -> str:

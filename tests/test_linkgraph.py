@@ -81,3 +81,41 @@ def test_checkpoint_every_identical(spark):
         for r in host_pagerank(edges, n_iter=4, checkpoint_every=2).collect()
     }
     assert a == b
+
+
+def py_allocate(rank, total, min_per_host=0):
+    """Pure-Python largest-remainder mirror of allocate_budget."""
+    hosts = sorted(rank)
+    mass = sum(rank.values())
+    spend = total - min_per_host * len(hosts)
+    base = {h: spend * rank[h] // mass for h in hosts}
+    rem = {h: spend * rank[h] % mass for h in hosts}
+    left = total - sum(base.values()) - min_per_host * len(hosts)
+    order = sorted(hosts, key=lambda h: (-rem[h], h))
+    out = {h: min_per_host + base[h] for h in hosts}
+    for h in order[:left]:
+        out[h] += 1
+    return out
+
+
+def test_budget_allocation_exact_and_matches_python(spark, result):
+    from crawler_spark.operators.linkgraph import allocate_budget
+
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    ranks = host_pagerank(edges, n_iter=4)
+    got = {r.host: r.budget for r in
+           allocate_budget(ranks, total_budget=97, min_per_host=3).collect()}
+    assert sum(got.values()) == 97
+    rank = {h: r.rank_micro for h, r in result.items()}
+    assert got == py_allocate(rank, 97, 3)
+    assert min(got.values()) >= 3
+
+
+def test_budget_allocation_deterministic(spark):
+    from crawler_spark.operators.linkgraph import allocate_budget
+
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    a = allocate_budget(host_pagerank(edges), 1000).collect()
+    b = allocate_budget(host_pagerank(edges.repartition(5)), 1000).collect()
+    assert sorted(a) == sorted(b)
+    assert sum(r.budget for r in a) == 1000
