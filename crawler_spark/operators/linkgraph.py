@@ -161,9 +161,15 @@ def allocate_budget(
     Returns (host, budget long) with ``min_per_host`` guaranteed to every
     host first (the remainder is apportioned over rank mass).
 
-    Scale: two one-row aggregates folded in via broadcast cross join and
-    one window over the full host set — a single shuffle; the window's
-    sort is the textbook top-k shape AQE handles at 10^8 hosts.
+    Scale: two one-row aggregates folded in via broadcast cross join, and
+    the top-``leftover``-by-remainder selection runs as the same salted
+    TWO-PHASE window as operators/politeness.py admit_per_host — phase 1
+    ranks within (salt) partitions and keeps each salt's top ``leftover``
+    candidates, phase 2 ranks only the survivors — so no single task ever
+    sorts the full host set (a bare global row_number window would be a
+    one-partition sort at 10^8 hosts). Any row in the true global top-L
+    is in its salt's top-L, so the two phases are exactly equal to the
+    global window (asserted in tests).
     """
     from pyspark.sql import Window
 
@@ -189,19 +195,33 @@ def allocate_budget(
          - F.sum("_base")
          - F.lit(int(min_per_host)) * F.count(F.lit(1))).alias("_left")
     )
-    w = Window.orderBy(F.desc("_rem"), F.asc("host"))
-    return (
-        r.crossJoin(F.broadcast(leftover))
-        .withColumn("_pos", F.row_number().over(w))
-        .select(
+    r = r.crossJoin(F.broadcast(leftover))
+    # Phase 1 — salted pre-top-k (salt is a pure function of the row).
+    salt_k = 16
+    r = r.withColumn(
+        "_salt", F.pmod(F.xxhash64("host"), F.lit(salt_k)).cast("int")
+    )
+    w1 = Window.partitionBy("_salt").orderBy(F.desc("_rem"), F.asc("host"))
+    r = r.withColumn("_rn1", F.row_number().over(w1))
+    survivors = r.filter(F.col("_rn1") <= F.col("_left"))
+    rest = r.filter(F.col("_rn1") > F.col("_left"))
+    # Phase 2 — exact global rank over ≤ salt_k × leftover survivors.
+    w2 = Window.orderBy(F.desc("_rem"), F.asc("host"))
+    bumped = survivors.withColumn("_pos", F.row_number().over(w2))
+
+    def _final(df, bump):
+        return df.select(
             "host",
             (
                 F.lit(int(min_per_host))
                 + F.col("_base")
-                + F.when(F.col("_pos") <= F.col("_left"), 1).otherwise(0)
+                + bump
             ).cast("long").alias("budget"),
         )
-    )
+
+    return _final(
+        bumped, F.when(F.col("_pos") <= F.col("_left"), 1).otherwise(0)
+    ).unionByName(_final(rest, F.lit(0)))
 
 
 def budget_sql(
