@@ -92,6 +92,12 @@ def host_pagerank(
     deg = ranks.join(outdeg, "host", "left").withColumn(
         "outdeg", F.coalesce(F.col("outdeg"), F.lit(0))
     )
+    # Each iteration references `deg` three times (edge join, dangling
+    # aggregate, node carry) and Spark re-executes uncached subtrees — an
+    # unmaterialized loop re-runs the base 3^k times (visible as ~3^k
+    # repeated subtrees in the plan). Materialize each superstep, the
+    # Pregel/GraphX pattern.
+    deg = deg.cache()
     for i in range(n_iter):
         recv = (
             deg.filter(F.col("outdeg") > 0)
@@ -128,6 +134,7 @@ def host_pagerank(
                 ).alias("rank_micro"),
             )
         )
+        deg = deg.cache()
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
             i + 1
         ) < n_iter:
@@ -190,6 +197,10 @@ def allocate_budget(
         F.expr("_exact div total_mass").alias("_base"),
         (F.col("_exact") % F.col("total_mass")).alias("_rem"),
     )
+    # `r` is referenced three times below (leftover aggregate, survivors,
+    # rest) — materialize it once or the upstream (including the whole
+    # PageRank) re-executes per reference.
+    r = r.cache()
     leftover = r.agg(
         (F.lit(int(total_budget))
          - F.sum("_base")
