@@ -38,6 +38,7 @@ from crawler_spark.functions.urlnorm import canonicalize_col, host_of
 from crawler_spark.functions.text import MINHASH_P, minhash_params
 from crawler_spark.operators.dedup import (
     SIMHASH_BITS,
+    duplicated_substring_spans,
     embedding_near_dup_lsh,
     exact_dedup,
     intra_batch_dedup,
@@ -521,6 +522,22 @@ def q_exact_dedup(spark, sf_dir):
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     return exact_dedup(docs, text_col="text", id_col="doc_id").orderBy("content_md5")
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact duplicated-substring spans (ExactSubstr, Lee et al. 2021):
+    maximal token spans whose every 16-token window occurs >1 time in the
+    corpus — the spans a training pipeline cuts before tokenization. One
+    uniform-key shuffle to count window hashes, one doc-key shuffle to
+    merge islands."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        duplicated_substring_spans(docs, k=16, id_col="doc_id",
+                                   text_col="text")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id", "span_start")
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1099,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_date_parse": q_fuzzy_date_parse,
         "format_time3": q_format_time3,
         "exact_dedup": q_exact_dedup,
+        "substring_dedup": q_substring_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
@@ -1582,6 +1600,41 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id,
                    count(*) AS dup_count
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # ExactSubstr (k=16): window hash = md5 of the space-joined
+        # 16-token slice — identical text in both engines; islands merge
+        # when window starts are ≤ k apart (overlap or contiguous).
+        "substring_dedup": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+              WHERE len(string_split(text, ' ')) >= 16),
+            wins AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(ts[i : i + 15], ' ')) AS h
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, len(ts) - 15)) AS i)),
+            hits AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY h) AS n_occ
+              FROM wins QUALIFY n_occ > 1),
+            flag AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(max(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          -1000000) + 16 THEN 1 ELSE 0 END AS new_grp
+              FROM hits),
+            grp AS (
+              SELECT doc_id, pos,
+                     sum(new_grp) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+              FROM flag)
+            SELECT doc_id,
+                   CAST(min(pos) AS INT) AS span_start,
+                   CAST(max(pos) + 15 AS INT) AS span_end,
+                   count(*) AS n_windows
+            FROM grp GROUP BY doc_id, g
+            ORDER BY doc_id, span_start
         """,
         "ngram_jaccard": """
             WITH sh0 AS (

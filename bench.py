@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "fuzzy_date_parse",
     "format_time3",
     "exact_dedup",
+    "substring_dedup",
     "ngram_jaccard",
     "dedup_clusters",
     "minhash_lsh",

@@ -178,6 +178,80 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     )
 
 
+def duplicated_substring_spans(
+    docs: DataFrame,
+    k: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring detection (the ExactSubstr dedup of Lee
+    et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): find every maximal token span whose every length-``k``
+    token window occurs more than once in the corpus (within- or
+    cross-document). The paper removes those spans before training; this
+    operator emits them as (doc, span_start, span_end, n_windows) rows —
+    the removal itself is a trivial downstream slice.
+
+    Spark-first shape (the paper's suffix array is a single-node
+    construction; the distributed equivalent is window hashing):
+
+    1. per doc: split once, emit every k-token window as
+       (pos, md5(window text)) via a JVM ``transform(sequence(...))`` +
+       explode — no Python, one narrow pass;
+    2. duplicate windows: ``count(*) over (partition by hash)`` — ONE
+       shuffle keyed on the hash (uniform by construction, no skew);
+    3. merge hit windows into maximal spans with the classic
+       gaps-and-islands windows (running-max of span end per doc) —
+       ONE shuffle keyed on doc id;
+    4. per-span rollup (partial-agg groupBy on the same doc-id
+       partitioning).
+
+    Spans that overlap OR are contiguous merge (window starts p1 < p2
+    join iff p2 ≤ p1 + k: token p1+k immediately follows window p1's
+    last token). Positions are 1-based token indexes, span_end
+    inclusive. Cross-engine exact: md5 over the space-joined window
+    renders identically in DuckDB.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("ts")
+    ).filter(F.size("ts") >= k)
+    wins = toks.select(
+        "doc",
+        F.expr(
+            f"explode(transform(sequence(1, size(ts) - {k} + 1), "
+            f"i -> struct(i as pos, md5(array_join(slice(ts, i, {k}), ' ')) as h)))"
+        ).alias("w"),
+    ).select("doc", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    hits = wins.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("n_occ") > 1)
+    w_prev = (
+        Window.partitionBy("doc").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = hits.withColumn(
+        "new_grp",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max("pos").over(w_prev), F.lit(-1000000)) + k,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("g", F.sum("new_grp").over(w_run))
+    return (
+        grouped.groupBy("doc", "g")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + k - 1).cast("int").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc", "span_start", "span_end", "n_windows")
+    )
+
+
 def _doc_shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
     """(doc, _sh:array<string>) with the token split materialized ONCE per
     document before shingling (see functions.text.shingles_of)."""

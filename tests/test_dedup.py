@@ -271,3 +271,50 @@ def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
     }
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_duplicated_substring_spans(spark):
+    """ExactSubstr (Lee et al. 2021) span detection: cross-doc duplicated
+    k-token runs are found with exact 1-based boundaries, overlapping hit
+    windows merge into one maximal span, contiguous spans merge, and a
+    within-doc repeat counts as duplicated. Hand-computed fixture."""
+    from crawler_spark.operators.dedup import duplicated_substring_spans
+
+    k = 4
+    run = "w1 w2 w3 w4 w5"          # 5 tokens -> windows at pos 1,2 duplicated
+    rep = "r1 r2 r3 r4"             # 4 tokens, repeated inside doc 3
+    docs = [
+        (1, "a1 a2 " + run + " a3 a4"),          # run at tokens 3..7
+        (2, run + " b1 b2 b3"),                  # run at tokens 1..5
+        (3, rep + " x1 " + rep),                 # within-doc repeat: 1..4, 6..9
+        (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),       # unique
+        (5, "s1 s2"),                            # shorter than k: dropped
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = duplicated_substring_spans(df, k=k).collect()
+    spans = {(r.doc, r.span_start, r.span_end, r.n_windows) for r in out}
+    assert spans == {
+        (1, 3, 7, 2),   # windows at pos 3 and 4 merge (overlap)
+        (2, 1, 5, 2),
+        (3, 1, 4, 1),
+        (3, 6, 9, 1),   # gap of one token -> NOT merged (pos 6 > 1 + k)
+    }
+
+
+def test_duplicated_substring_contiguous_merge(spark):
+    """Two duplicated windows whose spans touch back-to-back (window
+    starts exactly k apart) merge into one span."""
+    from crawler_spark.operators.dedup import duplicated_substring_spans
+
+    k = 3
+    a = "p1 p2 p3"
+    b = "q1 q2 q3"
+    docs = [
+        (1, a + " " + b),    # windows pos 1 (a) and pos 4 (b): contiguous
+        (2, a + " z1 " + b), # donors making both runs duplicated
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {(r.doc, r.span_start, r.span_end)
+            for r in duplicated_substring_spans(df, k=k).collect()
+            if r.doc == 1}
+    assert rows == {(1, 1, 6)}
