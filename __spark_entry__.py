@@ -540,6 +540,19 @@ def q_substring_dedup(spark, sf_dir):
     )
 
 
+def q_bm25_index(spark, sf_dir):
+    """BM25 search-index build (Okapi BM25, Robertson et al. TREC-3):
+    per-document top-5 terms by BM25 weight. tf via partial-agg groupBy,
+    df via a window count on the term key, corpus stats (N, avgdl) as a
+    broadcast one-row cross join, rounded-score ordering for
+    cross-engine-exact ranks."""
+    from crawler_spark.operators.index import bm25_top_terms
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_top_terms(docs, top_n=5).orderBy("doc_id", "rank")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup pairs (3-word shingles, ≥ 0.3) with the
     document-frequency cap on shingle fanout (≤ 50 docs per shingle)."""
@@ -1117,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_time3": q_format_time3,
         "exact_dedup": q_exact_dedup,
         "substring_dedup": q_substring_dedup,
+        "bm25_index": q_bm25_index,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
@@ -1635,6 +1649,42 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_windows
             FROM grp GROUP BY doc_id, g
             ORDER BY doc_id, span_start
+        """,
+        # BM25 (k1=1.2, b=0.75): every arithmetic step in the same IEEE
+        # order as operators/index.bm25_top_terms; constants written as
+        # (1.2 + 1.0) / (1.0 - 0.75) so both engines derive them with the
+        # identical add from identically-parsed literals; score rounded
+        # BEFORE ranking so rank ties break identically.
+        "bm25_index": """
+            WITH base AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                     unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM base GROUP BY 1, 2, 3),
+            wdf AS (
+              SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+            dls AS (SELECT DISTINCT doc_id, dl FROM tf),
+            stats AS (
+              SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM dls),
+            scored AS (
+              SELECT doc_id, term, tf, df,
+                     round(ln(((n_docs - df + 0.5) / (df + 0.5)) + 1.0)
+                           * (tf * (1.2 + 1.0))
+                           / (tf + 1.2 * ((1.0 - 0.75)
+                                          + 0.75 * (dl / avgdl))),
+                           4) AS score
+              FROM wdf, stats),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, term ASC) AS rank
+              FROM scored)
+            SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
         """,
         "ngram_jaccard": """
             WITH sh0 AS (

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "format_time3",
     "exact_dedup",
     "substring_dedup",
+    "bm25_index",
     "ngram_jaccard",
     "dedup_clusters",
     "minhash_lsh",
