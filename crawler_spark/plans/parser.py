@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import json
 import re
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from urllib.parse import urljoin
 
 from crawler_spark.functions import htmlsel
@@ -55,6 +55,9 @@ API_PAGE = "api_page"  # JSON endpoint with page param while has_more
 FORM_PAGE = "form_page"  # POST form body page=N while has_more (yehey.py:70-104)
 API_TEMPLATE = "api_template"  # templated API url w/ page & totItems bound
 #                                (manila.py:24,66,80-82)
+API_OFFSET = "api_offset"  # templated API url: offset += step while
+#                            offset < the response's total count
+#                            (raftaar.py:29,66-70)
 
 PAGE_SIZE = 20  # offset step (shangbao.py:50-51 uses start=N*20)
 API_PAGE_SIZE = 10  # manila.py:80: (page-1)*10 vs totItems
@@ -85,6 +88,12 @@ def parse_site_date(raw: str | None, style: str | None,
     if raw is None:
         return as_of.replace(microsecond=0)
     try:
+        if style == "epoch_ms":
+            # raftaar.py:56: epoch-millisecond JSON timestamps rendered
+            # through time.gmtime(ms / 1000) — UTC, sub-second floored.
+            return datetime(1970, 1, 1) + timedelta(
+                seconds=int(raw) // 1000
+            )
         if style == "dmy_hms":
             m = re.search(r"(\d+) (\S+) (\d+), (\d+):(\d+):(\d+)", raw)
             if m and m.group(2) in MONTHS:
@@ -220,6 +229,43 @@ def _effective_rules(rules: dict, url: str) -> dict:
     return rules
 
 
+def _json_path(obj, path):
+    """Walk a key/index path into parsed JSON ('items', ('item',
+    'headline', 0), ...)."""
+    for p in path if isinstance(path, (list, tuple)) else (path,):
+        obj = obj[p]
+    return obj
+
+
+def _map_api_json(js: dict, amap: dict) -> dict:
+    """Translate a site's REAL API JSON schema into the generic payload
+    shape via per-site field paths (the raftaar.py:53-70 read pattern as
+    data): ``entries`` locates the item list; ``href``/``title``/``time``
+    are paths within each item (href optionally prefixed — raftaar builds
+    article URLs as base + story.slug, py:60); ``total`` exposes the
+    response's total item count for offset-bounded pagination."""
+    entries = []
+    for it in _json_path(js, amap["entries"]):
+        href = str(_json_path(it, amap["href"]))
+        if amap.get("href_prefix"):
+            href = amap["href_prefix"] + href
+        entries.append(
+            {
+                "href": href,
+                "title": (_json_path(it, amap["title"])
+                          if "title" in amap else None),
+                "pub_time_raw": (_json_path(it, amap["time"])
+                                 if "time" in amap else None),
+                "img": None,
+                "abstract": None,
+            }
+        )
+    out: dict = {"entries": entries}
+    if "total" in amap:
+        out["total_count"] = int(_json_path(js, amap["total"]))
+    return out
+
+
 def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
     """Raw-HTML extraction driven by per-site rules-as-data — the
     reference's BeautifulSoup selector surface (demo/已部署/zeenews.py:47,
@@ -342,18 +388,40 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                 fixed = spec.get("label")
                 nodes = htmlsel.select(dom(), spec["sel"])
                 for n in nodes[spec.get("skip", 0):]:
-                    href, text = n.attr(spec.get("attr", "href")), n.text()
+                    # ``link_sel``: the matched node is a CONTAINER (e.g. a
+                    # nav <li>) and its link is a relative sub-select —
+                    # raftaar.py:34-35's li → select_one('a').
+                    if spec.get("link_sel"):
+                        ln = htmlsel.select(n, spec["link_sel"])
+                        link = ln[0] if ln else None
+                        if link is None:
+                            continue
+                    else:
+                        link = n
+                    href = link.attr(spec.get("attr", "href"))
+                    text = link.text()
                     if fixed is None:
-                        pairs.append((href, text, None))
+                        pairs.append((href, text, None, None))
                     else:
                         label2 = None if spec.get("label2") is False else text
-                        pairs.append((href, fixed, label2))
+                        pairs.append((href, fixed, label2, None))
+                    # ``children_sel``: a NESTED second level inside the
+                    # same menu node — each relative match is a sub-link
+                    # whose text becomes category2 and whose parent link
+                    # rides along for slug composition (raftaar.py:40-48's
+                    # li > ul > li walk under the same top item).
+                    for c in (
+                        htmlsel.select(n, spec["children_sel"])
+                        if spec.get("children_sel") else ()
+                    ):
+                        pairs.append((c.attr(spec.get("attr", "href")),
+                                      text, c.text(), href))
             else:
                 pairs.extend(
-                    (m.group(1), m.group(2), None)
+                    (m.group(1), m.group(2), None, None)
                     for m in re.finditer(spec, html)
                 )
-        for href, label, label2 in pairs:
+        for href, label, label2, parent_href in pairs:
             if href is None:
                 continue
             slug = href.rstrip("/").rsplit("/", 1)[-1]
@@ -365,6 +433,8 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
             }
             if label2 is not None:
                 cat["label2"] = label2
+            if parent_href is not None:
+                cat["parent_href"] = parent_href
             cats.append(cat)
         return {"categories": cats}
 
@@ -596,6 +666,13 @@ def parse_page(
         )
     else:
         payload = json.loads(payload_json)
+        # ``api_map``: the JSON analogue of the HTML extraction rules —
+        # per-site field paths into the API's REAL schema (raftaar.py:
+        # 53-60's js['items'][i]['story']['slug'] walk) mapped onto the
+        # generic payload shape all downstream semantics consume.
+        amap = site.get("api_map")
+        if amap and kind == "api" and isinstance(payload, dict):
+            payload = _map_api_json(payload, amap)
     if isinstance(payload, dict) and payload.get("skipped"):
         # skip_if soft-404 (latestnews1.py:75-77): fetched and logged, but
         # yields neither a document nor children.
@@ -631,8 +708,34 @@ def parse_page(
         # Two-level sites (aajtak.py:59-70, manila.py:30-54, yehey.py:
         # 29-47) route menu children to second-level menu pages instead.
         child_kind = site.get("menu_child_kind", "list")
+        menu_api = site.get("menu_api_template")
         for cat in payload.get("categories", []):
             if cat.get("excluded"):  # P4 category exclusion (zeenews.py:51)
+                continue
+            if menu_api:
+                # The menu links are never fetched — each category slug
+                # instantiates a templated API collection URL directly
+                # (raftaar.py:29,36-38). A NESTED sub-link composes its
+                # slug as '<sub>-<top>' off its parent link
+                # (raftaar.py:43-47), skipping links outside the site
+                # (py:49-50's Invalid URL log).
+                href = cat["href"]
+                if cat.get("parent_href") is not None:
+                    lre = site.get("menu_link_re")
+                    if lre and not re.match(lre, href):
+                        continue
+                    slug = (href.split("/")[-1] + "-"
+                            + cat["parent_href"].split("/")[-1])
+                else:
+                    slug = href.split("/")[-1]
+                off = int(site.get("menu_api_start_offset", 0))
+                emit(
+                    menu_api.format(collection=slug, offset=off),
+                    "api",
+                    {"category1": cat["label"],
+                     "category2": cat.get("label2"),
+                     "collection": slug, "offset": str(off)},
+                )
                 continue
             emit(
                 cat["href"],
@@ -865,6 +968,22 @@ def parse_page(
                             category=meta.get("category", ""),
                             totItems=tot,
                             currentItems=page * API_PAGE_SIZE,
+                        ),
+                        "api", nmeta,
+                    )
+            elif rule == API_OFFSET:
+                # raftaar.py:66-70: offset += 20, next page only while the
+                # bumped offset is still under the RESPONSE's total-count.
+                off = (int(meta.get("offset", "0"))
+                       + int(site.get("api_offset_step", 20)))
+                tot = int(payload.get("total_count", 0))
+                if off < tot:
+                    nmeta = dict(meta)
+                    nmeta["offset"] = str(off)
+                    emit(
+                        site["menu_api_template"].format(
+                            collection=meta.get("collection", ""),
+                            offset=off,
                         ),
                         "api", nmeta,
                     )

@@ -1,7 +1,7 @@
 """Real spider rule-sets as registry content, with fixtures shaped on the
 actual sites' markup (VERDICT r2 'Next round #4').
 
-Fifteen deployed spiders from the reference corpus are ported as
+Sixteen deployed spiders from the reference corpus are ported as
 rules-as-data registry entries — no per-site code, only data consumed by
 the one generic extractor (plans/parser.extract_payload) and the shared
 dataflow (plans/parser.parse_page):
@@ -23,6 +23,7 @@ dataflow (plans/parser.parse_page):
 | coconuts         | 1247 | two-level menus sharing ONE exclusion list at both levels, /page/1/ dont_filter bootstrap on EVERY category landing, page-level-only time gate (old entries still stored), body-paragraph IFRAMES as media with the figure image last | 已部署/coconuts.py:27-61,64-87,89-112 |
 | parstoday        | 1155 | one-level menu mixing label AND slug ('/' link) exclusions, ?page=N pagination off the bare category URL, unconditional entry yield + last-entry gate, single lead image, introtext-vs-first-paragraph abstract fallback | 已部署/parstoday.py:29-49,51-69 |
 | bworldonline     |  191 | href-PREFIX-filtered menu selector, category1/2 from the list URL's path segments, form-POST API chain (admin-ajax) bootstrapped with a page-scraped category_id, JSON-wrapping-HTML under a site-named key, LAST-entry dont_filter probe that re-POSTs the form body with its page field bumped | 已部署/bworldonline.py:21-32,38-56,59-76,78-94 |
+| raftaar          | 1052 | NESTED one-page two-level menu (children_sel) instantiating templated API collection URLs with composed '<sub>-<top>' slugs and off-site links skipped, offset pagination starting at 20 bounded by the response's total-count, REAL JSON schema walked by api_map field paths, epoch-millisecond dates, API-fed titles, image-less articles with abstract == body | 已部署/raftaar.py:29,32-50,52-70,72-83 |
 
 The mock pages here are deterministic miniatures of each site's real
 markup (class names, attribute shapes, and nesting mirror the spiders'
@@ -40,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from crawler_spark.functions.dates import AAJTAK_HINDI_MONTHS, HINDI_MONTHS
 from crawler_spark.plans.parser import (
+    API_OFFSET,
     API_TEMPLATE,
     FORM_PAGE,
     NEXT_LINK,
@@ -2040,6 +2042,115 @@ def _build_bworldonline(g: _G) -> None:
 
 
 # ---------------------------------------------------------------------------
+# raftaar — nested one-page two-level menu instantiating templated API
+# collection URLs (composed '<sub>-<top>' slugs, off-site links skipped),
+# offset pagination starting at 20 bounded by the response's total-count,
+# epoch-millisecond timestamps, API-fed titles, image-less articles
+# (已部署/raftaar.py)
+# ---------------------------------------------------------------------------
+
+RAFTAAR_BASE = "https://news.raftaar.in"
+RAFTAAR_API = (RAFTAAR_BASE + "/api/v1/collections/{collection}"
+               "?item-type=story&offset={offset}&limit=20")  # raftaar.py:29
+
+RAFTAAR_RULES = {
+    "rule": API_OFFSET,
+    "format": "html",
+    "api_format": "json",  # raftaar.py:53: collections endpoint is JSON
+    "date_style": "epoch_ms",  # raftaar.py:56: last-published-at in ms
+    "menu_api_template": RAFTAAR_API,
+    "menu_api_start_offset": 20,  # raftaar.py:37: offset STARTS at 20
+    "api_offset_step": 20,  # raftaar.py:67
+    "menu_link_re": r"https://news\.raftaar\.in",  # raftaar.py:43
+    # The API's real schema walked by field paths (raftaar.py:55-60)
+    "api_map": {
+        "entries": "items",
+        "href": ("story", "slug"),
+        "href_prefix": RAFTAAR_BASE + "/",  # raftaar.py:60
+        "title": ("item", "headline", 0),  # raftaar.py:58
+        "time": ("story", "last-published-at"),
+        "total": "total-count",  # raftaar.py:68
+    },
+    "extract": {
+        # parse: top nav li with nested sub-menus (raftaar.py:34-47)
+        "category": {
+            "sel": "div.header-one-m__default-menu__1eHwj>ul>li",
+            "link_sel": "a",
+            "children_sel": "ul a",
+        },
+        # parse_item: body = abstract = the single wrapper paragraph
+        # (raftaar.py:77-78); no images (py:79)
+        "block": {"para_sel": ".element-wrapper p"},
+    },
+}
+
+
+def _epoch_ms(dt: datetime) -> int:
+    return int((dt - datetime(1970, 1, 1)).total_seconds() * 1000)
+
+
+def _build_raftaar(g: _G) -> None:
+    host = "news.raftaar.in"
+    wid = 1052
+    g.registry[wid] = dict(RAFTAAR_RULES)
+    g.seeds.append({"url": RAFTAAR_BASE + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(
+        RAFTAAR_BASE + "/", "menu",
+        '<html><div class="header-one-m__default-menu__1eHwj"><ul>'
+        f'<li><a href="{RAFTAAR_BASE}/india">India</a><ul>'
+        f'<li><a href="{RAFTAAR_BASE}/politics">Politics</a></li>'
+        '<li><a href="https://hindi.example.com/feeds">Partner</a></li>'
+        "</ul></li>"
+        f'<li><a href="{RAFTAAR_BASE}/world">World</a><ul>'
+        f'<li><a href="{RAFTAAR_BASE}/cricket">Cricket</a></li>'
+        "</ul></li>"
+        "</ul></div></html>",
+        host,
+    )
+
+    def rf_api_page(collection: str, offset: int, total: int,
+                    dts: list[datetime]) -> None:
+        items = []
+        for i, dt in enumerate(dts):
+            slug = f"{collection}/art-{offset}-{i}"
+            items.append({
+                "item": {"headline": [f"Raftaar {collection} {offset}-{i}"]},
+                "story": {"slug": slug,
+                          "last-published-at": _epoch_ms(dt)},
+            })
+            g.page(
+                f"{RAFTAAR_BASE}/{slug}", "article",
+                '<html><div class="element-wrapper">'
+                f"<p>raftaar body {collection} {offset}-{i}</p>"
+                "</div></html>",
+                host,
+            )
+        g.page(
+            RAFTAAR_API.format(collection=collection, offset=offset),
+            "api",
+            json.dumps({"items": items, "total-count": total}),
+            host,
+        )
+
+    h = timedelta(hours=1)
+    # india: 3 offset pages; the third's first item is stale → '时间截止'
+    rf_api_page("india", 20, 65,
+                [BASE_DT - 1 * h, BASE_DT - 2 * h, BASE_DT - 3 * h])
+    rf_api_page("india", 40, 65, [BASE_DT - 4 * h, BASE_DT - 5 * h])
+    rf_api_page("india", 60, 65, [BASE_DT - timedelta(days=5)])
+    # politics-india (composed sub slug): one page, total bound stops at 40
+    rf_api_page("politics-india", 20, 30,
+                [BASE_DT - 7 * h, BASE_DT - 8 * h])
+    # world: second item is 40 h old → cutoff trips mid-page; total would
+    # have allowed more pages (the time gate, not the bound, stops it)
+    rf_api_page("world", 20, 100,
+                [BASE_DT - 6 * h, BASE_DT - timedelta(hours=40)])
+    # cricket-world: single fresh item; bumped offset 40 ≥ 25 stops it
+    rf_api_page("cricket-world", 20, 25, [BASE_DT - 9 * h])
+
+
+# ---------------------------------------------------------------------------
 # Combined graph
 # ---------------------------------------------------------------------------
 
@@ -2059,6 +2170,7 @@ SITE_BUILDERS = {
     "coconuts": _build_coconuts,
     "parstoday": _build_parstoday,
     "bworldonline": _build_bworldonline,
+    "raftaar": _build_raftaar,
 }
 
 

@@ -42,7 +42,7 @@ def test_all_sites_produce_documents(sim):
     by_site = _docs_by_site(sim)
     assert set(by_site) == {
         1033, 467, 1194, 190, 1225, 473, 184, 490, 532, 448, 936, 1248,
-        1247, 1155, 191,
+        1247, 1155, 191, 1052,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -490,6 +490,52 @@ def test_bworldonline_url_categories_form_api_and_probe(sim):
     d = by_url[f"{base}/banking-report-g-0/"]
     assert [s["kind"] for s in d["spans"]] == ["image", "text", "text"]
     assert d["abstract"] == "banking para g-0-0"
+
+
+def test_raftaar_menu_api_offset_and_epoch_dates(sim):
+    """raftaar.py: the homepage nav emits templated API collection URLs
+    directly — top li slugs as-is, nested sub-links composed as
+    '<sub>-<top>' (py:36-47), off-site sub-links skipped (py:49-50); the
+    collections endpoint paginates offset 20→40→… while the bumped
+    offset stays under the response's total-count (py:66-70), and the
+    time cutoff breaks the item loop mid-page (py:62-65); timestamps are
+    epoch milliseconds (py:56); titles ride from the API headline
+    (py:58); articles have no images and abstract == body (py:77-79)."""
+    docs = _docs_by_site(sim)[1052]
+    urls = [u for _, u in sim["crawl_log"] if "raftaar" in u]
+    api = ("https://news.raftaar.in/api/v1/collections/"
+           "{c}?item-type=story&offset={o}&limit=20")
+    # menu → four collections: two top slugs + two composed sub slugs;
+    # the off-site partner link never becomes a collection
+    for c in ("india", "politics-india", "world", "cricket-world"):
+        assert api.format(c=c, o=20) in urls
+    assert not any("feeds" in u or "hindi.example.com" in u for u in urls)
+    # offset chain: india reaches 40 and 60 (65 items), then the stale
+    # item breaks the loop (no offset 80 even though 80 < 65 is false
+    # anyway — the STALE page stops before bumping)
+    assert api.format(c="india", o=40) in urls
+    assert api.format(c="india", o=60) in urls
+    # total-count bound: politics-india (30) and cricket-world (25) stop
+    # after one page; world (100) is stopped by the TIME gate instead
+    for c in ("politics-india", "cricket-world", "world"):
+        assert api.format(c=c, o=40) not in urls
+    # the stale items' articles are never fetched
+    assert not any("india/art-60-0" in u for u in urls)
+    assert not any("world/art-20-1" in u for u in urls if "/world/" in u)
+    assert len(docs) == 9
+    by_url = {d["request_url"]: d for d in docs}
+    d = by_url["https://news.raftaar.in/politics-india/art-20-0"]
+    # composed-slug chain keeps the TOP label as category1 and the
+    # sub-link text as category2
+    assert (d["category1"], d["category2"]) == ("India", "Politics")
+    assert d["title"] == "Raftaar politics-india 20-0"
+    # epoch-ms → gmtime string (BASE_DT - 7 h)
+    assert d["pub_time"] == "2021-05-30 05:00:00"
+    # image-less interleaved spans; abstract == the single body paragraph
+    assert [s["kind"] for s in d["spans"]] == ["text"]
+    assert d["abstract"] == "raftaar body politics-india 20-0"
+    top = by_url["https://news.raftaar.in/india/art-20-0"]
+    assert (top["category1"], top["category2"]) == ("India", None)
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,

@@ -29,12 +29,13 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
     "menu_parse": (
         r"def parse\(",
         "menu kind + `category` rule (regex or selector; groups/skip)",
-        "all 15 fixture sites",
+        "all 16 fixture sites",
     ),
     "two_level_menu": (
         r"parse_category2|parse_second|menu2|category2'?\]\s*=\s*(?!None|''|\"\")",
-        "menu2 kind + `category2` rule / menu groups with fixed labels",
-        "aajtak, manila, yehey, maharashtratimes, boholchronicle,"
+        "menu2 kind + `category2` rule / menu groups with fixed labels / nested children_sel (one-page two-level menus)",
+        "aajtak, manila, yehey, maharashtratimes, boholchronicle, raftaar"
+        " (nested one-page menu, composed API slugs),"
         " coconuts (shared exclusions at both levels)",
     ),
     "next_link_pagination": (
@@ -55,13 +56,13 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
     ),
     "offset_pagination": (
         r"start=\'?\s*\+|offset=|start=%d|start=\{",
-        "OFFSET_PARAM rule",
-        "shangbao",
+        "OFFSET_PARAM rule / API_OFFSET (templated API, total-count bound)",
+        "shangbao, raftaar (offset starts at 20, bounded by the response's total-count)",
     ),
     "api_json": (
         r"json\.loads|response\.json\(\)",
-        "api kind + api_format/json_html envelopes + API_TEMPLATE",
-        "manila, yehey, bworldonline (HTML under a site-named JSON key)",
+        "api kind + api_format/json_html envelopes + API_TEMPLATE + api_map field-path schema mapping",
+        "manila, yehey, bworldonline (HTML under a site-named JSON key), raftaar (real nested schema walked by field paths)",
     ),
     "form_post": (
         r"FormRequest|method=['\"]POST",
