@@ -553,6 +553,21 @@ def q_bm25_index(spark, sf_dir):
     return bm25_top_terms(docs, top_n=5).orderBy("doc_id", "rank")
 
 
+BM25_QUERY_TERMS = ("window", "join", "hash")
+
+
+def q_bm25_search(spark, sf_dir):
+    """Retrieval over the BM25 index: top-20 documents for a fixed
+    bag-of-words query by summed per-term weight — conditional-agg sum in
+    FIXED term order (floating + is not associative), global top-k via
+    orderBy+limit (TakeOrderedAndProject, no global sort)."""
+    from crawler_spark.operators.index import bm25_search
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search(docs, BM25_QUERY_TERMS, top_n=20)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup pairs (3-word shingles, ≥ 0.3) with the
     document-frequency cap on shingle fanout (≤ 50 docs per shingle)."""
@@ -1131,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "substring_dedup": q_substring_dedup,
         "bm25_index": q_bm25_index,
+        "bm25_search": q_bm25_search,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
@@ -1685,6 +1701,50 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
+        """,
+        # Retrieval over the same scored index: per-term weights summed in
+        # the FIXED query-term order via coalesce(+) (floating addition is
+        # not associative; a free-order SUM could flip the last ulp).
+        "bm25_search": """
+            WITH base AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                     unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM base GROUP BY 1, 2, 3),
+            wdf AS (
+              SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+            dls AS (SELECT DISTINCT doc_id, dl FROM tf),
+            stats AS (
+              SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM dls),
+            scored AS (
+              SELECT doc_id, term,
+                     round(ln(((n_docs - df + 0.5) / (df + 0.5)) + 1.0)
+                           * (tf * (1.2 + 1.0))
+                           / (tf + 1.2 * ((1.0 - 0.75)
+                                          + 0.75 * (dl / avgdl))),
+                           4) AS score
+              FROM wdf, stats
+              WHERE term IN ('window', 'join', 'hash')),
+            agg AS (
+              SELECT doc_id,
+                     round(coalesce(max(CASE WHEN term = 'window'
+                                        THEN score END), 0.0)
+                           + coalesce(max(CASE WHEN term = 'join'
+                                          THEN score END), 0.0)
+                           + coalesce(max(CASE WHEN term = 'hash'
+                                          THEN score END), 0.0), 4) AS score
+              FROM scored GROUP BY doc_id),
+            top AS (
+              SELECT doc_id, score FROM agg
+              ORDER BY score DESC, doc_id LIMIT 20)
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS INT) AS rank
+            FROM top ORDER BY rank
         """,
         "ngram_jaccard": """
             WITH sh0 AS (

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "exact_dedup",
     "substring_dedup",
     "bm25_index",
+    "bm25_search",
     "ngram_jaccard",
     "dedup_clusters",
     "minhash_lsh",

@@ -33,17 +33,13 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def bm25_top_terms(
+def bm25_scored(
     docs: DataFrame,
-    top_n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Per-document top-``top_n`` terms by BM25 weight.
-
-    Returns (doc_id, term, tf, df, score, rank); rank is 1-based by
-    rounded score descending, term ascending (deterministic ties).
-    """
+    """The full term-weight relation (doc_id, term, tf, df, score) —
+    the index itself; bm25_top_terms and bm25_search are views over it."""
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("ts"),
@@ -86,6 +82,21 @@ def bm25_top_terms(
             4,
         ),
     )
+    return scored.select("doc_id", "term", "tf", "df", "score")
+
+
+def bm25_top_terms(
+    docs: DataFrame,
+    top_n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``top_n`` terms by BM25 weight.
+
+    Returns (doc_id, term, tf, df, score, rank); rank is 1-based by
+    rounded score descending, term ascending (deterministic ties).
+    """
+    scored = bm25_scored(docs, id_col=id_col, text_col=text_col)
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term").asc()
     )
@@ -94,3 +105,47 @@ def bm25_top_terms(
         .filter(F.col("rank") <= top_n)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    top_n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_n`` documents for a bag-of-words query by summed BM25
+    weight — the retrieval step over the index bm25_scored builds.
+
+    Scale shape: the term filter is pushed below the index's shuffles
+    (Catalyst moves it into the tf aggregation's input), the per-doc
+    conditional aggregation is one partial-agg groupBy, and the global
+    top-k is TakeOrderedAndProject (per-partition heaps + driver merge of
+    k rows, never a global sort). The query side is literal here; a query
+    TABLE would broadcast-join instead.
+
+    Cross-engine exactness: per-term weights are rounded upstream; the
+    query total sums them via coalesce(+) in the FIXED order of ``terms``
+    (floating addition is not associative — a free-order SUM() could
+    differ between engines in the last ulp), then rounds once more.
+    Ranks tie-break by doc_id ascending.
+    """
+    scored = bm25_scored(docs, id_col=id_col, text_col=text_col).filter(
+        F.col("term").isin(*terms)
+    )
+    per_term = scored.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("score"))).alias(f"_w{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    total = F.coalesce(F.col("_w0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        total = total + F.coalesce(F.col(f"_w{i}"), F.lit(0.0))
+    ranked = (
+        per_term.select("doc_id", F.round(total, 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return ranked.withColumn("rank", F.row_number().over(w))

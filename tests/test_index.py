@@ -77,3 +77,41 @@ def test_bm25_rare_term_outranks_stopword(spark):
         if r.doc_id == 1
     }
     assert rows["rare"] < rows["common"]
+
+
+def test_bm25_search_matches_python_reference(spark):
+    from crawler_spark.operators.index import bm25_search
+
+    docs = [
+        (1, "spark window join join join agg"),
+        (2, "spark filter scan scan value"),
+        (3, "window window window rare unique token"),
+        (4, "value value agg filter spark spark spark join"),
+        (5, "scan scan scan scan scan scan scan scan"),
+    ]
+    terms = ("window", "join")
+    full = _py_bm25(docs, top_n=10**6)
+    expected = []
+    for d, rows in full.items():
+        w = {t: s for t, _tf, _df, s, _r in rows if t in terms}
+        if not w:
+            continue
+        total = 0.0
+        for t in terms:  # fixed-order addition, as the operator does
+            total = total + w.get(t, 0.0)
+        total = float(
+            Decimal(repr(total)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+        expected.append((d, total))
+    expected.sort(key=lambda r: (-r[1], r[0]))
+    expected = [(d, s, i + 1) for i, (d, s) in enumerate(expected[:3])]
+    got = [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_search(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            terms, top_n=3,
+        ).collect()
+    ]
+    assert sorted(got, key=lambda r: r[2]) == expected
