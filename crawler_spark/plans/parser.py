@@ -1051,6 +1051,22 @@ def parse_page(
         if site.get("cat1_from_url_re"):
             m = re.search(site["cat1_from_url_re"], response_url)
             cat1_url = m.group(1) if m else None
+        # Both categories split out of ONE URL path segment (malaya.py:
+        # 66-72: url.split('/')[-3].split('_') — a 3-token segment yields
+        # its 2nd/3rd tokens, a 2-token segment its 1st/2nd).
+        cat1_seg = cat2_seg = None
+        seg = site.get("cat_from_url_segment")
+        if seg:
+            parts = response_url.split("/")[int(seg.get("index", -3))]\
+                .split(seg.get("sep", "_"))
+            if len(parts) == 3:
+                cat1_seg, cat2_seg = parts[1], parts[2]
+            else:
+                # reference indexes parts[1] unguarded; a 1-token segment
+                # would crash the callback there — guard to None here so a
+                # malformed URL degrades instead of killing the batch
+                cat1_seg = parts[0]
+                cat2_seg = parts[1] if len(parts) > 1 else None
         doc = {
             "title": title,
             # Precedence: list-page abstract in meta (philboxing.py:110) >
@@ -1060,9 +1076,10 @@ def parse_page(
             or (paras[0] if paras else None),
             # Breadcrumb categories off the article page override the meta
             # lineage (maharashtratimes.py:79-81, shangbao.py:67-71).
-            "category1": cat1_url or payload.get("cat1")
+            "category1": cat1_seg or cat1_url or payload.get("cat1")
             or meta.get("category1"),
-            "category2": payload.get("cat2") or meta.get("category2"),
+            "category2": cat2_seg or payload.get("cat2")
+            or meta.get("category2"),
             "pub_time": parse_site_date(pub_raw, date_style, as_of)
             .strftime("%Y-%m-%d %H:%M:%S"),
             "spans": spans,

@@ -1,7 +1,7 @@
 """Real spider rule-sets as registry content, with fixtures shaped on the
 actual sites' markup (VERDICT r2 'Next round #4').
 
-Sixteen deployed spiders from the reference corpus are ported as
+Seventeen deployed spiders from the reference corpus are ported as
 rules-as-data registry entries — no per-site code, only data consumed by
 the one generic extractor (plans/parser.extract_payload) and the shared
 dataflow (plans/parser.parse_page):
@@ -23,6 +23,7 @@ dataflow (plans/parser.parse_page):
 | coconuts         | 1247 | two-level menus sharing ONE exclusion list at both levels, /page/1/ dont_filter bootstrap on EVERY category landing, page-level-only time gate (old entries still stored), body-paragraph IFRAMES as media with the figure image last | 已部署/coconuts.py:27-61,64-87,89-112 |
 | parstoday        | 1155 | one-level menu mixing label AND slug ('/' link) exclusions, ?page=N pagination off the bare category URL, unconditional entry yield + last-entry gate, single lead image, introtext-vs-first-paragraph abstract fallback | 已部署/parstoday.py:29-49,51-69 |
 | bworldonline     |  191 | href-PREFIX-filtered menu selector, category1/2 from the list URL's path segments, form-POST API chain (admin-ajax) bootstrapped with a page-scraped category_id, JSON-wrapping-HTML under a site-named key, LAST-entry dont_filter probe that re-POSTs the form body with its page field bumped | 已部署/bworldonline.py:21-32,38-56,59-76,78-94 |
+| malaya           |  193 | DUPEFILTER-terminated pagination (the WP page-nav's last anchor taken unconditionally — self-points on the final page, the URL-seen check ends the chain), category1+2 split from one URL path segment (token-count-dependent positions), data-src lazy-load images, menu Home skip-slice | 已部署/malaya.py:29,50-60,66-83 |
 | raftaar          | 1052 | NESTED one-page two-level menu (children_sel) instantiating templated API collection URLs with composed '<sub>-<top>' slugs and off-site links skipped, offset pagination starting at 20 bounded by the response's total-count, REAL JSON schema walked by api_map field paths, epoch-millisecond dates, API-fed titles, image-less articles with abstract == body | 已部署/raftaar.py:29,32-50,52-70,72-83 |
 
 The mock pages here are deterministic miniatures of each site's real
@@ -2151,6 +2152,125 @@ def _build_raftaar(g: _G) -> None:
 
 
 # ---------------------------------------------------------------------------
+# malaya — DUPEFILTER-terminated pagination (the page-nav's last link
+# self-points on the final page and the URL-seen check, not a has_more
+# marker, ends the chain), both categories split out of one URL path
+# segment, data-src lazy-load images, menu skip-slice (已部署/malaya.py)
+# ---------------------------------------------------------------------------
+
+MALAYA_BASE = "https://malaya.com.ph"
+
+MALAYA_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "title_priority": "page",  # malaya.py:74: title always off the page
+    "article_pub_priority": "page",  # malaya.py:76
+    # malaya.py:66-72: url.split('/')[-3].split('_') → 3 tokens give
+    # (category1, category2) = (parts[1], parts[2]), 2 tokens (0, 1)
+    "cat_from_url_segment": {"index": -3, "sep": "_"},
+    "extract": {
+        # parse: '#menu-main_menu-1 a' sliced [1:] (malaya.py:29 — Home
+        # is never crawled)
+        "category": {"sel": "#menu-main_menu-1 a", "skip": 1},
+        # parse_essay: '.td-block-span6' entries, relative link + fuzzy
+        # '.td-post-date' text (malaya.py:50-52)
+        "entry": {
+            "sel": ".td-block-span6",
+            "fields": {
+                "href": {"sel": "a", "attr": "href"},
+                "time": {"sel": ".td-post-date"},
+            },
+        },
+        # malaya.py:60: soup.select('.page-nav.td-pb-padding-side a')[-1]
+        # — taken UNCONDITIONALLY; on the last page it self-points and the
+        # dupefilter (not page data) stops the chain
+        "next": {"sel": ".page-nav.td-pb-padding-side a",
+                 "attr": "href", "index": -1},
+        # parse_item (malaya.py:74-83)
+        "title": {"sel": "h1.entry-title"},
+        "pub": {"sel": "span.td-post-date > time"},
+        "block": {"para_sel": "div.td-post-content > p",
+                  "img_sel": "div.td-post-content img",
+                  "img_attr": "data-src"},
+    },
+}
+
+
+def _malaya_date(dt: datetime) -> str:
+    return f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+
+
+def _build_malaya(g: _G) -> None:
+    host = "malaya.com.ph"
+    wid = 193
+    g.registry[wid] = dict(MALAYA_RULES)
+    g.seeds.append({"url": MALAYA_BASE + "/", "website_id": wid,
+                    "language_id": 1866})
+    g.page(
+        MALAYA_BASE + "/", "menu",
+        '<html><ul id="menu-main_menu-1">'
+        f'<li><a href="{MALAYA_BASE}/">Home</a></li>'
+        f'<li><a href="{MALAYA_BASE}/news_business/">Business</a></li>'
+        f'<li><a href="{MALAYA_BASE}/malaya_special_features/">Special'
+        "</a></li>"
+        "</ul></html>",
+        host,
+    )
+
+    def ml_article(seg: str, tag: str, dt: datetime) -> str:
+        aurl = f"{MALAYA_BASE}/{seg}/{tag}/"
+        g.page(
+            aurl, "article",
+            f'<html><h1 class="entry-title">Malaya {seg} {tag}</h1>'
+            '<span class="td-post-date">'
+            f"<time>{_malaya_date(dt)}</time></span>"
+            '<div class="td-post-content">'
+            f"<p>malaya lead {tag}</p>"
+            f'<img data-src="{MALAYA_BASE}/i/{tag}.jpg">'
+            f"<p>malaya more {tag}</p>"
+            "</div></html>",
+            host,
+        )
+        return aurl
+
+    def ml_list(seg: str, page: int, dts: list[datetime],
+                last_page: int) -> None:
+        url = (f"{MALAYA_BASE}/{seg}/" if page == 1
+               else f"{MALAYA_BASE}/{seg}/page/{page}/")
+        rows = []
+        for i, dt in enumerate(dts):
+            aurl = ml_article(seg, f"art-{page}-{i}", dt)
+            rows.append(
+                f'<div class="td-block-span6"><a href="{aurl}"></a>'
+                f'<div class="td-post-date">{_malaya_date(dt)}</div></div>'
+            )
+        # WordPress page-nav: the LAST anchor is the next page while one
+        # exists; on the final page it self-points (dupefilter stops it)
+        nxt = (f"{MALAYA_BASE}/{seg}/page/{page + 1}/" if page < last_page
+               else url)
+        g.page(
+            url, "list",
+            "<html>" + "".join(rows)
+            + '<div class="page-nav td-pb-padding-side">'
+            f'<a href="{MALAYA_BASE}/{seg}/">1</a>'
+            f'<a href="{nxt}">next</a></div></html>',
+            host,
+        )
+
+    h = timedelta(hours=1)
+    # business (2-token segment → news/business): two pages, all fresh —
+    # ONLY the self-pointing nav link ends the chain
+    ml_list("news_business", 1, [BASE_DT - 1 * h, BASE_DT - 2 * h], 2)
+    ml_list("news_business", 2, [BASE_DT - 3 * h], 2)
+    # special (3-token segment → special/features): the second page's
+    # second entry is stale — the TIME gate stops this chain instead
+    ml_list("malaya_special_features", 1,
+            [BASE_DT - 4 * h, BASE_DT - 5 * h], 3)
+    ml_list("malaya_special_features", 2,
+            [BASE_DT - 6 * h, BASE_DT - timedelta(hours=48)], 3)
+
+
+# ---------------------------------------------------------------------------
 # Combined graph
 # ---------------------------------------------------------------------------
 
@@ -2171,6 +2291,7 @@ SITE_BUILDERS = {
     "parstoday": _build_parstoday,
     "bworldonline": _build_bworldonline,
     "raftaar": _build_raftaar,
+    "malaya": _build_malaya,
 }
 
 

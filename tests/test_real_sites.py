@@ -42,7 +42,7 @@ def test_all_sites_produce_documents(sim):
     by_site = _docs_by_site(sim)
     assert set(by_site) == {
         1033, 467, 1194, 190, 1225, 473, 184, 490, 532, 448, 936, 1248,
-        1247, 1155, 191, 1052,
+        1247, 1155, 191, 1052, 193,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -536,6 +536,41 @@ def test_raftaar_menu_api_offset_and_epoch_dates(sim):
     assert d["abstract"] == "raftaar body politics-india 20-0"
     top = by_url["https://news.raftaar.in/india/art-20-0"]
     assert (top["category1"], top["category2"]) == ("India", None)
+
+
+def test_malaya_dupefilter_pagination_and_url_categories(sim):
+    """malaya.py: the page-nav's LAST anchor is taken unconditionally
+    (py:60) — on the final page it self-points and the DUPEFILTER, not
+    page data, ends the chain; categories come from one URL path segment
+    split on '_' (py:66-72: 3 tokens → parts[1]/[2], 2 tokens →
+    parts[0]/[1]); images are data-src lazy-load attrs inside the body
+    (py:79); the menu slice skips Home (py:29)."""
+    docs = _docs_by_site(sim)[193]
+    urls = [u for _, u in sim["crawl_log"] if "malaya.com.ph" in u]
+    base = "https://malaya.com.ph"
+    # Home (the menu's first anchor) is never crawled as a list
+    assert urls.count(f"{base}/") == 1  # the menu fetch itself only
+    # dupefilter termination: business page 2 is fetched once; its nav
+    # self-link is deduped, so no page/3 and no second page/2 fetch
+    assert urls.count(f"{base}/news_business/page/2/") == 1
+    assert not any("news_business/page/3" in u for u in urls)
+    # time gate stops the special chain: page/2 fetched, its stale second
+    # entry never, page/3 never
+    assert urls.count(f"{base}/malaya_special_features/page/2/") == 1
+    assert not any("art-2-1" in u for u in urls)
+    assert not any("malaya_special_features/page/3" in u for u in urls)
+    assert len(docs) == 6
+    cats = {(d["category1"], d["category2"]) for d in docs}
+    # 2-token segment → (news, business); 3-token → (special, features)
+    assert cats == {("news", "business"), ("special", "features")}
+    d = {x["request_url"]: x for x in docs}[
+        f"{base}/news_business/art-1-0/"]
+    assert d["title"] == "Malaya news_business art-1-0"
+    # data-src image interleaved between the two body paragraphs
+    assert [(s["kind"], s["media_ref"]) for s in d["spans"]] == [
+        ("text", None), ("image", f"{base}/i/art-1-0.jpg"), ("text", None),
+    ]
+    assert d["abstract"] == "malaya lead art-1-0"
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,

@@ -29,7 +29,7 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
     "menu_parse": (
         r"def parse\(",
         "menu kind + `category` rule (regex or selector; groups/skip)",
-        "all 16 fixture sites",
+        "all 17 fixture sites",
     ),
     "two_level_menu": (
         r"parse_category2|parse_second|menu2|category2'?\]\s*=\s*(?!None|''|\"\")",
@@ -41,7 +41,8 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
     "next_link_pagination": (
         r"next_page|next last|nav-links|page-numbers|next_url",
         "NEXT_LINK rule + `next` spec",
-        "zeenews, philboxing, interaksyon, boholchronicle, latestnews1",
+        "zeenews, philboxing, interaksyon, boholchronicle, latestnews1,"
+        " malaya (dupefilter-terminated: the self-pointing last nav anchor)",
     ),
     "page_path_pagination": (
         r"/page/'?\s*\+|'page/'\s*\+|\"page/\"\s*\+|page/%d|page/\{",
@@ -124,8 +125,10 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
     "category_from_url": (
         r"response\.url\.split\(.\/.\)\[",
         "cat1_from_url_re (post-redirect response.url) /"
-        " cat1_url_re+cat2_url_re (list URL path segments)",
-        "interaksyon, bworldonline (two- vs one-segment categories)",
+        " cat1_url_re+cat2_url_re (list URL path segments) /"
+        " cat_from_url_segment (one segment split on a separator)",
+        "interaksyon, bworldonline (two- vs one-segment categories),"
+        " malaya (category1+2 from one '_'-split segment)",
     ),
     "category_from_list_page": (
         r"category1.\]\s*=\s*soup\.select_one",
