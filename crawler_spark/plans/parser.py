@@ -58,6 +58,10 @@ API_TEMPLATE = "api_template"  # templated API url w/ page & totItems bound
 API_OFFSET = "api_offset"  # templated API url: offset += step while
 #                            offset < the response's total count
 #                            (raftaar.py:29,66-70)
+FORM_URL_PAGE = "form_url_page"  # POST where BOTH the URL query page and
+#                                  the form body advance, URL rebuilt from
+#                                  the originating list URL
+#                                  (piagov.py:63-72,75-110)
 
 PAGE_SIZE = 20  # offset step (shangbao.py:50-51 uses start=N*20)
 API_PAGE_SIZE = 10  # manila.py:80: (page-1)*10 vs totItems
@@ -243,9 +247,24 @@ def _map_api_json(js: dict, amap: dict) -> dict:
     data): ``entries`` locates the item list; ``href``/``title``/``time``
     are paths within each item (href optionally prefixed — raftaar builds
     article URLs as base + story.slug, py:60); ``total`` exposes the
-    response's total item count for offset-bounded pagination."""
+    response's total item count for offset-bounded pagination.
+
+    A missing ``entries`` key yields no entries (piagov.py:86's
+    'articles' in keys check); ``min_entries`` drops the whole page below
+    a count (piagov.py:88-89's len(article)==1 → pass — neither articles
+    nor pagination); ``page_time_last`` reads a PAGE-level gate date off
+    the LAST item (piagov.py:93-101), with ``y0_patch`` replacing a
+    literal '0000' year (py:96-100's 2020 patch — bug-faithful); a
+    missing gate key leaves the gate None, which stops pagination (the
+    reference's None comparison dies the same way)."""
+    try:
+        items = list(_json_path(js, amap["entries"]))
+    except (KeyError, IndexError, TypeError):
+        items = []
+    if len(items) < int(amap.get("min_entries", 0)):
+        items = []
     entries = []
-    for it in _json_path(js, amap["entries"]):
+    for it in items:
         href = str(_json_path(it, amap["href"]))
         if amap.get("href_prefix"):
             href = amap["href_prefix"] + href
@@ -263,6 +282,16 @@ def _map_api_json(js: dict, amap: dict) -> dict:
     out: dict = {"entries": entries}
     if "total" in amap:
         out["total_count"] = int(_json_path(js, amap["total"]))
+    if "page_time_last" in amap:
+        gate = None
+        if items:
+            try:
+                gate = _json_path(items[-1], amap["page_time_last"])
+            except (KeyError, IndexError, TypeError):
+                gate = None
+        if gate and amap.get("y0_patch") and str(gate).startswith("0000"):
+            gate = amap["y0_patch"] + str(gate)[4:]
+        out["page_time_raw"] = gate
     return out
 
 
@@ -387,6 +416,11 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                 # text (or the group's fixed label, link text as label2).
                 fixed = spec.get("label")
                 nodes = htmlsel.select(dom(), spec["sel"])
+                # ``slice``: positional [start, stop) selection — the
+                # reference's menu_url[2] single pick and cat1s[4:7] range
+                # (piagov.py:37,43-45); applied before ``skip``.
+                if spec.get("slice"):
+                    nodes = nodes[slice(*spec["slice"])]
                 for n in nodes[spec.get("skip", 0):]:
                     # ``link_sel``: the matched node is a CONTAINER (e.g. a
                     # nav <li>) and its link is a relative sub-select —
@@ -436,7 +470,11 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
             if parent_href is not None:
                 cat["parent_href"] = parent_href
             cats.append(cat)
-        return {"categories": cats}
+        out = {"categories": cats}
+        if rules.get("menu_dont_filter"):
+            # Category hops yielded with dont_filter=True (piagov.py:50,61)
+            out["dont_filter"] = True
+        return out
 
     if kind in ("list", "api"):
         entries = []
@@ -741,6 +779,7 @@ def parse_page(
                 cat["href"],
                 child_kind,
                 {"category1": cat["label"], "category2": cat.get("label2")},
+                dont_filter=bool(payload.get("dont_filter")),
                 child_method=cat.get("method", "GET"),
                 child_body=cat.get("body", ""),
             )
@@ -765,7 +804,8 @@ def parse_page(
                 continue
             m2 = dict(meta)
             m2["category2"] = cat["label"]
-            emit(cat["href"], child_kind, m2)
+            emit(cat["href"], child_kind, m2,
+                 dont_filter=bool(payload.get("dont_filter")))
         return None, requests
 
     if eff_kind == "probe":
@@ -926,6 +966,18 @@ def parse_page(
             fmeta = dict(meta)
             emit(site["form_api_url"], "api", fmeta,
                  child_method="POST", child_body=fbody)
+        # URL-derived form chain (piagov.py:63-72): the category LIST page
+        # unconditionally POSTs to ITS OWN URL + '.json?p=N' with the page
+        # counter in both the query string and the body — no scraped
+        # params, the endpoint is derived from the list URL itself.
+        if flag and kind == "list" and site.get("form_url_fmt"):
+            p0 = int(site.get("form_bootstrap_page", 1))
+            fmeta = dict(meta)
+            fmeta["list_url"] = url
+            fmeta["page"] = str(p0)
+            emit(site["form_url_fmt"].format(base=url, page=p0),
+                 "api", fmeta, child_method="POST",
+                 child_body=f"page={p0}")
         # Last-entry dont_filter probe (maharashtratimes.py:43-45): the
         # probe inherits list_url/page from meta and drives pagination.
         if probe_last and entries:
@@ -948,11 +1000,16 @@ def parse_page(
         # parseable page date → no next page (philboxing's `if time and`).
         if "page_time_raw" in payload:
             ptr = payload["page_time_raw"]
+            # The gate may speak a different date dialect than the site's
+            # articles: piagov's JSON gate is already-normalized Y-M-D
+            # fed straight to format_time3 (piagov.py:101) while its
+            # article bylines go through the fuzzy parser (py:135-137).
+            ptr_style = site.get("page_time_style", date_style)
             if ptr is None:
                 flag = False
             elif cutoff_epoch is not None:
                 flag = flag and (
-                    _epoch(None, as_of, ptr, date_style) >= cutoff_epoch
+                    _epoch(None, as_of, ptr, ptr_style) >= cutoff_epoch
                 )
         if flag and not probe_last:
             if rule == API_TEMPLATE:
@@ -971,6 +1028,19 @@ def parse_page(
                         ),
                         "api", nmeta,
                     )
+            elif rule == FORM_URL_PAGE:
+                # piagov.py:75-110: re-POST the list URL's .json endpoint
+                # with the page counter bumped in BOTH the query string
+                # and the form body; the page-level last-entry iso gate
+                # above has already decided ``flag``.
+                base = meta.get("list_url")
+                if base:
+                    page = int(meta.get("page", "1")) + 1
+                    nmeta = dict(meta)
+                    nmeta["page"] = str(page)
+                    emit(site["form_url_fmt"].format(base=base, page=page),
+                         "api", nmeta, child_method="POST",
+                         child_body=f"page={page}")
             elif rule == API_OFFSET:
                 # raftaar.py:66-70: offset += 20, next page only while the
                 # bumped offset is still under the RESPONSE's total-count.

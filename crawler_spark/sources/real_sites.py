@@ -1,7 +1,7 @@
 """Real spider rule-sets as registry content, with fixtures shaped on the
 actual sites' markup (VERDICT r2 'Next round #4').
 
-Seventeen deployed spiders from the reference corpus are ported as
+Eighteen deployed spiders from the reference corpus are ported as
 rules-as-data registry entries — no per-site code, only data consumed by
 the one generic extractor (plans/parser.extract_payload) and the shared
 dataflow (plans/parser.parse_page):
@@ -24,6 +24,7 @@ dataflow (plans/parser.parse_page):
 | parstoday        | 1155 | one-level menu mixing label AND slug ('/' link) exclusions, ?page=N pagination off the bare category URL, unconditional entry yield + last-entry gate, single lead image, introtext-vs-first-paragraph abstract fallback | 已部署/parstoday.py:29-49,51-69 |
 | bworldonline     |  191 | href-PREFIX-filtered menu selector, category1/2 from the list URL's path segments, form-POST API chain (admin-ajax) bootstrapped with a page-scraped category_id, JSON-wrapping-HTML under a site-named key, LAST-entry dont_filter probe that re-POSTs the form body with its page field bumped | 已部署/bworldonline.py:21-32,38-56,59-76,78-94 |
 | malaya           |  193 | DUPEFILTER-terminated pagination (the WP page-nav's last anchor taken unconditionally — self-points on the final page, the URL-seen check ends the chain), category1+2 split from one URL path segment (token-count-dependent positions), data-src lazy-load images, menu Home skip-slice | 已部署/malaya.py:29,50-60,66-83 |
+| piagov           | 1231 | three-hop POSITIONAL menus (navbar anchor [2], sections anchors [4:7]) with dont_filter category hops, URL-derived form-POST .json chain (page counter in query AND body), last-entry iso page gate with the year-0000 → 2020 patch (bug-faithful), single-article-page stop quirk, byline fallback-now dates | 已部署/piagov.py:29-61,63-110,113-141 |
 | raftaar          | 1052 | NESTED one-page two-level menu (children_sel) instantiating templated API collection URLs with composed '<sub>-<top>' slugs and off-site links skipped, offset pagination starting at 20 bounded by the response's total-count, REAL JSON schema walked by api_map field paths, epoch-millisecond dates, API-fed titles, image-less articles with abstract == body | 已部署/raftaar.py:29,32-50,52-70,72-83 |
 
 The mock pages here are deterministic miniatures of each site's real
@@ -45,6 +46,7 @@ from crawler_spark.plans.parser import (
     API_OFFSET,
     API_TEMPLATE,
     FORM_PAGE,
+    FORM_URL_PAGE,
     NEXT_LINK,
     OFFSET_PARAM,
     PAGE_PARAM,
@@ -2271,6 +2273,168 @@ def _build_malaya(g: _G) -> None:
 
 
 # ---------------------------------------------------------------------------
+# piagov — three-hop positional menus (navbar [2] single pick, cat1s[4:7]
+# slice) with dont_filter category hops, a URL-derived form-POST .json
+# chain (page counter in BOTH the query string and the body), last-entry
+# iso page gate with the year-0000 → 2020 patch, single-article page stop
+# quirk, byline fallback-now dates (已部署/piagov.py)
+# ---------------------------------------------------------------------------
+
+PIAGOV_BASE = "https://pia.gov.ph"
+
+PIAGOV_RULES = {
+    "rule": FORM_URL_PAGE,
+    "format": "html",
+    "api_format": "json",  # piagov.py:86: the .json?p=N endpoint
+    "menu_child_kind": "menu",  # navbar → the sections page, also a menu
+    "menu2_child_kind": "list",
+    # piagov.py:63-72: request_url = cat2_url + '.json?p=' + page, POSTed
+    # with formdata {'page': page} — both advance together
+    "form_url_fmt": "{base}.json?p={page}",
+    "form_bootstrap_page": 1,
+    # the JSON gate date is already-normalized Y-M-D fed to format_time3
+    # (piagov.py:101); article bylines go through the fuzzy parser
+    "page_time_style": "ymd",
+    "api_map": {
+        "entries": "articles",  # piagov.py:86's 'articles' in keys check
+        "href": ("url",),  # piagov.py:91
+        "min_entries": 2,  # piagov.py:88-89: len(article)==1 → pass
+        "page_time_last": ("headlineDate", "timeStamp", "iso"),  # py:93-95
+        "y0_patch": "2020",  # py:96-100: year '0000' rewritten to 2020
+    },
+    "extract": {
+        # parse (homepage): navbar anchors, single positional pick [2]
+        # (piagov.py:36-37)
+        "category": {"sel": "div#navbar li.nav-item>a", "slice": [2, 3]},
+        "variants": [
+            # parse_category2 (sections page): cat1 anchors sliced [4:7],
+            # hopped with dont_filter=True (piagov.py:42-50)
+            {"match": r"/sections$",
+             "category": {"sel": "ul.list-unstyled>li>a", "slice": [4, 7]},
+             "menu_dont_filter": True},
+            # parse_category3 (each cat1 page): grouped cat2 anchors,
+            # dont_filter hops (piagov.py:53-61)
+            {"match": r"/(features|news|regional)$",
+             "category2": {"sel": "div.listing-container"
+                                  " li.category.grouping a"},
+             "menu_dont_filter": True},
+        ],
+        # parse_detail (piagov.py:113-141)
+        "title": {"sel": "div.container h1"},
+        "pub": {"sel": "p.byline span.date", "re": "Published on (.*)"},
+        "block": {"para_sel": "div.col-24 p",
+                  "img_sel": "div.col-24 figure img"},
+    },
+}
+
+
+def _build_piagov(g: _G) -> None:
+    host = "pia.gov.ph"
+    wid = 1231
+    g.registry[wid] = dict(PIAGOV_RULES)
+    g.seeds.append({"url": PIAGOV_BASE + "/", "website_id": wid,
+                    "language_id": 1866})
+    g.page(
+        PIAGOV_BASE + "/", "menu",
+        '<html><div id="navbar"><ul>' + "".join(
+            f'<li class="nav-item"><a href="{PIAGOV_BASE}/{slug}">'
+            f"{label}</a></li>"
+            for slug, label in (
+                ("about", "About"), ("gallery", "Gallery"),
+                ("sections", "Sections"), ("contact", "Contact"),
+            )
+        ) + "</ul></div></html>",
+        host,
+    )
+    g.page(
+        f"{PIAGOV_BASE}/sections", "menu",
+        '<html><ul class="list-unstyled">' + "".join(
+            f'<li><a href="{PIAGOV_BASE}/{slug}">{label}</a></li>'
+            for slug, label in (
+                ("about2", "About"), ("careers", "Careers"),
+                ("privacy", "Privacy"), ("terms", "Terms"),
+                ("features", "Features"), ("news", "News"),
+                ("regional", "Regional"),
+            )
+        ) + "</ul></html>",
+        host,
+    )
+    cat2s = {
+        "features": [("Culture", "features/culture")],
+        "news": [("National", "news/national"), ("Capital", "news/capital")],
+        "regional": [("Luzon", "regional/luzon")],
+    }
+    for c1, subs in cat2s.items():
+        g.page(
+            f"{PIAGOV_BASE}/{c1}", "menu2",
+            '<html><div class="listing-container"><ul>' + "".join(
+                f'<li class="category grouping">'
+                f'<a href="{PIAGOV_BASE}/{slug}">{label}</a></li>'
+                for label, slug in subs
+            ) + "</ul></div></html>",
+            host,
+        )
+        for _label, slug in subs:
+            g.page(f"{PIAGOV_BASE}/{slug}", "list", "<html></html>", host)
+
+    def pia_article(slug: str, tag: str, byline: bool = True) -> str:
+        aurl = f"{PIAGOV_BASE}/{slug}/{tag}"
+        by = ('<p class="byline"><span class="date">Published on'
+              f" {_MON_FULL[BASE_DT.month - 1]} {BASE_DT.day},"
+              f" {BASE_DT.year}</span></p>" if byline else "")
+        g.page(
+            aurl, "article",
+            f'<html><div class="container"><h1>PIA {tag}</h1></div>{by}'
+            f'<div class="col-24"><p>pia lead {tag}</p>'
+            f'<figure><img src="{PIAGOV_BASE}/f/{tag}.jpg"></figure>'
+            f"<p>pia more {tag}</p></div></html>",
+            host,
+        )
+        return aurl
+
+    def pia_api_page(slug: str, page: int, tags: list[str],
+                     last_iso: str | None | dict = "fresh") -> None:
+        arts = []
+        fresh_iso = (BASE_DT - timedelta(hours=2)).strftime(
+            "%Y-%m-%d %H:%M:%S")
+        for i, tag in enumerate(tags):
+            ts: dict = {"iso": fresh_iso}
+            if i == len(tags) - 1:
+                if last_iso == "fresh":
+                    pass
+                elif last_iso is None:
+                    ts = {}  # piagov.py:102-103: missing 'iso' → stop
+                else:
+                    ts = {"iso": last_iso}
+            arts.append({"url": pia_article(slug, tag),
+                         "headlineDate": {"timeStamp": ts}})
+        g.page(
+            f"{PIAGOV_BASE}/{slug}.json?p={page}", "api",
+            json.dumps({"articles": arts}), host,
+            method="POST", body=f"page={page}",
+        )
+
+    # national: p=1 fresh gate → p=2 whose LAST iso is year-0000 (patched
+    # to 2020 → stale) — articles on the stale page are still yielded
+    pia_api_page("news/national", 1, ["n-1-0", "n-1-1", "n-1-2"])
+    pia_api_page("news/national", 2, ["n-2-0", "n-2-1"],
+                 last_iso="0000-05-28 10:00:00")
+    # capital: a single article → len==1 'pass' quirk, nothing emitted
+    pia_api_page("news/capital", 1, ["c-1-0"])
+    # culture: last item has NO 'iso' key → both yielded, chain stops
+    pia_api_page("features/culture", 1, ["f-1-0", "f-1-1"], last_iso=None)
+    # luzon: p=1 fresh → p=2 last iso 48 h old → both yielded, stop;
+    # r-2-1 also exercises the missing-byline fallback-now date
+    pia_api_page("regional/luzon", 1, ["r-1-0", "r-1-1"])
+    pia_api_page("regional/luzon", 2, ["r-2-0", "r-2-1"],
+                 last_iso=(BASE_DT - timedelta(hours=48)).strftime(
+                     "%Y-%m-%d %H:%M:%S"))
+    # overwrite r-2-1 with a byline-less page (same URL key): exercises
+    # the Util.format_time() fallback-now path (piagov.py:138-141)
+    pia_article("regional/luzon", "r-2-1", byline=False)
+
+
+# ---------------------------------------------------------------------------
 # Combined graph
 # ---------------------------------------------------------------------------
 
@@ -2292,6 +2456,7 @@ SITE_BUILDERS = {
     "bworldonline": _build_bworldonline,
     "raftaar": _build_raftaar,
     "malaya": _build_malaya,
+    "piagov": _build_piagov,
 }
 
 

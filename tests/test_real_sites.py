@@ -42,7 +42,7 @@ def test_all_sites_produce_documents(sim):
     by_site = _docs_by_site(sim)
     assert set(by_site) == {
         1033, 467, 1194, 190, 1225, 473, 184, 490, 532, 448, 936, 1248,
-        1247, 1155, 191, 1052, 193,
+        1247, 1155, 191, 1052, 193, 1231,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -571,6 +571,46 @@ def test_malaya_dupefilter_pagination_and_url_categories(sim):
         ("text", None), ("image", f"{base}/i/art-1-0.jpg"), ("text", None),
     ]
     assert d["abstract"] == "malaya lead art-1-0"
+
+
+def test_piagov_positional_menus_form_json_chain_and_quirks(sim):
+    """piagov.py: navbar anchor [2] is the ONLY first-hop link (py:36-37)
+    and the sections page's anchors [4:7] are the only category1 hops
+    (py:42-50, dont_filter); each category page POSTs its own URL +
+    '.json?p=N' with the page counter in both the query and the body
+    (py:63-72); pagination is gated by the LAST article's iso timestamp
+    with the year-0000 → 2020 patch (py:93-101); a single-article page
+    yields neither articles nor a next page (py:88-89); a missing byline
+    date falls back to 'now' (py:138-141, the as_of anchor here)."""
+    docs = _docs_by_site(sim)[1231]
+    urls = [u for _, u in sim["crawl_log"] if "pia.gov.ph" in u]
+    base = "https://pia.gov.ph"
+    # positional picks: decoy navbar/sections anchors never fetched
+    for decoy in ("about", "gallery", "contact", "about2", "careers",
+                  "privacy", "terms"):
+        assert f"{base}/{decoy}" not in urls
+    # the form-POST chain advances query AND body together
+    assert f"{base}/news/national.json?p=1" in urls
+    assert f"{base}/news/national.json?p=2" in urls
+    # year-0000 gate (patched to 2020 → stale): no p=3, but the stale
+    # page's articles are still yielded
+    assert f"{base}/news/national.json?p=3" not in urls
+    assert f"{base}/news/national/n-2-1" in urls
+    # single-article quirk: capital's one article never fetched, no p=2
+    assert f"{base}/news/capital.json?p=1" in urls
+    assert f"{base}/news/capital.json?p=2" not in urls
+    assert not any("/news/capital/" in u for u in urls)
+    # missing 'iso' on the last item stops the culture chain
+    assert f"{base}/features/culture.json?p=2" not in urls
+    assert len(docs) == 11
+    by_url = {d["request_url"]: d for d in docs}
+    d = by_url[f"{base}/news/national/n-1-0"]
+    assert (d["category1"], d["category2"]) == ("News", "National")
+    assert d["title"] == "PIA n-1-0"
+    assert d["pub_time"] == "2021-05-30 00:00:00"  # byline fuzzy date
+    # missing byline → fallback-now (the fixture's as_of anchor)
+    assert by_url[f"{base}/regional/luzon/r-2-1"]["pub_time"] == \
+        "2021-06-01 00:00:00"
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,

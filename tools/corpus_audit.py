@@ -29,7 +29,7 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
     "menu_parse": (
         r"def parse\(",
         "menu kind + `category` rule (regex or selector; groups/skip)",
-        "all 17 fixture sites",
+        "all 18 fixture sites",
     ),
     "two_level_menu": (
         r"parse_category2|parse_second|menu2|category2'?\]\s*=\s*(?!None|''|\"\")",
@@ -63,14 +63,15 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
     "api_json": (
         r"json\.loads|response\.json\(\)",
         "api kind + api_format/json_html envelopes + API_TEMPLATE + api_map field-path schema mapping",
-        "manila, yehey, bworldonline (HTML under a site-named JSON key), raftaar (real nested schema walked by field paths)",
+        "manila, yehey, bworldonline (HTML under a site-named JSON key), raftaar + piagov (real nested schemas walked by api_map field paths)",
     ),
     "form_post": (
         r"FormRequest|method=['\"]POST",
         "FORM_PAGE rule + form_params bootstrap + method/body frontier"
         " columns",
         "yehey, bworldonline (scraped category_id mapped onto"
-        " theme-named body fields, probe-driven page bump)",
+        " theme-named body fields, probe-driven page bump), piagov"
+        " (URL-derived .json endpoint, query+body page counters)",
     ),
     "dont_filter_probe": (
         r"dont_filter\s*=\s*True",
@@ -78,7 +79,7 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
         " refetch)",
         "maharashtratimes (probe_last), clickthecity (path_bootstrap),"
         " bworldonline (probe_last scoped to API pages, re-POSTs the"
-        " form body)",
+        " form body), piagov (dont_filter category hops)",
     ),
     "time_cutoff_gate": (
         r"时间截止|>=\s*(?:int\()?self\.time|self\.time\s*(?:is None|==\s*None)",
