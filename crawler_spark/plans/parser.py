@@ -281,7 +281,12 @@ def _map_api_json(js: dict, amap: dict) -> dict:
         )
     out: dict = {"entries": entries}
     if "total" in amap:
-        out["total_count"] = int(_json_path(js, amap["total"]))
+        # tolerate a response without the count — 0 stops pagination
+        # instead of killing the Arrow batch
+        try:
+            out["total_count"] = int(_json_path(js, amap["total"]))
+        except (KeyError, IndexError, TypeError, ValueError):
+            out["total_count"] = 0
     if "page_time_last" in amap:
         gate = None
         if items:
