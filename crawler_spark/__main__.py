@@ -161,12 +161,23 @@ def cmd_report(args) -> int:
         docs, websites, languages, countries, day0, day0 + timedelta(days=1)
     )
     cumulative = cumulative_report(docs, websites, languages, countries)
+    total = docs.count()
     out = {
         "date": day0.strftime("%Y-%m-%d"),
         "daily": [r.asDict() for r in daily.collect()],
         "cumulative": [r.asDict() for r in cumulative.collect()],
-        "total": docs.count(),
+        "total": total,
     }
+    if args.xls:
+        from crawler_spark.operators.report import write_report_workbook
+
+        daily_total = docs.filter(
+            (F.col("cole_time") >= F.lit(day0))
+            & (F.col("cole_time") < F.lit(day0 + timedelta(days=1)))
+        ).count()
+        out["workbook"] = write_report_workbook(
+            args.xls, daily, cumulative, daily_total, total
+        )
     print(json.dumps(out, default=str))
     return 0
 
@@ -195,6 +206,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--checkpoint", required=True)
     r.add_argument("--date", default=None, help="YYYY-MM-DD (default: newest)")
     r.add_argument("--cpus", type=int, default=4)
+    r.add_argument("--xls", default=None, metavar="PATH",
+                   help="also write the baogao.py two-sheet workbook "
+                        "(.xls if xlwt is importable, else CSV twins)")
 
     args = p.parse_args(argv)
     if args.cmd == "list-sites":

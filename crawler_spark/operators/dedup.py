@@ -780,24 +780,98 @@ def winnow_near_dup_pairs(
 # Cluster collapse: near-dup pairs → connected components → representative
 # ---------------------------------------------------------------------------
 
+def _star_large(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014, 'Connected Components in
+    MapReduce and Beyond'): every node connects its strictly-larger
+    neighbors to the minimum of its neighborhood (including itself).
+    One groupBy-min + one equi-join, both on uniform node keys."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        sym.groupBy("u").agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star_small(e: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge child>parent, then connect
+    each node and all its smaller neighbors to the neighborhood minimum."""
+    d = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = d.groupBy("u").agg(F.min("v").alias("mn"))
+    neigh = d.join(m, "u").select(
+        F.col("v").alias("u"), F.col("mn").alias("v")
+    )
+    self_edge = m.select("u", F.col("mn").alias("v"))
+    return (
+        neigh.union(self_edge)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """Alternating large-star/small-star to a star forest: O(log n) rounds
+    on ANY graph shape, including the long chains that templated-boilerplate
+    series produce at 100-TB corpus scale (where diameter-bounded label
+    propagation degenerates). Input: undirected edges (u, v); output:
+    (node, root) for every non-root node, root = component minimum.
+
+    Convergence check is ONE cheap agg over the freshly checkpointed edge
+    set per pair-round (count + order-independent hash), not a join."""
+    e = edges.localCheckpoint(eager=True)
+    prev = (-1, 0)
+    for _ in range(max_rounds):
+        e = _star_small(_star_large(e)).localCheckpoint(eager=True)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        cur = (row["n"], row["h"])
+        if cur == prev:
+            return e.select(F.col("u").alias("node"), F.col("v").alias("root"))
+        prev = cur
+    raise RuntimeError(f"star contraction did not converge in {max_rounds}")
+
+
 def near_dup_components(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 25,
+    star_after: int = 4,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: the step a dedup
     pipeline runs AFTER pair generation — transitive closure collapses
     {a~b, b~c} into one cluster so exactly one representative survives.
 
-    Min-label propagation: every doc starts labeled with its own id; each
-    round a doc takes the min of its own label and its neighbors' labels;
-    fixpoint = component-min labels. Each round is one equi-join + one
-    partial-aggregated groupBy (both map-side combinable); rounds needed =
-    graph diameter, which for near-dup clusters is small (dup clusters are
-    dense cliques-ish, not long chains). For adversarially deep graphs the
-    same join primitives compose into alternating large-star/small-star
-    (O(log n) rounds); not needed at news-corpus dup-cluster shapes.
+    Two phases. (1) Min-label propagation: every doc starts labeled with
+    its own id; each round a doc takes the min of its own label and its
+    neighbors' labels. One equi-join + one partial-aggregated groupBy per
+    round; the convergence count is FOLDED into the same pass (a `chg`
+    flag summed over the freshly checkpointed result) instead of a second
+    join-and-count job, so each round costs exactly one shuffle job plus
+    one cheap cached-scan agg. Dup clusters are dense and shallow, so this
+    converges in 1-3 rounds on real corpora. (2) If still changing after
+    `star_after` rounds the graph has real depth: contract the remaining
+    label graph with alternating large-star/small-star (O(log n) rounds on
+    adversarial chains) and compose the star roots back onto the labels.
+
     Deterministic: labels are pure min() over ids, no partitioning
     dependence. Lineage is cut with localCheckpoint each round so the
     driver loop cannot build an O(iters)-deep plan.
@@ -812,7 +886,9 @@ def near_dup_components(
     labels = docs.select(
         F.col(id_col).alias("doc"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iters):
+    rounds = 0
+    converged = False
+    for _ in range(min(star_after, max_iters)):
         neigh = (
             edges.join(labels, edges["b"] == labels["doc"])
             .groupBy("a").agg(F.min("label").alias("nl"))
@@ -822,23 +898,45 @@ def near_dup_components(
             .select(
                 "doc",
                 F.least(F.col("label"), F.coalesce("nl", "label"))
-                .alias("label"),
+                .alias("new_label"),
+                (F.least(F.col("label"), F.coalesce("nl", "label"))
+                 != F.col("label")).cast("int").alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
-        )
-        labels = new_labels
+        rounds += 1
+        changed = new_labels.agg(F.sum("chg")).first()[0] or 0
+        labels = new_labels.select("doc", F.col("new_label").alias("label"))
         if changed == 0:
+            converged = True
             break
-    else:
-        raise RuntimeError(
-            f"components did not converge in {max_iters} rounds"
+    if not converged:
+        # Contract the residual label graph with star rounds: map every
+        # original edge through the current labels, drop intra-cluster
+        # edges, find each label's component root, compose back.
+        lab_graph = (
+            edges
+            .join(labels.select(F.col("doc").alias("a"),
+                                F.col("label").alias("la")), "a")
+            .join(labels.select(F.col("doc").alias("b"),
+                                F.col("label").alias("lb")), "b")
+            .select(F.col("la").alias("u"), F.col("lb").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
+        roots = _star_components(lab_graph, max_rounds=max_iters)
+        labels = (
+            labels.join(
+                roots, labels["label"] == roots["node"], "left"
+            )
+            .select(
+                "doc",
+                F.coalesce("root", "label").alias("label"),
+            )
+        )
+    if stats is not None:
+        stats["label_rounds"] = rounds
+        stats["used_star"] = not converged
     return labels.select("doc", F.col("label").alias("cluster"))
 
 

@@ -58,6 +58,72 @@ _REPORT_COLS = (
 )
 
 
+def _fmt_cell(value, col: str) -> str:
+    """baogao.py cell realization: start_time is strftime'd or the literal
+    'None' (baogao.py:67); other nulls become empty cells (xlwt skips
+    None); everything else is written as-is."""
+    if col == "start_time":
+        return (
+            value.strftime("%Y-%m-%d %H:%M:%S") if value is not None
+            else "None"
+        )
+    return "" if value is None else str(value)
+
+
+def sheet_cells(report_df: DataFrame, total: int) -> list[list[str]]:
+    """One baogao sheet as a cell matrix (baogao.py:54-70): header row,
+    one row per site ordered by website_id, a blank spacer row, the
+    '总条数' label row, then the grand-total row. The collect is report
+    output — bounded by the number of sites, not the corpus."""
+    cells = [list(_REPORT_COLS)]
+    for r in report_df.orderBy("website_id").collect():
+        cells.append([_fmt_cell(r[c], c) for c in _REPORT_COLS])
+    cells.append([])
+    cells.append(["总条数"])
+    cells.append([str(total)])
+    return cells
+
+
+def write_report_workbook(
+    path: str,
+    daily: DataFrame,
+    cumulative: DataFrame,
+    daily_total: int,
+    cumulative_total: int,
+) -> list[str]:
+    """The baogao.py:52-89 workbook: two sheets 每日 (daily) and 累计
+    (cumulative), identical column layout. Writes a real ``.xls`` when
+    xlwt is importable (it is not baked into this container); otherwise
+    CSV twin sheets ``<path>.daily.csv`` / ``<path>.cumulative.csv`` with
+    the same cells row-for-row. Returns the written paths."""
+    import csv
+
+    sheets = [
+        ("每日", "daily", sheet_cells(daily, daily_total)),
+        ("累计", "cumulative", sheet_cells(cumulative, cumulative_total)),
+    ]
+    try:
+        import xlwt  # type: ignore[import-not-found]
+    except ImportError:
+        xlwt = None
+    if xlwt is not None:
+        book = xlwt.Workbook(encoding="utf-8", style_compression=0)
+        for sheet_name, _, cells in sheets:
+            xlr = book.add_sheet(sheet_name, cell_overwrite_ok=True)
+            for i, row in enumerate(cells):
+                for j, cell in enumerate(row):
+                    xlr.write(i, j, cell)
+        book.save(path)
+        return [path]
+    written = []
+    for _, suffix, cells in sheets:
+        out = f"{path}.{suffix}.csv"
+        with open(out, "w", newline="", encoding="utf-8") as fh:
+            csv.writer(fh).writerows(cells)
+        written.append(out)
+    return written
+
+
 def cumulative_report(
     docs: DataFrame,
     websites: DataFrame,

@@ -329,15 +329,42 @@ def engine_spans(spark: SparkSession) -> DataFrame:
     )
 
 
+def _canonical_rank(log: DataFrame) -> DataFrame:
+    """Canonical crawl-log rank (batch_id, priority desc, seq) computed
+    scale-safely: a per-batch row_number plus a broadcast per-batch offset
+    (cumulative count over the few-rows-per-run batch summary) instead of
+    one global unpartitioned window — identical rank values, but the sort
+    parallelizes across batches and no single task ever holds the whole
+    log."""
+    per_batch = Window.partitionBy("batch_id").orderBy(
+        F.desc("priority"), "seq"
+    )
+    counts = log.groupBy("batch_id").agg(F.count(F.lit(1)).alias("_n"))
+    # The offset scan runs over the per-batch SUMMARY (one row per
+    # micro-batch — bounded by run length, not corpus size), so a single
+    # explicit partition is the right plan at any scale and keeps
+    # WindowExec from warning about an undefined partition.
+    off_w = (
+        Window.partitionBy(F.lit(0)).orderBy("batch_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "batch_id",
+        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"),
+    )
+    return (
+        log.withColumn("_rb", F.row_number().over(per_batch))
+        .join(F.broadcast(offs), "batch_id")
+        .withColumn("rank", (F.col("_off") + F.col("_rb")).cast("int"))
+    )
+
+
 def engine_log(spark: SparkSession) -> DataFrame:
     """Crawl log with the canonical rank (batch_id, priority desc, seq)
-    materialized — the ordering contract as data. The global window is an
-    oracle-fixture artifact (the log is a few hundred rows); production
-    consumers sort on the same keys instead."""
+    materialized — the ordering contract as data."""
     res = engine_results(spark)
-    w = Window.orderBy("batch_id", F.desc("priority"), "seq")
-    return res["crawl_log"].select(
-        F.row_number().over(w).alias("rank"),
+    return _canonical_rank(res["crawl_log"]).select(
+        "rank",
         "batch_id", "url", "host", "method", "body", "attempt", "ua",
     )
 
@@ -362,9 +389,8 @@ def engine_recrawl_log(spark: SparkSession) -> DataFrame:
     refetch) and that only never-stored/evicted articles are fetched."""
     res2, b0 = engine_recrawl(spark)
     scoped = res2["crawl_log"].filter(F.col("batch_id") >= F.lit(b0))
-    w = Window.orderBy("batch_id", F.desc("priority"), "seq")
-    return scoped.select(
-        F.row_number().over(w).alias("rank"),
+    return _canonical_rank(scoped).select(
+        "rank",
         (F.col("batch_id") - F.lit(b0)).cast("int").alias("batch_id"),
         "url", "host", "method", "body", "attempt", "ua",
     )

@@ -151,6 +151,52 @@ def test_near_dup_components_transitive_and_representative(spark):
     assert reps[10] == (10, True) and reps[11] == (10, False)
 
 
+def test_near_dup_components_path_graph_logn_rounds(spark):
+    """Adversarial-depth property: a PATH graph of 1,000 docs (diameter
+    999 — the shape templated-boilerplate series produce) converges via
+    the large-star/small-star contraction within max_iters=25 total star
+    pair-rounds (~2·log₂(n)), where pure min-label propagation would need
+    999 rounds. Every doc must land in the single component labeled with
+    the minimum id."""
+    from crawler_spark.operators.dedup import near_dup_components
+
+    n = 1000
+    docs = spark.range(n).select(
+        F.format_string("d%04d", F.col("id")).alias("doc_id")
+    )
+    pairs = spark.range(n - 1).select(
+        F.format_string("d%04d", F.col("id")).alias("doc_a"),
+        F.format_string("d%04d", F.col("id") + 1).alias("doc_b"),
+    )
+    stats = {}
+    comp = near_dup_components(docs, pairs, max_iters=25, stats=stats)
+    agg = comp.agg(
+        F.countDistinct("cluster").alias("k"),
+        F.min("cluster").alias("mn"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert (agg["k"], agg["mn"], agg["n"]) == (1, "d0000", n)
+    assert stats["used_star"] is True
+
+
+def test_near_dup_components_shallow_skips_star(spark):
+    """Dense shallow clusters (the real near-dup shape) converge inside
+    the min-label fast path without ever invoking star contraction."""
+    from crawler_spark.operators.dedup import near_dup_components
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    comp = {r.doc: r.cluster
+            for r in near_dup_components(docs, pairs, stats=stats).collect()}
+    assert comp == {i: 0 for i in range(8)}
+    assert stats["used_star"] is False and stats["label_rounds"] <= 2
+
+
 def test_ngram_jaccard_doc_freq_cap_kills_stopword_fanout(spark):
     """A shingle present in EVERY doc (boilerplate) would create |docs|²
     join fanout; the document-frequency cap drops it from the shingle

@@ -60,6 +60,58 @@ def test_daily_report_columns_and_counts(spark):
     assert rows[1002].start_time is None  # left joins keep null dims
 
 
+def test_report_workbook_golden_cells(spark, tmp_path):
+    """The --xls workbook mirrors baogao.py:54-70 cell-for-cell: header,
+    per-site rows ordered by website_id (start_time strftime'd or the
+    literal 'None', other nulls empty), blank spacer, '总条数' label,
+    grand total. Golden-file comparison of the CSV twin sheets (xlwt is
+    not in this container, so the CSV fallback is the exercised path)."""
+    from crawler_spark.operators.report import (
+        cumulative_report,
+        daily_report,
+        write_report_workbook,
+    )
+
+    docs, w, l, c = _fixture(spark)
+    daily = daily_report(docs, w, l, c,
+                         datetime(2021, 6, 1), datetime(2021, 6, 2))
+    cumulative = cumulative_report(docs, w, l, c)
+    path = str(tmp_path / "report")
+    written = write_report_workbook(path, daily, cumulative, 4, 5)
+    assert written == [f"{path}.daily.csv", f"{path}.cumulative.csv"]
+
+    header = ("website_id,url,c_name,e_name,num,developer,language,"
+              "country,start_time")
+    golden_daily = "\n".join([
+        header,
+        "1000,http://site0/,站点零,site zero,2,dev-a,印地语,India,"
+        "2020-01-01 00:00:00",
+        "1001,http://site1/,站点一,site one,1,dev-b,英语,Philippines,"
+        "2020-02-01 00:00:00",
+        "1002,http://site2/,站点二,site two,1,dev-a,印地语,India,None",
+        "",
+        "总条数",
+        "4",
+        "",
+    ])
+    golden_cumulative = "\n".join([
+        header,
+        "1000,http://site0/,站点零,site zero,2,dev-a,印地语,India,"
+        "2020-01-01 00:00:00",
+        "1001,http://site1/,站点一,site one,2,dev-b,英语,Philippines,"
+        "2020-02-01 00:00:00",
+        "1002,http://site2/,站点二,site two,1,dev-a,印地语,India,None",
+        "",
+        "总条数",
+        "5",
+        "",
+    ])
+    assert open(written[0], encoding="utf-8").read().replace(
+        "\r\n", "\n") == golden_daily
+    assert open(written[1], encoding="utf-8").read().replace(
+        "\r\n", "\n") == golden_cumulative
+
+
 def test_cumulative_report_and_broadcast_plan(spark):
     docs, w, l, c = _fixture(spark)
     out = cumulative_report(docs, w, l, c)
