@@ -142,16 +142,27 @@ class HttpFetcher:
     """
 
     def __init__(self, timeout_s: float = FETCH_TIMEOUT_S,
-                 opener_factory=None, paced: bool = False):
+                 opener_factory=None, paced: bool = False,
+                 concurrency: int = 1):
         # opener_factory: () -> urllib-style opener; injectable for tests.
+        # concurrency: the reference's global in-flight request cap
+        # (CONCURRENT_REQUESTS, Scrapy default 16; settings.py:22-23 keeps
+        # the default) realized per task: hosts fetch CONCURRENTLY across
+        # a thread pool while each host stays strictly serial (the only
+        # ordering compatible with DOWNLOAD_DELAY pacing), and a semaphore
+        # caps in-flight requests so threads sleeping on a pacing slot do
+        # not count against the cap. Cluster-wide in-flight is therefore
+        # concurrency × concurrent fetch tasks — size the two together.
         self.timeout_s = timeout_s
         self.opener_factory = opener_factory
         self.paced = paced
+        self.concurrency = max(1, int(concurrency))
 
     def fetch(self, admitted: DataFrame) -> DataFrame:
         timeout = self.timeout_s
         opener_factory = self.opener_factory
         paced = self.paced
+        concurrency = self.concurrency
         out_schema = ", ".join(
             [f"{f.name} {f.dataType.simpleString()}"
              for f in admitted.schema.fields]
@@ -172,83 +183,105 @@ class HttpFetcher:
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import http.client as _http_client
+            import threading as _threading
             import time as _time
             import urllib.error
             import urllib.request
+            from concurrent.futures import ThreadPoolExecutor
 
-            opener = (opener_factory() if opener_factory
-                      else urllib.request.build_opener())
+            def make_opener():
+                return (opener_factory() if opener_factory
+                        else urllib.request.build_opener())
+
+            def fetch_one(opener, row):
+                """One request → (resp_url, payload, bytes, status,
+                latency) under the retry-middleware status taxonomy."""
+                t_req = _time.monotonic()
+                try:
+                    req = urllib.request.Request(
+                        row.url,
+                        data=(row.body.encode() or None)
+                        if row.method == "POST" else None,
+                        method=row.method or "GET",
+                    )
+                    req.add_header("User-Agent", row.ua)
+                    if getattr(row, "cookie", None):
+                        req.add_header("Cookie", row.cookie)
+                    with opener.open(req, timeout=timeout) as resp:
+                        body = resp.read()
+                        return (resp.geturl(),
+                                body.decode("utf-8", "replace"),
+                                len(body), "ok",
+                                _time.monotonic() - t_req)
+                except urllib.error.HTTPError as e:
+                    # 5xx = transient (retry middleware semantics);
+                    # 4xx = permanent miss.
+                    return (None, None, 0,
+                            "retryable" if e.code >= 500 else "gone", None)
+                except ValueError:
+                    # malformed/unsupported URL (Request or open raises
+                    # before any network I/O) — permanent, never retried;
+                    # must not kill the Spark task.
+                    return (None, None, 0, "gone", None)
+                except (urllib.error.URLError, TimeoutError, OSError,
+                        _http_client.HTTPException):
+                    # timeout / conn reset / protocol garbage
+                    # (BadStatusLine, IncompleteRead, ...) — all
+                    # transient per the retry-middleware taxonomy.
+                    return (None, None, 0, "retryable", None)
+
             t0 = _time.monotonic()
+            # In-flight cap: acquired around the request ONLY, so a thread
+            # sleeping for its politeness slot holds no slot.
+            inflight = _threading.BoundedSemaphore(concurrency)
             for pdf in batches:
                 if paced:
                     pdf = pdf.sort_values("pace_off", kind="stable")
-                resp_urls, payloads, byte_counts, statuses = [], [], [], []
-                latencies: list[float | None] = []
-                for row in pdf.itertuples(index=False):
-                    if paced:
-                        wait = row.pace_off - (_time.monotonic() - t0)
-                        if wait > 0:
-                            _time.sleep(wait)
-                    t_req = _time.monotonic()
-                    try:
-                        req = urllib.request.Request(
-                            row.url,
-                            data=(row.body.encode() or None)
-                            if row.method == "POST" else None,
-                            method=row.method or "GET",
-                        )
-                        req.add_header("User-Agent", row.ua)
-                        if getattr(row, "cookie", None):
-                            req.add_header("Cookie", row.cookie)
-                        with opener.open(req, timeout=timeout) as resp:
-                            body = resp.read()
-                            resp_urls.append(resp.geturl())
-                            payloads.append(body.decode("utf-8", "replace"))
-                            byte_counts.append(len(body))
-                            statuses.append("ok")
-                            latencies.append(_time.monotonic() - t_req)
-                    except urllib.error.HTTPError as e:
-                        resp_urls.append(None)
-                        payloads.append(None)
-                        byte_counts.append(0)
-                        latencies.append(None)
-                        # 5xx = transient (retry middleware semantics);
-                        # 4xx = permanent miss.
-                        statuses.append(
-                            "retryable" if e.code >= 500 else "gone"
-                        )
-                    except ValueError:
-                        # malformed/unsupported URL (Request or open
-                        # raises before any network I/O) — permanent,
-                        # never retried; must not kill the Spark task.
-                        resp_urls.append(None)
-                        payloads.append(None)
-                        byte_counts.append(0)
-                        statuses.append("gone")
-                        latencies.append(None)
-                    except (urllib.error.URLError, TimeoutError, OSError,
-                            _http_client.HTTPException):
-                        # timeout / conn reset / protocol garbage
-                        # (BadStatusLine, IncompleteRead, ...) — all
-                        # transient per the retry-middleware taxonomy.
-                        resp_urls.append(None)
-                        payloads.append(None)
-                        byte_counts.append(0)
-                        statuses.append("retryable")
-                        latencies.append(None)
+                rows = list(pdf.itertuples(index=False))
+                results: list[tuple | None] = [None] * len(rows)
+
+                def worker(idxs, rows=rows, results=results):
+                    opener = make_opener()
+                    for i in idxs:
+                        row = rows[i]
+                        if paced:
+                            wait = row.pace_off - (_time.monotonic() - t0)
+                            if wait > 0:
+                                _time.sleep(wait)
+                        with inflight:
+                            results[i] = fetch_one(opener, row)
+
+                if concurrency > 1 and rows:
+                    by_host: dict = {}
+                    for i, row in enumerate(rows):
+                        key = getattr(row, "host", None) or row.url
+                        by_host.setdefault(key, []).append(i)
+                    n_workers = min(concurrency, len(by_host))
+                    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+                        futs = [pool.submit(worker, idxs)
+                                for idxs in by_host.values()]
+                        for f in futs:
+                            f.result()
+                else:
+                    worker(range(len(rows)))
+
                 out = (pdf.drop(columns=["pace_off"]) if paced
                        else pdf).copy()
-                out["g_response_url"] = resp_urls
+                resp_urls, payloads, byte_counts, statuses, latencies = (
+                    zip(*results) if results else ((), (), (), (), ())
+                )
+                out["g_response_url"] = list(resp_urls)
                 # probe requests fetch article pages (maharashtratimes.py:45);
                 # non-ok rows carry no response columns (contract).
                 out["g_kind"] = [
                     ("article" if k == "probe" else k) if st == "ok" else None
                     for k, st in zip(pdf["parse_kind"], statuses)
                 ]
-                out["g_payload"] = payloads
-                out["g_bytes"] = pd.array(byte_counts, dtype="int64")
-                out["f_status"] = statuses
-                out["g_latency_s"] = pd.array(latencies, dtype="float64")
+                out["g_payload"] = list(payloads)
+                out["g_bytes"] = pd.array(list(byte_counts), dtype="int64")
+                out["f_status"] = list(statuses)
+                out["g_latency_s"] = pd.array(list(latencies),
+                                              dtype="float64")
                 yield out
 
         return admitted.mapInPandas(run, out_schema)

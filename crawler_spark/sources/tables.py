@@ -77,3 +77,64 @@ class SnapshotTable:
 
     def snapshot(self) -> int:
         return self._read_manifest()["snapshot"]
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the iceberg-spark-runtime jars are on the JVM classpath
+    (they are not in this sandbox; on a real cluster they arrive via
+    --packages/--jars — config, not code)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class IcebergTable:
+    """The same append/read/snapshot contract as ``SnapshotTable``, backed
+    by a real Iceberg catalog table via the DataFrameWriterV2 API. Chosen
+    by ``make_table`` when the runtime jars are present; every call site
+    is written against the shared contract so the swap is configuration."""
+
+    def __init__(self, spark: SparkSession, identifier: str):
+        self.spark = spark
+        self.identifier = identifier
+
+    def _exists(self) -> bool:
+        try:
+            return self.spark.catalog.tableExists(self.identifier)
+        except Exception:
+            return False
+
+    def append(self, df: DataFrame) -> int:
+        if self._exists():
+            df.writeTo(self.identifier).append()
+        else:
+            df.writeTo(self.identifier).create()
+        return self.snapshot()
+
+    def read(self) -> DataFrame | None:
+        if not self._exists():
+            return None
+        return self.spark.read.table(self.identifier)
+
+    def snapshot(self) -> int:
+        if not self._exists():
+            return 0
+        return self.spark.read.table(
+            f"{self.identifier}.snapshots"
+        ).count()
+
+
+def make_table(
+    spark: SparkSession, location: str, identifier: str | None = None
+):
+    """The Iceberg seam (SURVEY §7.4) as a factory: an ``IcebergTable``
+    when an identifier is given and the Iceberg jars resolve, else the
+    manifest-swap ``SnapshotTable`` over ``location``. Both satisfy the
+    same append/read/snapshot contract (tests/test_tables_contract.py)."""
+    if identifier is not None and iceberg_available(spark):
+        return IcebergTable(spark, identifier)
+    return SnapshotTable(spark, location)

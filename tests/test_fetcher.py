@@ -209,15 +209,19 @@ def test_http_and_mock_fetchers_agree_on_contract(spark, http_graph):
     assert next(iter(run(mock_f, rows3).values()))[0] == "ok"
 
 
+@pytest.mark.parametrize("concurrency", [1, 8])
 def test_engine_over_real_http_matches_simulator(spark, http_graph,
-                                                 tmp_path_factory):
+                                                 tmp_path_factory,
+                                                 concurrency):
     """The full micro-batch engine with HttpFetcher — every fetch a real
     loopback HTTP request — reproduces the simulator byte-for-byte:
     ordered crawl log, URL-seen set, docs, spans, metrics, and the retry
-    schedule."""
+    schedule. Runs both serial and thread-pooled (CONCURRENT_REQUESTS
+    semantics): per-host serial ordering makes the concurrent fetcher
+    byte-identical too."""
     _GraphHandler.hits = {}
     sim = simulate_crawl(http_graph)
-    ckpt = tmp_path_factory.mktemp("ckpt_http")
+    ckpt = tmp_path_factory.mktemp(f"ckpt_http_{concurrency}")
     eng = CrawlEngine(
         spark,
         site_graph=None,
@@ -226,7 +230,7 @@ def test_engine_over_real_http_matches_simulator(spark, http_graph,
         cutoff_epoch=http_graph["cutoff_epoch"],
         as_of=http_graph["as_of"],
         checkpoint_dir=str(ckpt),
-        fetcher=HttpFetcher(timeout_s=10),
+        fetcher=HttpFetcher(timeout_s=10, concurrency=concurrency),
     )
     res = eng.run()
 
@@ -286,6 +290,73 @@ def test_paced_http_fetcher_honors_schedule(spark, http_graph):
     )
     assert len(times2) == 3
     assert max(times2) - min(times2) < delay
+
+
+class _SlowHandler(BaseHTTPRequestHandler):
+    """Serves every GET after a fixed delay and records each request's
+    [start, end] service interval keyed by path."""
+
+    delay = 0.4
+    intervals: dict = {}
+    lock = threading.Lock()
+
+    def do_GET(self):
+        t_start = time.monotonic()
+        time.sleep(self.delay)
+        data = b"<html>ok</html>"
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+        with self.lock:
+            self.intervals.setdefault(self.path, []).append(
+                (t_start, time.monotonic())
+            )
+
+    def log_message(self, *a):
+        pass
+
+
+def test_concurrent_fetcher_overlaps_hosts_serializes_within_host(spark):
+    """CONCURRENT_REQUESTS realization: within ONE partition, requests to
+    DIFFERENT hosts overlap on the wall clock (thread pool), while each
+    host's own requests stay strictly serial (the DOWNLOAD_DELAY-
+    compatible ordering). Proven from the server's per-request service
+    intervals, not Spark timings."""
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _SlowHandler)
+    base = f"http://127.0.0.1:{server.server_port}"
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        _SlowHandler.intervals = {}
+        rows = [
+            (f"{base}/{host}/{i}", "GET", "", 0, "article", "ua", None, host)
+            for host in ("host-a", "host-b") for i in (1, 2)
+        ]
+        adf = _admitted_df(spark, rows).repartition(1)
+        out = HttpFetcher(timeout_s=10, concurrency=8).fetch(adf).collect()
+        assert {r.f_status for r in out} == {"ok"}
+
+        by_host: dict = {}
+        for path, ivs in _SlowHandler.intervals.items():
+            by_host.setdefault(path.split("/")[1], []).extend(ivs)
+        assert set(by_host) == {"host-a", "host-b"} and all(
+            len(v) == 2 for v in by_host.values()
+        )
+
+        def overlaps(a, b):
+            return a[0] < b[1] and b[0] < a[1]
+
+        # cross-host: at least one a-interval overlaps one b-interval
+        assert any(
+            overlaps(a, b)
+            for a in by_host["host-a"] for b in by_host["host-b"]
+        ), by_host
+        # same-host: strictly serial
+        for ivs in by_host.values():
+            ivs = sorted(ivs)
+            assert ivs[0][1] <= ivs[1][0], ivs
+    finally:
+        server.shutdown()
 
 
 def test_http_fetcher_malformed_url_is_gone_not_crash(spark):
