@@ -1087,6 +1087,19 @@ def q_crawl_categories(spark, sf_dir):
     return oracle_crawl.engine_categories(spark)
 
 
+def q_crawl_prioritized_log(spark, sf_dir):
+    """Crawl PRIORITIZATION end-to-end (Cho/Garcia-Molina/Page 1998): the
+    engine re-runs the fixture with host_pagerank authority mass added to
+    every T1 priority and allocate_budget apportionment capping per-host
+    admission — the ordered log must match the simulator fed the pure-
+    Python mirrors of the same two operators byte-for-byte."""
+    from crawler_spark import oracle_crawl
+
+    _prep(spark)
+    oracle_crawl.ensure_sim_outputs()
+    return oracle_crawl.engine_prioritized_log(spark)
+
+
 def q_crawl_recrawl_log(spark, sf_dir):
     """W5+ multi-run recrawl: pass 2 from the seeds on the same checkpoint
     after evicting a deterministic subset — the per-run dupefilter resets
@@ -1178,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_log": q_crawl_log,
         "crawl_metrics": q_crawl_metrics,
         "crawl_categories": q_crawl_categories,
+        "crawl_prioritized_log": q_crawl_prioritized_log,
         "crawl_recrawl_log": q_crawl_recrawl_log,
         "crawl_recrawl_docs": q_crawl_recrawl_docs,
     }
@@ -2171,6 +2185,11 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_SIM_ORACLE_DIR}/sim_docs.parquet')
             GROUP BY category1, category2
             ORDER BY category1, category2
+        """,
+        "crawl_prioritized_log": f"""
+            SELECT rank, batch_id, url, host, method, body, attempt, ua
+            FROM read_parquet('{_SIM_ORACLE_DIR}/sim_prioritized_log.parquet')
+            ORDER BY rank
         """,
         "crawl_recrawl_log": f"""
             SELECT rank, batch_id, url, host, method, body, attempt, ua

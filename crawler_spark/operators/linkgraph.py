@@ -144,6 +144,61 @@ def host_pagerank(
     )
 
 
+def host_pagerank_py(
+    edges: list[tuple[str, str]],
+    n_iter: int = 4,
+    damping_pct: int = 85,
+) -> dict[str, int]:
+    """Pure-Python mirror of :func:`host_pagerank` — the same integer
+    fixed-point update rule (all values non-negative, so Spark's BIGINT
+    ``div`` == Python ``//``), used by the reference-semantics simulator
+    to weight crawl priorities without Spark. Integer-exact equality with
+    the DataFrame version is asserted in tests/test_linkgraph.py."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    outdeg: dict[str, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {h: PR_SCALE // n for h in nodes}
+    for _ in range(n_iter):
+        recv = dict.fromkeys(nodes, 0)
+        for s, d in edges:
+            recv[d] += rank[s] // outdeg[s]
+        dangling = sum(rank[h] for h in nodes if outdeg.get(h, 0) == 0)
+        base = (100 - damping_pct) * PR_SCALE // (100 * n)
+        rank = {
+            h: base + damping_pct * (recv[h] + dangling // n) // 100
+            for h in nodes
+        }
+    return rank
+
+
+def allocate_budget_py(
+    rank_micro: dict[str, int],
+    total_budget: int,
+    min_per_host: int = 0,
+) -> dict[str, int]:
+    """Pure-Python mirror of :func:`allocate_budget` (largest-remainder
+    apportionment; ties on the remainder break by host name ascending,
+    exactly like the DataFrame version's window order)."""
+    n = len(rank_micro)
+    if n == 0:
+        return {}
+    total_mass = sum(rank_micro.values())
+    spend = total_budget - min_per_host * n
+    base = {h: spend * m // total_mass for h, m in rank_micro.items()}
+    rem = {h: (spend * m) % total_mass for h, m in rank_micro.items()}
+    leftover = total_budget - sum(base.values()) - min_per_host * n
+    order = sorted(rank_micro, key=lambda h: (-rem[h], h))
+    return {
+        h: min_per_host + base[h] + (1 if i < leftover else 0)
+        for i, h in enumerate(order)
+    }
+
+
 def allocate_budget(
     ranks: DataFrame,
     total_budget: int,
@@ -211,8 +266,10 @@ def allocate_budget(
     r = r.withColumn("_rn1", F.row_number().over(w1))
     survivors = r.filter(F.col("_rn1") <= F.col("_left"))
     rest = r.filter(F.col("_rn1") > F.col("_left"))
-    # Phase 2 — exact global rank over ≤ salt_k × leftover survivors.
-    w2 = Window.orderBy(F.desc("_rem"), F.asc("host"))
+    # Phase 2 — exact global rank over ≤ salt_k × leftover survivors; the
+    # single explicit partition is the intended plan for this BOUNDED set
+    # (and keeps WindowExec from warning about an undefined partition).
+    w2 = Window.partitionBy(F.lit(0)).orderBy(F.desc("_rem"), F.asc("host"))
     bumped = survivors.withColumn("_pos", F.row_number().over(w2))
 
     def _final(df, bump):

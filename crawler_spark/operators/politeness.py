@@ -104,17 +104,41 @@ def admit_per_host(
     frontier: DataFrame,
     batch_seconds: float,
     salt_k: int = 16,
+    host_budgets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split a batch's candidates into (admitted, deferred) under the
     per-host budget. Returns admitted rows with ``host_rank`` (1-based fetch
     order within the host, = politeness slot) and deferred rows unchanged.
 
     Requires a ``crawl_delay`` column (attach via apply_robots).
+
+    ``host_budgets`` (host, budget) — an apportioned GLOBAL fetch budget
+    (operators/linkgraph.py allocate_budget): the effective per-host cap
+    becomes min(politeness budget, allocated budget); hosts absent from
+    the table keep the politeness cap. The join keys on host like every
+    downstream politeness shuffle (AQE broadcasts a small table).
     """
     budget = F.greatest(
         F.lit(1), F.floor(F.lit(float(batch_seconds)) / F.col("crawl_delay"))
     ).cast("int")
     f = frontier.withColumn("_budget", budget)
+    if host_budgets is not None:
+        f = (
+            f.join(
+                host_budgets.select(
+                    "host", F.col("budget").cast("int").alias("_alloc")
+                ),
+                on="host", how="left",
+            )
+            .withColumn(
+                "_budget",
+                F.least(
+                    F.col("_budget"),
+                    F.coalesce(F.col("_alloc"), F.col("_budget")),
+                ),
+            )
+            .drop("_alloc")
+        )
 
     # Phase 1 — salted pre-top-k: cap each (host, salt) group at budget rows.
     # The salt is a deterministic function of the row (url hash), so results

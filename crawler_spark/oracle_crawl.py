@@ -74,7 +74,7 @@ REAL_FIXTURE_SITES = [
     "aajtak", "maharashtratimes", "interaksyon", "boholchronicle",
     "latestnews1",
 ]
-_FIXTURE_VERSION = 6  # bump when fixture composition/output shape changes
+_FIXTURE_VERSION = 7  # bump when fixture composition/output shape changes
 
 # The recrawl pass (crawl_recrawl_* rows): after pass 1 the first
 # RECRAWL_EVICT_N stored request_urls (sorted) are evicted, then a second
@@ -107,6 +107,29 @@ def fixture_graph() -> dict:
     g["seeds"].extend(real["seeds"])
     g["registry"].update(real["registry"])
     return g
+
+
+# Prioritized-crawl fixture inputs (crawl_prioritized_log): a
+# deterministic "previous crawl's" host link graph — ring plus hub spokes
+# over the fixture's seed hosts — whose PageRank mass is deliberately
+# non-uniform, and a global fetch budget tight enough (2 slots/host
+# average, min 1) that both the authority-weighted ORDERING and the
+# apportioned admission caps really reshape the crawl. Cho, Garcia-Molina
+# & Page 1998: crawl ordering by importance estimated from a prior crawl.
+PRIORITIZED_BUDGET_PER_HOST = 2
+PRIORITIZED_MIN_PER_HOST = 1
+
+
+def fixture_host_edges() -> list[tuple[str, str]]:
+    from crawler_spark.simulator import _host
+
+    hosts = sorted({_host(s["url"]) for s in fixture_graph()["seeds"]})
+    hub = hosts[0]
+    edges = [
+        (hosts[i], hosts[(i + 1) % len(hosts)]) for i in range(len(hosts))
+    ]
+    edges += [(h, hub) for h in hosts[1:]]
+    return sorted(set(edges))
 
 
 # ---------------------------------------------------------------------------
@@ -236,6 +259,27 @@ def ensure_sim_outputs(out_dir: str = SIM_ORACLE_DIR) -> str:
     pq.write_table(
         _log_table(sim2), os.path.join(tmp, "sim_recrawl_log.parquet")
     )
+    # prioritized pass: authority + apportioned budgets from the pure-
+    # Python mirrors (integer-identical to the Spark operators the engine
+    # side uses — asserted in tests/test_linkgraph.py).
+    from crawler_spark.operators.linkgraph import (
+        allocate_budget_py,
+        host_pagerank_py,
+    )
+
+    edges = fixture_host_edges()
+    auth = host_pagerank_py(edges)
+    budgets = allocate_budget_py(
+        auth,
+        total_budget=PRIORITIZED_BUDGET_PER_HOST * len(auth),
+        min_per_host=PRIORITIZED_MIN_PER_HOST,
+    )
+    sim3 = simulate_crawl(
+        fixture_graph(), authority=auth, host_budgets=budgets
+    )
+    pq.write_table(
+        _log_table(sim3), os.path.join(tmp, "sim_prioritized_log.parquet")
+    )
     with open(os.path.join(tmp, "_COMPLETE"), "w") as fh:
         fh.write("ok")
     # Atomic publish: another process may be racing; first rename wins.
@@ -274,6 +318,52 @@ def engine_results(spark: SparkSession) -> dict:
     _ENGINE_CACHE[key] = res
     _ENGINE_CACHE["eng"] = eng
     return res
+
+
+def engine_prioritized_log(spark: SparkSession) -> DataFrame:
+    """The PRIORITIZED crawl's ordered log: a fresh engine over the same
+    fixture with (a) per-host authority mass from host_pagerank on the
+    prior-crawl link graph added to every T1 priority and (b) per-host
+    admission capped by allocate_budget's apportionment — the end-to-end
+    'crawl prioritization' contract, byte-identical to the simulator fed
+    the pure-Python mirrors of the same two operators."""
+    if "rp" in _ENGINE_CACHE:
+        return _ENGINE_CACHE["rp"]  # type: ignore[return-value]
+    from crawler_spark.operators.linkgraph import (
+        allocate_budget,
+        host_pagerank,
+    )
+
+    graph = fixture_graph()
+    edges = fixture_host_edges()
+    edges_df = spark.createDataFrame(edges, "src string, dst string")
+    ranks = host_pagerank(edges_df).persist()
+    budgets = allocate_budget(
+        ranks,
+        total_budget=PRIORITIZED_BUDGET_PER_HOST * len(
+            {h for e in edges for h in e}
+        ),
+        min_per_host=PRIORITIZED_MIN_PER_HOST,
+    )
+    ckpt = tempfile.mkdtemp(prefix="crawl_oracle_prio_ckpt_")
+    eng = CrawlEngine(
+        spark,
+        site_graph=site_graph_df(spark, graph),
+        registry=graph["registry"],
+        seeds=seeds_df(spark, graph),
+        cutoff_epoch=graph["cutoff_epoch"],
+        as_of=graph["as_of"],
+        checkpoint_dir=ckpt,
+        authority=ranks,
+        host_budgets=budgets,
+    )
+    res = eng.run()
+    out = _canonical_rank(res["crawl_log"]).select(
+        "rank",
+        "batch_id", "url", "host", "method", "body", "attempt", "ua",
+    )
+    _ENGINE_CACHE["rp"] = out
+    return out
 
 
 def engine_recrawl(spark: SparkSession) -> tuple[dict, int]:

@@ -42,6 +42,8 @@ def simulate_crawl(
     url_seen_init: set[str] | None = None,
     max_batches: int = 1000,
     autothrottle: dict | None = None,
+    authority: dict[str, int] | None = None,
+    host_budgets: dict[str, int] | None = None,
 ) -> dict:
     """Run the reference-semantics crawl over a mock_web graph.
 
@@ -71,6 +73,17 @@ def simulate_crawl(
 
     as_of_epoch = as_of.replace(tzinfo=timezone.utc).timestamp()
 
+    # Crawl prioritization mirror (crawl_loop._apply_authority): the
+    # host's PageRank mass (integer fixed-point, host_pagerank_py) joins
+    # the T1 score as ONE extra IEEE add — (depth_term + recency) + mass.
+    from crawler_spark.operators.linkgraph import PR_SCALE
+
+    def _prio(depth: int, pub_epoch, url: str) -> float:
+        p = priority_score_py(depth, pub_epoch, as_of_epoch)
+        if authority is None:
+            return p
+        return p + authority.get(_host(url), 0) / float(PR_SCALE)
+
     if autothrottle is not None:
         at_start = autothrottle.get("start_delay", AUTOTHROTTLE_START_DELAY)
         at_max = autothrottle.get("max_delay", AUTOTHROTTLE_MAX_DELAY)
@@ -92,7 +105,7 @@ def simulate_crawl(
                 "dont_filter": False,
                 "meta": {},
                 "depth": 0,
-                "priority": priority_score_py(0, None, as_of_epoch),
+                "priority": _prio(0, None, s["url"]),
                 "seq": f"{i:04d}",
                 "website_id": s["website_id"],
                 "language_id": s["language_id"],
@@ -176,6 +189,11 @@ def simulate_crawl(
                 # by the static/robots delay — never more polite than asked.
                 delay = max(delay, at_delays.get(host, at_start))
             budget = max(1, math.floor(batch_seconds / delay))
+            if host_budgets is not None:
+                # apportioned global budget: min(politeness, allocation);
+                # hosts absent from the table keep the politeness cap
+                # (admit_per_host's coalesce mirror).
+                budget = min(budget, host_budgets.get(host, budget))
             if host_used.get(host, 0) < budget:
                 host_used[host] = host_used.get(host, 0) + 1
                 admitted.append(r)
@@ -282,9 +300,10 @@ def simulate_crawl(
                 child["website_id"] = r["website_id"]
                 child["language_id"] = r["language_id"]
                 # T1 priority — the Python mirror of the engine's
-                # vectorized priority_score_col (bit-identical doubles).
-                child["priority"] = priority_score_py(
-                    child["depth"], child.get("pub_epoch"), as_of_epoch
+                # vectorized priority_score_col (bit-identical doubles),
+                # plus the authority mass when prioritization is on.
+                child["priority"] = _prio(
+                    child["depth"], child.get("pub_epoch"), child["url"]
                 )
                 new_frontier.append(child)
 

@@ -102,6 +102,8 @@ class CrawlEngine:
         fetcher=None,  # Fetcher seam; default MockWebFetcher(site_graph)
         filter_kind: str = "bloom",  # URL-seen prefilter tier: bloom | cuckoo
         autothrottle: dict | None = None,  # W4: {} = Scrapy defaults; None = off
+        authority: DataFrame | None = None,  # (host, rank_micro) priority mass
+        host_budgets: DataFrame | None = None,  # (host, budget) admission cap
     ):
         from crawler_spark.sources.fetcher import MockWebFetcher
 
@@ -175,6 +177,19 @@ class CrawlEngine:
             spark.createDataFrame(cookie_rows, "website_id int, cookie string")
             if cookie_rows else None
         )
+        # Crawl prioritization (Cho/Garcia-Molina/Page 1998): when an
+        # authority table is given (host_pagerank over the PREVIOUS
+        # crawl's host link graph), every request's T1 priority gains the
+        # host's rank mass — authoritative hosts are fetched first; and
+        # when a budget table is given (allocate_budget apportionment of
+        # a global fetch budget), per-host admission is capped at
+        # min(politeness, allocation). Both are mirrored bit-identically
+        # by the simulator (simulate_crawl authority/host_budgets).
+        self.authority = (
+            authority.select("host", "rank_micro")
+            if authority is not None else None
+        )
+        self.host_budgets = host_budgets
         # Running |url_seen| from per-batch manifest stats — avoids an
         # O(history) recount per batch (recomputed once on resume).
         self._seen_total = 0
@@ -206,7 +221,7 @@ class CrawlEngine:
             " website_id int, language_id int, batch_id int, attempt int,"
             " method string, body string",
         )
-        return (
+        return self._apply_authority(
             df.withColumn("url_hash", F.xxhash64(canonicalize_col(F.col("url"))))
             .withColumn("host", host_of(F.col("url")))
             .withColumn(
@@ -215,7 +230,29 @@ class CrawlEngine:
                     F.col("depth"), F.lit(None).cast("double"), self.as_of_epoch
                 ),
             )
-            .select(*FRONTIER_COLS)
+        ).select(*FRONTIER_COLS)
+
+    def _apply_authority(self, df: DataFrame) -> DataFrame:
+        """Add the host's PageRank mass to the T1 priority (the prioritized
+        crawl ordering): priority := (depth_term + recency) + rank_micro /
+        PR_SCALE — one IEEE add on top of the base score, mirrored
+        verbatim by the simulator so ordering stays byte-identical.
+        Requires ``host`` and ``priority`` columns."""
+        if self.authority is None:
+            return df
+        from crawler_spark.operators.linkgraph import PR_SCALE
+
+        return (
+            df.join(self.authority, on="host", how="left")
+            .withColumn(
+                "priority",
+                F.col("priority")
+                + F.coalesce(
+                    F.col("rank_micro") / F.lit(float(PR_SCALE)),
+                    F.lit(0.0),
+                ),
+            )
+            .drop("rank_micro")
         )
 
     def _empty_url_seen(self) -> DataFrame:
@@ -500,7 +537,9 @@ class CrawlEngine:
             if bloom_shards is not None:
                 bloom_shards.unpersist()
             return None
-        admitted, deferred = admit_per_host(cands, self.batch_seconds)
+        admitted, deferred = admit_per_host(
+            cands, self.batch_seconds, host_budgets=self.host_budgets
+        )
 
         # Fetch identity (downloader-middleware semantics, middlewares.py:
         # 59-62): deterministic UA rotation as a JVM column; per-site
@@ -576,8 +615,8 @@ class CrawlEngine:
             .withColumn("host", host_of(F.col("url")))
             .withColumn("batch_id", F.lit(b + 1))
             .withColumn("attempt", F.lit(0))
-            .select(*FRONTIER_COLS)
         )
+        new_reqs = self._apply_authority(new_reqs).select(*FRONTIER_COLS)
         next_frontier = (
             deferred.withColumn("batch_id", F.lit(b + 1))
             .select(*FRONTIER_COLS)

@@ -154,6 +154,46 @@ def test_crawl_matches_simulator(spark, graph, sim, tmp_path_factory):
     )
 
 
+def test_prioritized_crawl_matches_simulator(spark, graph, sim,
+                                             tmp_path_factory):
+    """Crawl prioritization end-to-end: host_pagerank authority mass added
+    to every T1 priority (engine: _apply_authority; simulator: _prio) and
+    allocate_budget apportionment capping per-host admission — ordered
+    log, seen set, docs, and metrics all stay byte-identical, and the
+    ordering REALLY changed vs the unprioritized run."""
+    from crawler_spark.operators.linkgraph import (
+        allocate_budget,
+        allocate_budget_py,
+        host_pagerank,
+        host_pagerank_py,
+    )
+    from crawler_spark.simulator import _host
+
+    hosts = sorted({_host(s["url"]) for s in graph["seeds"]})
+    edges = sorted(
+        {(hosts[i], hosts[(i + 1) % len(hosts)]) for i in range(len(hosts))}
+        | {(h, hosts[0]) for h in hosts[1:]}
+    )
+    auth_py = host_pagerank_py(edges)
+    budget_py = allocate_budget_py(auth_py, 2 * len(hosts), min_per_host=1)
+    sim_p = simulate_crawl(graph, authority=auth_py, host_budgets=budget_py)
+
+    edges_df = spark.createDataFrame(edges, "src string, dst string")
+    ranks = host_pagerank(edges_df)
+    budgets = allocate_budget(ranks, 2 * len(hosts), min_per_host=1)
+    ckpt = tmp_path_factory.mktemp("ckpt_prio")
+    _, res = _run_engine(spark, graph, ckpt,
+                         authority=ranks, host_budgets=budgets)
+
+    assert _engine_log(res) == sim_p["crawl_log"]
+    assert {r.url for r in res["url_seen"].collect()} == sim_p["url_seen"]
+    assert _engine_docs(res) == _sim_docs(sim_p)
+    assert _engine_metrics(res) == sorted(sim_p["metrics"])
+    # the mode is real: ordering differs from the unprioritized crawl
+    assert sim_p["crawl_log"] != sim["crawl_log"]
+    assert sim_p["batches"] > sim["batches"]  # budget caps defer fetches
+
+
 def test_crawl_with_bloom_identical(spark, graph, sim, tmp_path_factory,
                                     monkeypatch):
     """Forcing the bloom prefilter on must not change any outcome —

@@ -113,6 +113,32 @@ def test_budget_allocation_exact_and_matches_python(spark, result):
     assert min(got.values()) >= 3
 
 
+def test_shipped_python_mirrors_match_spark(spark, result):
+    """host_pagerank_py / allocate_budget_py — the mirrors the simulator
+    uses for the prioritized-crawl oracle — are integer-identical to the
+    Spark operators (and to this test file's independent references)."""
+    from crawler_spark.operators.linkgraph import (
+        allocate_budget,
+        allocate_budget_py,
+        host_pagerank_py,
+    )
+
+    assert host_pagerank_py(EDGES, n_iter=4) == {
+        h: r.rank_micro for h, r in result.items()
+    }
+    assert host_pagerank_py(EDGES, n_iter=12) == py_pagerank(EDGES, 12)
+    rank = {h: r.rank_micro for h, r in result.items()}
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    spark_alloc = {
+        r.host: r.budget
+        for r in allocate_budget(
+            host_pagerank(edges, n_iter=4), 97, 3
+        ).collect()
+    }
+    assert allocate_budget_py(rank, 97, 3) == spark_alloc
+    assert allocate_budget_py(rank, 23) == py_allocate(rank, 23)
+
+
 def test_budget_allocation_deterministic(spark):
     from crawler_spark.operators.linkgraph import allocate_budget
 
