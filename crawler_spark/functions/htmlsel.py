@@ -12,6 +12,7 @@ selectors of the form
 
     tag .class #id [attr] [attr=value]      (simple selectors, combinable)
     [attr^=value]                           (value-prefix, quotes optional)
+    :nth-of-type(n)                         (1-based same-tag sibling pick)
     A B                                     (descendant)
     A > B                                   (child)
     A ~ B                                   (general sibling — B after A)
@@ -115,10 +116,12 @@ def parse_html(html: str) -> Node:
 
 _SIMPLE_RE = re.compile(
     r"(?P<tag>[a-zA-Z][\w-]*)?"
-    r"(?P<rest>(?:[.#][\w-]+|\[[\w-]+(?:\^?=[^\]]*)?\])*)$"
+    r"(?P<rest>(?:[.#][\w-]+|\[[\w-]+(?:\^?=[^\]]*)?\]"
+    r"|:nth-of-type\(\d+\))*)$"
 )
 _PART_RE = re.compile(
     r"\.([\w-]+)|#([\w-]+)|\[([\w-]+)(?:(\^?=)([^\]]*))?\]"
+    r"|:nth-of-type\((\d+)\)"
 )
 
 
@@ -128,18 +131,23 @@ def _parse_simple(token: str):
         raise ValueError(f"bad selector token: {token!r}")
     classes, attrs = [], []
     node_id = None
+    nth = None
     for cm in _PART_RE.finditer(m.group("rest") or ""):
         if cm.group(1):
             classes.append(cm.group(1))
         elif cm.group(2):
             node_id = cm.group(2)
+        elif cm.group(6):
+            # :nth-of-type(n) — 1-based position among same-tag element
+            # siblings (spot.py:58's 'section:nth-of-type(1)')
+            nth = int(cm.group(6))
         else:
             val = cm.group(5)
             if val is not None and len(val) >= 2 and val[0] == val[-1] \
                     and val[0] in "'\"":
                 val = val[1:-1]
             attrs.append((cm.group(3), cm.group(4), val))
-    return (m.group("tag"), classes, node_id, attrs)
+    return (m.group("tag"), classes, node_id, attrs, nth)
 
 
 def _parse_selector(sel: str):
@@ -157,13 +165,20 @@ def _parse_selector(sel: str):
 
 
 def _match(node: Node, simple) -> bool:
-    tag, classes, node_id, attrs = simple
+    tag, classes, node_id, attrs, nth = simple
     if tag and node.tag != tag:
         return False
     if node_id is not None and node.attrs.get("id") != node_id:
         return False
     if classes and not set(classes) <= node.classes():
         return False
+    if nth is not None:
+        if node.parent is None:
+            return False
+        same = [c for c in node.parent.children
+                if isinstance(c, Node) and c.tag == node.tag]
+        if same.index(node) + 1 != nth:
+            return False
     for name, op, val in attrs:
         if name not in node.attrs:
             return False

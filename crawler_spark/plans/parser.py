@@ -62,6 +62,11 @@ FORM_URL_PAGE = "form_url_page"  # POST where BOTH the URL query page and
 #                                  the form body advance, URL rebuilt from
 #                                  the originating list URL
 #                                  (piagov.py:63-72,75-110)
+API_PAGE_TPL = "api_page_tpl"  # templated API url: page += 1 while the
+#                                page gate holds and the page is non-empty
+#                                (spin.py:91-96, spot.py:46-48,
+#                                topgear.py:70-78 — the {page} twin of
+#                                API_OFFSET's {offset})
 
 PAGE_SIZE = 20  # offset step (shangbao.py:50-51 uses start=N*20)
 API_PAGE_SIZE = 10  # manila.py:80: (page-1)*10 vs totItems
@@ -92,6 +97,132 @@ def parse_site_date(raw: str | None, style: str | None,
     if raw is None:
         return as_of.replace(microsecond=0)
     try:
+        if style == "epoch_s":
+            # spot.py:40 / spin.py:92 / topgear.py:73: the API's
+            # date_published is epoch SECONDS compared (and stored via
+            # Util.format_time) as an integer — UTC render.
+            return datetime(1970, 1, 1) + timedelta(seconds=int(raw))
+        if style == "hm_dmy2":
+            # spin.py:113-118: the article's published_time meta content
+            # ('HH:MM, DD.MM.YY') re-tokenized on :,./space into
+            # [H, M, D, Mo, YY] then rendered '20YY-Mo-DD H:M:00' —
+            # token positions verbatim, zero-padding as given.
+            toks = re.split(r"[:,.\s]+", raw.strip())
+            return datetime.strptime(
+                f"20{toks[4]}-{toks[3]}-{toks[2]} {toks[0]}:{toks[1]}:00",
+                "%Y-%m-%d %H:%M:%S",
+            )
+        if style == "mdy_switch":
+            # ambala.py:88-124 / dainiksandhyaprakash.py:110-147
+            # time_adjustment: 'Month D, YYYY' through a hand-rolled month
+            # switch → 'YYYY-MM-DD 00:00:00'. doh.py:48-75's re.split(' |,')
+            # positional variant lands on the same triple.
+            m = re.search(r"(\S+) (\d+), (\d+)", raw)
+            if m and m.group(1) in MONTHS:
+                return datetime(
+                    int(m.group(3)), MONTHS[m.group(1)], int(m.group(2))
+                )
+            return as_of.replace(microsecond=0)
+        if style == "pt_dmy_hm":
+            # jb.py:63-92: re.split(',| ') positions [1]=D [3]=Mon [5]=Y
+            # [6]=HH:MM over the Portuguese byline ('Qua 26 de Mai de
+            # 2021 18:30' shape with English month abbrs incl. 'Sept').
+            t = re.split(",| ", raw)
+            if t[3] in MONTHS:
+                hh, mm = t[6].split(":")
+                return datetime(int(t[5]), MONTHS[t[3]], int(t[1]),
+                                int(hh), int(mm))
+            return as_of.replace(microsecond=0)
+        if style == "mdy_hm_dash":
+            # poorvanchalmedia.py:8-40 time_font INTENT ('Mon D, YYYY -
+            # HH:MM' → 'Y-M-D HH:MM:00'); the reference's token indexing
+            # re-splits its own first token and cannot run as written —
+            # the comment block documents the intended positions, ported
+            # here.
+            m = re.search(r"(\S+) (\d+), (\d+) - (\d+):(\d+)", raw)
+            if m and m.group(1) in MONTHS:
+                return datetime(int(m.group(3)), MONTHS[m.group(1)],
+                                int(m.group(2)), int(m.group(4)),
+                                int(m.group(5)))
+            return as_of.replace(microsecond=0)
+        if style == "mdy_hm_ampm_bugged":
+            # newstracklive.py:11-47 time_font, bug-faithful TWICE: PM
+            # adds 11 (not 12), and the MINUTE field is written from the
+            # MONTH number ('{y}-{m}-{d} {h}:{month}:00').
+            t = raw.strip().split(" ")
+            if t[0] in MONTHS:
+                mo = MONTHS[t[0]]
+                hh = int(t[3].split(":")[0])
+                if t[4] == "PM":
+                    hh += 11
+                return datetime(int(t[2]), mo, int(t[1]), hh, mo)
+            return as_of.replace(microsecond=0)
+        if style == "dh_fuzzy":
+            # divyahimachal.py:12-86 format_time2: re.split on
+            # ' ,:-th/st/nd/rd'; >4 tokens = 'Mon D(th), YYYY H:MM am/pm'
+            # (pm +12, 24→12), else 'Month D, YYYY' midnight.
+            t = re.split(" |,|:|-|th|st|nd|rd", raw)
+            if t[0].strip() not in MONTHS:
+                return as_of.replace(microsecond=0)
+            mo = MONTHS[t[0].strip()]
+            if len(t) > 4:
+                hh = int(t[-3]) if t[-1] == "am" else int(t[-3]) + 12
+                if hh == 24:
+                    hh = 12
+                return datetime(int(t[4]), mo, int(t[1]), hh, int(t[-2]))
+            return datetime(int(t[3]), mo, int(t[1]))
+        if style == "pn_dmy_hm":
+            # philippinesnews.py:57-84: re.split(' |,') positions
+            # [-6]=D [-5]=Mon [-4]=Y [-2]=HH:MM → 'Y-M-D HH:MM:00'.
+            t = re.split(" |,", raw)
+            if t[-5] in MONTHS:
+                hh, mm = t[-2].split(":")
+                return datetime(int(t[-4]), MONTHS[t[-5]], int(t[-6]),
+                                int(hh), int(mm))
+            return as_of.replace(microsecond=0)
+        if style == "tourism_mdy":
+            # tourism.py:43-69: re.split(' |,') positions [-4]=MonthFull
+            # [-3]=D [-1]=Y, midnight.
+            t = re.split(" |,", raw)
+            if t[-4] in MONTHS:
+                return datetime(int(t[-1]), MONTHS[t[-4]], int(t[-3]))
+            return as_of.replace(microsecond=0)
+        if style == "dmy_hm_ampm":
+            # haribhoomi.py:8-78 format_time2: 'D Month YYYY H:MM AM/PM'
+            # ([0]=D [1]=Month [2]=Y, [-3]:[-2] time, PM +12 with the
+            # 24→12 quirk).
+            t = re.split(" |,|:|-|th|st|nd|rd", raw)
+            if t[1].strip() in MONTHS:
+                hh = int(t[-3]) if t[-1] == "AM" else int(t[-3]) + 12
+                if hh == 24:
+                    hh = 12
+                return datetime(int(t[2]), MONTHS[t[1].strip()], int(t[0]),
+                                hh, int(t[-2]))
+            return as_of.replace(microsecond=0)
+        if style == "wdmy_hms_ampm":
+            # samacharjagat.py:8-54 format_time2: 'Weekday, D Mon YYYY
+            # H:MM:SS AM/PM' — re.split(' |,|:') positions [2]=D [3]=Mon
+            # [4]=Y [5]=H [6]=M [7]=S, PM +12, 24→12.
+            t = re.split(" |,|:", raw)
+            if t[3] in MONTHS:
+                hh = int(t[5]) if t[-1] == "AM" else int(t[5]) + 12
+                if hh == 24:
+                    hh = 12
+                return datetime(int(t[4]), MONTHS[t[3]], int(t[2]), hh,
+                                int(t[6]), int(t[7]))
+            return as_of.replace(microsecond=0)
+        if style == "mdy_hm_ampm2":
+            # tarunmitra.py:8-49 format_time2: 'MonthFull D, YYYY- H:MM
+            # AM/PM' — re.split(' |,|:|-') positions [0]=Month [1]=D
+            # [3]=Y [5]=H [-2]=M, PM +12, 24→12.
+            t = re.split(" |,|:|-", raw)
+            if t[0].strip() in MONTHS:
+                hh = int(t[5]) if t[-1] == "AM" else int(t[5]) + 12
+                if hh == 24:
+                    hh = 12
+                return datetime(int(t[3]), MONTHS[t[0].strip()], int(t[1]),
+                                hh, int(t[-2]))
+            return as_of.replace(microsecond=0)
         if style == "epoch_ms":
             # raftaar.py:56: epoch-millisecond JSON timestamps rendered
             # through time.gmtime(ms / 1000) — UTC, sub-second floored.
@@ -143,6 +274,7 @@ def _epoch(dt_str_or_none, as_of: datetime, raw: str | None,
 def next_page_request(rule: str, url: str, body: str,
                       payload: dict,
                       form_page_param: str = "page",
+                      form_max_pages_key: str | None = None,
                       ) -> tuple[str, str, str] | None:
     """Next list-page request per pagination rule → (url, method, body).
 
@@ -150,7 +282,10 @@ def next_page_request(rule: str, url: str, body: str,
     (FormRequest infinite scroll, yehey.py:70-71,103); every other rule is
     a GET with an advanced URL. ``form_page_param``: the body field that
     carries the page counter — 'page' for yehey, the theme-specific
-    'loopState[currentPage]' for bworldonline.py:72."""
+    'loopState[currentPage]' for bworldonline.py:72. ``form_max_pages_key``:
+    a body field whose value BOUNDS the counter — the page-scraped
+    max_num_pages apkaakhbar.py:74,103 rides in its own POST body, and the
+    chain stops once the next page would exceed it."""
     if rule == FORM_PAGE:
         if not payload.get("has_more"):
             return None
@@ -158,6 +293,12 @@ def next_page_request(rule: str, url: str, body: str,
             kv.split("=", 1) for kv in body.split("&") if "=" in kv
         ) if body else {}
         page = int(params.get(form_page_param, "1"))
+        if form_max_pages_key is not None:
+            try:
+                if page + 1 > int(params.get(form_max_pages_key, "0")):
+                    return None
+            except ValueError:
+                return None
         params[form_page_param] = str(page + 1)
         new_body = "&".join(f"{k}={v}" for k, v in sorted(params.items()))
         return url, "POST", new_body
@@ -204,10 +345,14 @@ def _sel_scalar(tree, spec: dict) -> str | None:
     """One value off the DOM: ``sel`` (+ optional ``index``, default 0 —
     interaksyon.py:29 reads the LAST time/page-nav element via [-1]),
     then ``attr`` (attribute value) or normalized text, then an optional
-    ``re`` whose group 1 trims the result."""
+    ``re`` whose group 1 trims the result. ``join: True`` concatenates
+    EVERY match's text instead (apkaakhbar.py:158-160's strong-tag
+    abstract accumulation)."""
     nodes = htmlsel.select(tree, spec["sel"])
     if not nodes:
         return None
+    if spec.get("join"):
+        return "".join(n.text() for n in nodes)
     try:
         n = nodes[spec.get("index", 0)]
     except IndexError:
@@ -217,6 +362,18 @@ def _sel_scalar(tree, spec: dict) -> str | None:
         m = re.search(spec["re"], val)
         val = m.group(1) if m else None
     return val
+
+
+def _page_scalar(html_text: str | None, spec) -> str | None:
+    """One scalar off a raw page (regex group 1, or a SELECTOR spec) —
+    used for gate dates read off side-fetched article pages
+    (apkaakhbar.py:61-62, ambala.py:55-56)."""
+    if html_text is None:
+        return None
+    if _is_sel(spec):
+        return _sel_scalar(htmlsel.parse_html(html_text), spec)
+    m = re.search(spec, html_text)
+    return m.group(1) if m else None
 
 
 def _effective_rules(rules: dict, url: str) -> dict:
@@ -235,10 +392,27 @@ def _effective_rules(rules: dict, url: str) -> dict:
 
 def _json_path(obj, path):
     """Walk a key/index path into parsed JSON ('items', ('item',
-    'headline', 0), ...)."""
+    'headline', 0), ...). An empty path returns the object itself —
+    APIs whose response root IS the item list (spin.py:76, spot.py:38)."""
     for p in path if isinstance(path, (list, tuple)) else (path,):
         obj = obj[p]
     return obj
+
+
+def _json_path_first(obj, spec):
+    """A path, or {'paths': [p1, p2, ...]} tried in order — the corpus'
+    conditional reads (spin.py:78-81: channel.parent.name if the parent
+    exists else channel.name; spot.py:41: image | images.main)."""
+    if isinstance(spec, dict) and "paths" in spec:
+        for p in spec["paths"]:
+            try:
+                v = _json_path(obj, p)
+            except (KeyError, IndexError, TypeError):
+                continue
+            if v is not None:
+                return v
+        raise KeyError(str(spec))
+    return _json_path(obj, spec)
 
 
 def _map_api_json(js: dict, amap: dict) -> dict:
@@ -265,21 +439,68 @@ def _map_api_json(js: dict, amap: dict) -> dict:
         items = []
     entries = []
     for it in items:
-        href = str(_json_path(it, amap["href"]))
+        try:
+            href = str(_json_path_first(it, amap["href"]))
+        except (KeyError, IndexError, TypeError):
+            if amap.get("entry_skip_bad"):
+                # spot.py:39-45: each item wrapped in try/except
+                # Exception: continue — malformed items skipped silently.
+                continue
+            raise
         if amap.get("href_prefix"):
             href = amap["href_prefix"] + href
-        entries.append(
-            {
+
+        def _opt(key):
+            if key not in amap:
+                return None
+            try:
+                return _json_path_first(it, amap[key])
+            except (KeyError, IndexError, TypeError):
+                if amap.get("entry_skip_bad"):
+                    raise
+                return None
+
+        try:
+            entry = {
                 "href": href,
-                "title": (_json_path(it, amap["title"])
-                          if "title" in amap else None),
-                "pub_time_raw": (_json_path(it, amap["time"])
-                                 if "time" in amap else None),
-                "img": None,
-                "abstract": None,
+                "title": _opt("title"),
+                "pub_time_raw": _opt("time"),
+                "img": _opt("img"),
+                "abstract": _opt("abstract"),
             }
-        )
+            # ``gate_time``: the cutoff gate reads a DIFFERENT field than
+            # the stored pub time (udaybulletin.py:70,74: gate =
+            # content-updated-at, doc = content-created-at).
+            if "gate_time" in amap:
+                entry["gate_time_raw"] = _json_path_first(
+                    it, amap["gate_time"]
+                )
+        except (KeyError, IndexError, TypeError):
+            continue  # entry_skip_bad raised through _opt
+        entries.append(entry)
     out: dict = {"entries": entries}
+    if "page_cat2_last" in amap and items:
+        # spin.py:78-89: meta['category2'] is overwritten per item inside
+        # the collection loop, but the article Requests are yielded only
+        # AFTER it — every article (and the next page) inherits the LAST
+        # item's channel name.
+        try:
+            out["cat2_last"] = _json_path_first(
+                items[-1], amap["page_cat2_last"]
+            )
+        except (KeyError, IndexError, TypeError):
+            pass
+    if "page_time_first" in amap:
+        # topgear.py:73: the page gate reads the FIRST item's
+        # date_published (newest-first feed) — one comparison per page,
+        # entries themselves never individually gated.
+        gate = None
+        if items:
+            try:
+                gate = _json_path_first(items[0], amap["page_time_first"])
+            except (KeyError, IndexError, TypeError):
+                gate = None
+        out["page_time_raw"] = gate
     if "total" in amap:
         # tolerate a response without the count — 0 stops pagination
         # instead of killing the Arrow batch
@@ -405,6 +626,17 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
         key = "category2" if kind == "menu2" else "category"
         excluded = set(rules.get("excluded_labels", ()))
         excluded_slugs = set(rules.get("excluded_slugs", ()))
+        if rules.get("fixed_categories") is not None:
+            # The page is never actually mined for links — the spider
+            # hardcodes its collection list (spin.py:60-67's 35 sport
+            # slugs); carried here as rule data in the same shape.
+            return {
+                "categories": [
+                    {"href": fc["href"], "label": fc["label"],
+                     "excluded": False}
+                    for fc in rules["fixed_categories"]
+                ]
+            }
         cats = []
         # A LIST of specs = menu GROUPS, each with a FIXED category label
         # and the matched links' text as the second-level label — the
@@ -426,6 +658,7 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                 # (piagov.py:37,43-45); applied before ``skip``.
                 if spec.get("slice"):
                     nodes = nodes[slice(*spec["slice"])]
+                stopped = False
                 for n in nodes[spec.get("skip", 0):]:
                     # ``link_sel``: the matched node is a CONTAINER (e.g. a
                     # nav <li>) and its link is a relative sub-select —
@@ -439,28 +672,69 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                         link = n
                     href = link.attr(spec.get("attr", "href"))
                     text = link.text()
-                    if fixed is None:
-                        pairs.append((href, text, None, None))
-                    else:
-                        label2 = None if spec.get("label2") is False else text
-                        pairs.append((href, fixed, label2, None))
+                    # ``stop_href``: a sentinel link ENDS the menu walk —
+                    # haribhoomi.py:110-111 breaks at '/live-tv' and every
+                    # later item is never crawled.
+                    if href == spec.get("stop_href"):
+                        stopped = True
+                        break
+                    # ``exclude_hrefs``: bare-href skips (dfa.py:38's
+                    # `if a.get("href") != "/"`).
+                    if href in spec.get("exclude_hrefs", ()):
+                        continue
+                    children = (
+                        htmlsel.select(n, spec["children_sel"])
+                        if spec.get("children_sel") else []
+                    )
+                    # ``children_skip``: drop the first n sub-links —
+                    # divyahimachal.py:122-124 walks category2_list[1:].
+                    children = children[spec.get("children_skip", 0):]
+                    # ``menu2_label_sep``: a label containing the
+                    # separator routes to a SECOND-LEVEL menu page and
+                    # keeps only the prefix as category1 —
+                    # tarunmitra.py:91-97's `if ':' in category`.
+                    lbl = text
+                    ck = None
+                    sep = spec.get("menu2_label_sep")
+                    if sep and text is not None and sep in text:
+                        lbl = text.split(sep)[0]
+                        ck = "menu2"
+                    # ``children_suppress_parent``: a top-level item WITH
+                    # children is only a grouping header, never its own
+                    # collection (udaybulletin.py:43-59's if/else — vs
+                    # raftaar.py:38-41, which yields the parent too).
+                    if not (children and spec.get("children_suppress_parent")):
+                        if fixed is None:
+                            pairs.append((href, lbl, None, None, ck))
+                        else:
+                            if spec.get("label2") is False:
+                                label2 = None
+                            elif spec.get("label2_default_unless"):
+                                # known labels keep their text, anything
+                                # else collapses to the default —
+                                # dfa.py:39-46's if/elif/else 'Events'
+                                d = spec["label2_default_unless"]
+                                label2 = (text if text in d["keep"]
+                                          else d["default"])
+                            else:
+                                label2 = text
+                            pairs.append((href, fixed, label2, None, None))
                     # ``children_sel``: a NESTED second level inside the
                     # same menu node — each relative match is a sub-link
                     # whose text becomes category2 and whose parent link
                     # rides along for slug composition (raftaar.py:40-48's
                     # li > ul > li walk under the same top item).
-                    for c in (
-                        htmlsel.select(n, spec["children_sel"])
-                        if spec.get("children_sel") else ()
-                    ):
+                    for c in children:
                         pairs.append((c.attr(spec.get("attr", "href")),
-                                      text, c.text(), href))
+                                      text, c.text(), href, None))
+                if stopped:
+                    break
             else:
                 pairs.extend(
-                    (m.group(1), m.group(2), None, None)
+                    (m.group(1), m.group(2), None, None, None)
                     for m in re.finditer(spec, html)
                 )
-        for href, label, label2, parent_href in pairs:
+        for href, label, label2, parent_href, child_kind in pairs:
             if href is None:
                 continue
             slug = href.rstrip("/").rsplit("/", 1)[-1]
@@ -474,6 +748,8 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                 cat["label2"] = label2
             if parent_href is not None:
                 cat["parent_href"] = parent_href
+            if child_kind is not None:
+                cat["child_kind"] = child_kind
             cats.append(cat)
         out = {"categories": cats}
         if rules.get("menu_dont_filter"):
@@ -482,48 +758,62 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
         return out
 
     if kind in ("list", "api"):
+        # ``require_marker``: a list page missing the marker is really an
+        # unexpected submenu — the reference logs and yields NOTHING
+        # (haribhoomi.py:121-145's find(text="View All") else-branch).
+        rm = rules.get("require_marker")
+        if rm is not None and not (
+            bool(htmlsel.select(dom(), rm["sel"])) if _is_sel(rm)
+            else bool(re.search(rm, html))
+        ):
+            return {"entries": [], "has_more": False}
         entries = []
         # ``entry`` is optional: manila's category pages carry no article
         # links at all — only the load-more API params (manila.py:59-67).
+        # A LIST of entry specs concatenates its groups in spec order —
+        # divyahimachal.py:139-146 yields the o-topnewsnew FEATURED link
+        # first, then the frame-left grid.
         erule = rules.get("entry")
-        if erule is not None and _is_sel(erule):
-            # Selector form: ``sel`` matches each entry (container or the
-            # <a> itself), IN PAGE ORDER; optional ``fields`` holds
-            # relative sub-specs (href/title/time/img/abstract) evaluated
-            # within the match — interaksyon.py:27's
-            # '.td-ss-main-content .td-module-thumb > a' loop.
-            fields = erule.get("fields")
-            for node in htmlsel.select(dom(), erule["sel"]):
-                if fields:
-                    vals = {
-                        k: _sel_scalar(node, sp) for k, sp in fields.items()
-                    }
-                else:
-                    vals = {"href": node.attr(erule.get("attr", "href")),
-                            "title": node.text() or None}
-                if vals.get("href") is None:
-                    continue
-                entries.append(
-                    {
-                        "href": vals["href"],
-                        "title": vals.get("title"),
-                        "pub_time_raw": vals.get("time"),
-                        "img": vals.get("img") or None,
-                        "abstract": vals.get("abstract") or None,
-                    }
-                )
-        else:
-            for m in re.finditer(erule, html) if erule else ():
-                d = m.groupdict()
-                entries.append(
-                    {
-                        "href": d["href"],
-                        "title": d.get("title"),
-                        "pub_time_raw": d.get("time"),
-                        "img": d.get("img") or None,
-                        "abstract": d.get("abstract") or None,
-                    }
-                )
+        especs = (erule if isinstance(erule, list)
+                  else [erule] if erule is not None else [])
+        for espec in especs:
+            if _is_sel(espec):
+                # Selector form: ``sel`` matches each entry (container or
+                # the <a> itself), IN PAGE ORDER; optional ``fields``
+                # holds relative sub-specs (href/title/time/img/abstract)
+                # evaluated within the match — interaksyon.py:27's
+                # '.td-ss-main-content .td-module-thumb > a' loop.
+                fields = espec.get("fields")
+                for node in htmlsel.select(dom(), espec["sel"]):
+                    if fields:
+                        vals = {k: _sel_scalar(node, sp)
+                                for k, sp in fields.items()}
+                    else:
+                        vals = {"href": node.attr(espec.get("attr", "href")),
+                                "title": node.text() or None}
+                    if vals.get("href") is None:
+                        continue
+                    entries.append(
+                        {
+                            "href": vals["href"],
+                            "title": vals.get("title"),
+                            "pub_time_raw": vals.get("time"),
+                            "img": vals.get("img") or None,
+                            "abstract": vals.get("abstract") or None,
+                        }
+                    )
+            else:
+                for m in re.finditer(espec, html):
+                    d = m.groupdict()
+                    entries.append(
+                        {
+                            "href": d["href"],
+                            "title": d.get("title"),
+                            "pub_time_raw": d.get("time"),
+                            "img": d.get("img") or None,
+                            "abstract": d.get("abstract") or None,
+                        }
+                    )
         out: dict = {"entries": entries}
 
         def scalar(key):
@@ -596,14 +886,34 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
             }
 
         para_ids = ids_of("para_sel")
+        if not para_ids and block.get("para_sel_fallback"):
+            # Selector fallback CHAIN — the second selector is used only
+            # when the first matches nothing (newstracklive.py:108-112's
+            # sec-info p else carousel-caption p;
+            # dainiksandhyaprakash.py:95-98's artfulstry div).
+            para_ids = {
+                id(n) for n in htmlsel.select(
+                    dom(), block["para_sel_fallback"]
+                )
+            }
         img_ids = ids_of("img_sel")
         src_attr = block.get("img_attr", "src")
+        skip_re = block.get("img_skip_re")
         for n in htmlsel.walk(dom()):
             if id(n) in para_ids:
                 paras.append(n.text())
             elif id(n) in img_ids and n.attr(src_attr) is not None:
-                imgs.append({"after_para": len(paras) - 1,
-                             "src": n.attr(src_attr)})
+                src = n.attr(src_attr)
+                if skip_re and re.search(skip_re, src):
+                    # placeholder filter — dainiksandhyaprakash.py:88-90
+                    # drops data:image/gif lazy-load stubs
+                    continue
+                imgs.append({"after_para": len(paras) - 1, "src": src})
+        if block.get("img_slice"):
+            # positional image slice — apkaakhbar.py:151's
+            # soup.select('article img')[:-3] drops the trailing
+            # sidebar/footer images
+            imgs = imgs[slice(*block["img_slice"])]
     else:
         for m in re.finditer(block, html):
             d = m.groupdict()
@@ -665,6 +975,7 @@ def parse_page(
     extract: dict | None = None,
     site: dict | None = None,
     req_kind: str | None = None,
+    side_fetch=None,
 ) -> tuple[dict | None, list[dict]]:
     """One page → (document_row | None, ordered child requests).
 
@@ -700,8 +1011,12 @@ def parse_page(
     elif fmt == "json_html":
         # The envelope key is site data: manila wraps its HTML in 'data'
         # (manila.py:71), bworldonline in 'server_reply_html_data'
-        # (bworldonline.py:60).
+        # (bworldonline.py:60). ``json_html_double``: the body is a JSON
+        # string INSIDE a JSON string — decoded twice before the key
+        # lookup (unbox.py:57's json.loads(json.loads(...))['code']).
         outer = json.loads(payload_json)
+        if site.get("json_html_double"):
+            outer = json.loads(outer)
         payload = extract_payload(
             "api",
             outer.get(site.get("json_html_key", "data")) or "",
@@ -714,7 +1029,7 @@ def parse_page(
         # 53-60's js['items'][i]['story']['slug'] walk) mapped onto the
         # generic payload shape all downstream semantics consume.
         amap = site.get("api_map")
-        if amap and kind == "api" and isinstance(payload, dict):
+        if amap and kind == "api" and isinstance(payload, (dict, list)):
             payload = _map_api_json(payload, amap)
     if isinstance(payload, dict) and payload.get("skipped"):
         # skip_if soft-404 (latestnews1.py:75-77): fetched and logged, but
@@ -761,33 +1076,84 @@ def parse_page(
                 # (raftaar.py:29,36-38). A NESTED sub-link composes its
                 # slug as '<sub>-<top>' off its parent link
                 # (raftaar.py:43-47), skipping links outside the site
-                # (py:49-50's Invalid URL log).
-                href = cat["href"]
+                # (py:49-50's Invalid URL log). ``menu_compose_labels``
+                # restricts composition to listed top labels — everywhere
+                # else the sub-link's own slug stands alone
+                # (udaybulletin.py:50-55: only 'खेल' children compose).
+                # ``menu_api_slug='path'`` keeps the whole query-stripped
+                # path as the collection (spot.py:33's href.split('?')[0]).
+                href = cat["href"].split("?")[0]
+                compose = cat.get("parent_href") is not None
+                if compose and "menu_compose_labels" in site:
+                    compose = cat["label"] in site["menu_compose_labels"]
                 if cat.get("parent_href") is not None:
                     lre = site.get("menu_link_re")
                     if lre and not re.match(lre, href):
                         continue
+                if compose:
                     slug = (href.split("/")[-1] + "-"
                             + cat["parent_href"].split("/")[-1])
+                elif site.get("menu_api_slug") == "path":
+                    slug = href
                 else:
                     slug = href.split("/")[-1]
                 off = int(site.get("menu_api_start_offset", 0))
+                page = int(site.get("menu_api_start_page", 1))
                 emit(
-                    menu_api.format(collection=slug, offset=off),
+                    menu_api.format(collection=slug, offset=off, page=page),
                     "api",
                     {"category1": cat["label"],
                      "category2": cat.get("label2"),
-                     "collection": slug, "offset": str(off)},
+                     "collection": slug, "offset": str(off),
+                     "page": str(page)},
                 )
                 continue
+            cmeta = {"category1": cat["label"],
+                     "category2": cat.get("label2")}
+            curl = cat["href"]
+            if site.get("menu_list_url_fmt"):
+                # The menu link is only a BASE — the spider bolts a page
+                # counter onto it before the first fetch (jb.py:37-40's
+                # href + '/index.php&p=' + 1); the probe pagination later
+                # rebuilds from the same base via page_url_fmt.
+                base = urljoin(url, curl)
+                cmeta["list_url"] = base
+                cmeta["page"] = "1"
+                curl = site["menu_list_url_fmt"].format(base=base, page=1)
             emit(
-                cat["href"],
-                child_kind,
-                {"category1": cat["label"], "category2": cat.get("label2")},
+                curl,
+                # a cat may route to its own child kind (tarunmitra's
+                # ':'-labeled two-level sections vs plain lists)
+                cat.get("child_kind", child_kind),
+                cmeta,
                 dont_filter=bool(payload.get("dont_filter")),
                 child_method=cat.get("method", "GET"),
                 child_body=cat.get("body", ""),
             )
+        # ``extra_lists``: hardcoded list entry points the spider yields
+        # alongside the mined menu (dfa.py:47-53's gad-feature-news +
+        # covid advisories block).
+        for ex in site.get("extra_lists", ()):
+            emit(ex["url"], "list",
+                 {"category1": ex.get("category1"),
+                  "category2": ex.get("category2")})
+        # ``menu_side_expand``: the spider side-fetches one of the mined
+        # category pages (raw requests.get) and harvests MORE list links
+        # off it (dainiksandhyaprakash.py:46-54 reads the first
+        # category's breadcrumb links as extra sections).
+        mse = site.get("menu_side_expand")
+        if mse and side_fetch is not None:
+            cats = [c for c in payload.get("categories", [])
+                    if not c.get("excluded")]
+            idx = int(mse.get("source_index", 0))
+            if 0 <= idx < len(cats):
+                src = side_fetch(urljoin(url, cats[idx]["href"]))
+                if src is not None:
+                    tree = htmlsel.parse_html(src)
+                    for a in htmlsel.select(tree, mse["sel"]):
+                        h = a.attr(mse.get("attr", "href"))
+                        if h is not None:
+                            emit(h, "list", {})
         return None, requests
 
     if eff_kind == "menu2":
@@ -843,8 +1209,14 @@ def parse_page(
                 nmeta["page"] = str(page)
                 fmt_url = site.get("page_url_fmt", "{base}?curpg={page}")
                 emit(fmt_url.format(base=base, page=page), "list", nmeta)
-        amet = dict(meta)
-        emit(url, "article", amet, pub_epoch=pt)
+        if not site.get("probe_keep_last"):
+            # ``probe_keep_last``: the last entry was ALREADY yielded as a
+            # normal article in the list loop (jb.py:47-55 yields every
+            # entry AND probes the last), so the probe only decides
+            # pagination — no self-refetch (vs maharashtratimes.py:47-59,
+            # whose probe IS the last entry's only article request).
+            amet = dict(meta)
+            emit(url, "article", amet, pub_epoch=pt)
         return None, requests
 
     if eff_kind in ("list", "api"):
@@ -865,7 +1237,40 @@ def parse_page(
                          dont_filter=True)
                     return None, requests
                 break
+        # ``api_url_state_re``: pagination state (collection, page/offset)
+        # read off the request URL itself instead of meta — STATELESS, so
+        # programmatic API seeds need no meta bootstrapping (topgear.py:
+        # 70-72 seeds the API chain directly in start_requests; the
+        # category1 group mapping lives in ``cat1_map`` as spider data,
+        # topgear.py:56-67, with category2 = the collection slug).
+        state_re = site.get("api_url_state_re")
+        if state_re and kind == "api" and "collection" not in meta:
+            sm = re.search(state_re, url)
+            if sm:
+                meta = dict(meta)
+                meta.update(
+                    {k: v for k, v in sm.groupdict().items()
+                     if v is not None}
+                )
+                coll = meta.get("collection", "")
+                if "category1" not in meta and site.get("cat1_map"):
+                    meta["category1"] = site["cat1_map"].get(coll)
+                meta.setdefault("category2", coll)
+        if "cat2_last" in payload:
+            # spin.py:78-89: every article of this page (and its next-page
+            # request) inherits the LAST item's channel name — Scrapy meta
+            # snapshot taken after the collection loop finished.
+            meta = dict(meta)
+            meta["category2"] = payload["cat2_last"]
         entries = payload.get("entries", [])
+        if site.get("page_gate_drops_entries") and cutoff_epoch is not None:
+            # topgear.py:73-77: `if len(js)==0 or js[0].date < time: break`
+            # runs BEFORE any yield — a failed page gate drops the page's
+            # entries entirely, not just its pagination.
+            ptr = payload.get("page_time_raw")
+            st = site.get("page_time_style", date_style)
+            if ptr is None or _epoch(None, as_of, ptr, st) < cutoff_epoch:
+                return None, requests
         # probe_last may be scoped to one page kind: bworldonline probes
         # only its API feed pages (bworldonline.py:62-65) while its HTML
         # category pages yield every grid entry unprobed (py:50-51); True
@@ -898,13 +1303,34 @@ def parse_page(
         # re-reads its own (latestnews1.py:55 — the next-page Request is
         # yielded without meta, so the header is the only source there).
         cat1_self = payload.get("cat1_self")
+        # ``entry_gate_fetch``: the reference decides each entry's cutoff
+        # by side-fetching the ARTICLE page with raw requests.get — a
+        # fetch Scrapy never sees (no dupefilter entry, no scheduling, no
+        # stats; apkaakhbar.py:57-66 judge_pub_time) — and reading a date
+        # off it. ``side_fetch`` is the engine/simulator seam for exactly
+        # that invisible fetch; an unavailable page degrades to the
+        # fallback-now date (passes the gate), where the reference would
+        # crash mid-callback.
+        gate_fetch = site.get("entry_gate_fetch")
+        gate_style = site.get("entry_gate_style", date_style)
+        # ``entry_time_carry``: entries missing a date inherit the last
+        # one seen — the reference mutates ONE meta dict per iteration and
+        # Scrapy snapshots it at Request construction (dfa.py:63-90's
+        # time2 carry).
+        time_carry = site.get("entry_time_carry", False)
+        carry_time = meta.get("pub_time_raw") if time_carry else None
         flag = True
         for i, entry in enumerate(entries):
-            if probe_last and i == len(entries) - 1:
+            if probe_last and i == len(entries) - 1 \
+                    and not site.get("probe_keep_last"):
                 break  # the last entry becomes the pagination probe below
             entry_meta = dict(meta)
             if cat1_self is not None:
                 entry_meta["category1"] = cat1_self
+                if site.get("cat2_from_cat1"):
+                    # both categories from the list page's own header —
+                    # newstracklive.py:86-89 sets category2 = category1
+                    entry_meta["category2"] = cat1_self
             entry_meta.update(
                 {
                     "title": entry.get("title"),
@@ -912,6 +1338,10 @@ def parse_page(
                     "lead_img": entry.get("img"),
                 }
             )
+            if time_carry:
+                if entry.get("pub_time_raw") is not None:
+                    carry_time = entry["pub_time_raw"]
+                entry_meta["pub_time_raw"] = carry_time
             if abstract_carry:
                 if entry.get("abstract") is not None:
                     carry_abstract = entry["abstract"]
@@ -920,8 +1350,27 @@ def parse_page(
             elif entry.get("abstract") is not None:
                 # list-page abstracts ride down in meta (philboxing.py:44-45)
                 entry_meta["abstract"] = entry["abstract"]
-            pt = _epoch(None, as_of, entry.get("pub_time_raw"), date_style)
-            if cutoff_epoch is None or pt >= cutoff_epoch:
+            if gate_fetch is not None and side_fetch is not None:
+                raw = _page_scalar(
+                    side_fetch(urljoin(url, entry["href"])), gate_fetch
+                )
+                pt = _epoch(None, as_of, raw, gate_style)
+            elif entry.get("gate_time_raw") is not None:
+                # api_map gate_time: gate on one field, store another
+                # (udaybulletin.py:70,74)
+                pt = _epoch(None, as_of, entry["gate_time_raw"], gate_style)
+            else:
+                pt = _epoch(
+                    None, as_of,
+                    carry_time if time_carry else entry.get("pub_time_raw"),
+                    date_style,
+                )
+            if site.get("entry_gate") is False:
+                # Entries are never individually gated — only the page
+                # gate below decides pagination; old articles are still
+                # fetched and stored (dfa.py:63-90 yields every row).
+                emit(entry["href"], "article", entry_meta, pub_epoch=pt)
+            elif cutoff_epoch is None or pt >= cutoff_epoch:
                 dont_filter = probe_first and i == 0  # maharashtratimes-style
                 emit(entry["href"], "article", entry_meta,
                      dont_filter=dont_filter, pub_epoch=pt)
@@ -946,7 +1395,12 @@ def parse_page(
         # FORM bootstrap (yehey.py:55-71): a POST infinite-scroll feed
         # seeded with fields scraped off the page (currentday) plus the
         # category slug regexed out of the list URL.
-        if flag and payload.get("form_params") and site.get("form_api_url"):
+        # ``form_bootstrap_ungated``: the bootstrap fires even when the
+        # page's own entries tripped the cutoff — apkaakhbar.py:82-107
+        # gates its HTML grid with flag1 but launches the POST chain on
+        # flag2, which the HTML page never touches.
+        if (flag or site.get("form_bootstrap_ungated")) \
+                and payload.get("form_params") and site.get("form_api_url"):
             # Scraped fields land on site-named body keys (named regex
             # groups must be identifiers, but form field names need not
             # be: bworldonline.py:54's 'loopState[atts][category_id]');
@@ -1016,6 +1470,25 @@ def parse_page(
                 flag = flag and (
                     _epoch(None, as_of, ptr, ptr_style) >= cutoff_epoch
                 )
+        if time_carry and cutoff_epoch is not None:
+            # dfa.py:91-95: pagination gated on the LAST carried entry
+            # date — None (no entry ever carried one) stops the chain.
+            flag = flag and carry_time is not None and (
+                _epoch(None, as_of, carry_time, date_style) >= cutoff_epoch
+            )
+        if site.get("page_gate_fetch_last") and side_fetch is not None \
+                and entries:
+            # ambala.py:54-64: pagination decided by side-fetching the
+            # LAST entry's article (raw requests.get, invisible to the
+            # scheduler) and reading its date — entries themselves were
+            # already yielded ungated above.
+            raw = _page_scalar(
+                side_fetch(urljoin(url, entries[-1]["href"])), gate_fetch
+            )
+            if cutoff_epoch is not None:
+                flag = flag and (
+                    _epoch(None, as_of, raw, gate_style) >= cutoff_epoch
+                )
         if flag and not probe_last:
             if rule == API_TEMPLATE:
                 # manila.py:80-82: page+1 while (page-1)*10 ≤ totItems.
@@ -1049,10 +1522,19 @@ def parse_page(
             elif rule == API_OFFSET:
                 # raftaar.py:66-70: offset += 20, next page only while the
                 # bumped offset is still under the RESPONSE's total-count.
+                # ``api_offset_total: False``: the response carries no
+                # count and the reference paginates unboundedly while the
+                # gate holds (udaybulletin.py:77-80 — which would spin
+                # forever on an exhausted collection; the non-empty-
+                # entries condition here is the deliberate safety bound,
+                # unreachable in any cutoff-gated crawl).
                 off = (int(meta.get("offset", "0"))
                        + int(site.get("api_offset_step", 20)))
-                tot = int(payload.get("total_count", 0))
-                if off < tot:
+                if site.get("api_offset_total", True):
+                    more = off < int(payload.get("total_count", 0))
+                else:
+                    more = bool(entries)
+                if more:
                     nmeta = dict(meta)
                     nmeta["offset"] = str(off)
                     emit(
@@ -1062,10 +1544,27 @@ def parse_page(
                         ),
                         "api", nmeta,
                     )
+            elif rule == API_PAGE_TPL:
+                # spin.py:91-96 / spot.py:46-48 / topgear.py:70-78: page+1
+                # off the templated collection URL while the gate holds
+                # and this page was non-empty (spin: all_time != [];
+                # spot: len(js) != 0; topgear: len(js) == 0 breaks).
+                if entries:
+                    page = int(meta.get("page", "1")) + 1
+                    nmeta = dict(meta)
+                    nmeta["page"] = str(page)
+                    emit(
+                        site["menu_api_template"].format(
+                            collection=meta.get("collection", ""),
+                            page=page,
+                        ),
+                        "api", nmeta,
+                    )
             else:
                 nxt = next_page_request(
                     rule, url, body, payload,
                     form_page_param=site.get("form_page_param", "page"),
+                    form_max_pages_key=site.get("form_max_pages_key"),
                 )
                 if nxt:
                     n_url, n_method, n_body = nxt
@@ -1110,6 +1609,12 @@ def parse_page(
             pub_raw = payload.get("pub_time_raw") or meta.get("pub_time_raw")
         else:
             pub_raw = meta.get("pub_time_raw") or payload.get("pub_time_raw")
+        if site.get("article_drop_old") and cutoff_epoch is not None:
+            # ARTICLE-level cutoff: the page was fetched (it is in the
+            # crawl log and the seen set) but an old date drops the
+            # document itself (ambala.py:73-83's parse_detail gate).
+            if _epoch(None, as_of, pub_raw, date_style) < cutoff_epoch:
+                return None, requests
         # Title source is per-site: zeenews/aajtak trust the list-scraped
         # meta (zeenews.py:114, aajtak.py:125); philboxing/manila/yehey/
         # maharashtratimes/shangbao re-read it off the article page
@@ -1126,6 +1631,12 @@ def parse_page(
         if site.get("cat1_from_url_re"):
             m = re.search(site["cat1_from_url_re"], response_url)
             cat1_url = m.group(1) if m else None
+        # category2 from its own URL segment (spot.py:57-58 reads
+        # response.url.split('/')[3] and [4] as the two categories).
+        cat2_url = None
+        if site.get("cat2_from_url_re"):
+            m = re.search(site["cat2_from_url_re"], response_url)
+            cat2_url = m.group(1) if m else None
         # Both categories split out of ONE URL path segment (malaya.py:
         # 66-72: url.split('/')[-3].split('_') — a 3-token segment yields
         # its 2nd/3rd tokens, a 2-token segment its 1st/2nd).
@@ -1142,19 +1653,36 @@ def parse_page(
                 # malformed URL degrades instead of killing the batch
                 cat1_seg = parts[0]
                 cat2_seg = parts[1] if len(parts) > 1 else None
+        # ``abstract_split``: the fallback abstract is the body's first
+        # ``take`` sentence segments on a site-specific separator —
+        # doh.py:117's body.split('.')[0] + '...',
+        # divyahimachal.py:166's body.split('।')[0],
+        # samacharjagat.py:135's two-danda concatenation.
+        asplit = site.get("abstract_split")
+        split_abstract = None
+        if asplit and paras:
+            segs = "\n".join(paras).split(asplit.get("sep", "."))
+            take = int(asplit.get("take", 1))
+            if len(segs) >= take:
+                split_abstract = ("".join(segs[:take])
+                                  + asplit.get("suffix", ""))
+            else:
+                split_abstract = "\n".join(paras)
         doc = {
             "title": title,
             # Precedence: list-page abstract in meta (philboxing.py:110) >
             # article-extracted (zeenews.py:123 fallback) > first paragraph
             # (items.py:8 default).
             "abstract": meta.get("abstract") or payload.get("abstract")
-            or (paras[0] if paras else None),
+            or split_abstract or (paras[0] if paras else None),
             # Breadcrumb categories off the article page override the meta
             # lineage (maharashtratimes.py:79-81, shangbao.py:67-71).
-            "category1": cat1_seg or cat1_url or payload.get("cat1")
-            or meta.get("category1"),
-            "category2": cat2_seg or payload.get("cat2")
-            or meta.get("category2"),
+            # ``cat1_const``/``cat2_const``: spider-hardcoded categories
+            # (tourism.py:100-101's 'News Updates'/'Featured News').
+            "category1": site.get("cat1_const") or cat1_seg or cat1_url
+            or payload.get("cat1") or meta.get("category1"),
+            "category2": site.get("cat2_const") or cat2_seg or cat2_url
+            or payload.get("cat2") or meta.get("category2"),
             "pub_time": parse_site_date(pub_raw, date_style, as_of)
             .strftime("%Y-%m-%d %H:%M:%S"),
             "spans": spans,

@@ -68,6 +68,15 @@ def simulate_crawl(
     registry = graph["registry"]
     cutoff = graph["cutoff_epoch"]
     as_of: datetime = graph["as_of"]
+
+    def _side_fetch(u: str) -> str | None:
+        # The raw requests.get side fetch some spiders gate entries with
+        # (apkaakhbar.py:57-66, ambala.py:54) — invisible to the
+        # scheduler/dupefilter, so it reads the mock web directly.
+        from crawler_spark.sources.mock_web import payload_str
+
+        pg = pages.get((u, "GET", ""))
+        return payload_str(pg) if pg is not None else None
     crawl_delays = crawl_delays or {}
     deny_prefixes = deny_prefixes or {}
 
@@ -96,8 +105,11 @@ def simulate_crawl(
     frontier: list[dict] = []
     for i, s in enumerate(graph["seeds"]):
         # A site whose start_urls point straight at a list page (no menu
-        # hop — interaksyon.py:13,25) declares seed_kind='list'.
-        seed_kind = registry.get(s["website_id"], {}).get("seed_kind", "menu")
+        # hop — interaksyon.py:13,25) declares seed_kind='list'; one whose
+        # start_requests POSTs a form feed directly (unbox.py:54-57)
+        # declares seed_method/seed_body.
+        srules = registry.get(s["website_id"], {})
+        seed_kind = srules.get("seed_kind", "menu")
         frontier.append(
             {
                 "url": s["url"],
@@ -109,8 +121,8 @@ def simulate_crawl(
                 "seq": f"{i:04d}",
                 "website_id": s["website_id"],
                 "language_id": s["language_id"],
-                "method": "GET",
-                "body": "",
+                "method": srules.get("seed_method", "GET"),
+                "body": srules.get("seed_body", ""),
             }
         )
 
@@ -287,6 +299,7 @@ def simulate_crawl(
                 extract=rule.get("extract"),
                 site=rule,
                 req_kind=r.get("parse_kind"),
+                side_fetch=_side_fetch,
             )
             if doc is not None:
                 doc_id = hashlib.md5(doc["response_url"].encode()).hexdigest()

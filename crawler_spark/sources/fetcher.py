@@ -72,6 +72,24 @@ class MockWebFetcher:
             F.col("fail_times").alias("g_fail_times"),
             F.col("required_cookie").alias("g_required_cookie"),
         ).persist()
+        self._side_map: dict[str, str] | None = None
+
+    def side_fetch_fn(self):
+        """A plain ``url -> payload | None`` callable for the in-parse
+        side fetches some spiders gate entries with (raw requests.get,
+        invisible to the scheduler — apkaakhbar.py:57-66, ambala.py:54).
+        Built lazily (one graph collect) and only when the engine sees a
+        registry that actually declares a gate-fetch rule; the returned
+        dict closure is picklable into the mapInPandas parse stage."""
+        if self._side_map is None:
+            self._side_map = {
+                r.url: r.g_payload
+                for r in self.graph.filter(
+                    (F.col("method") == "GET") & (F.col("body") == "")
+                ).select("url", "g_payload").collect()
+            }
+        side = self._side_map
+        return side.get
 
     def fetch(self, admitted: DataFrame) -> DataFrame:
         out = admitted.join(
@@ -157,6 +175,27 @@ class HttpFetcher:
         self.opener_factory = opener_factory
         self.paced = paced
         self.concurrency = max(1, int(concurrency))
+
+    def side_fetch_fn(self):
+        """In-parse side fetch (see MockWebFetcher.side_fetch_fn): a plain
+        blocking GET, exactly the raw requests.get the reference spiders
+        issue mid-callback — no retry, no dupefilter, no pacing. Returns
+        a picklable closure for the parse stage."""
+        timeout = self.timeout_s
+        factory = self.opener_factory
+
+        def _get(u: str) -> str | None:
+            import urllib.request
+
+            opener = (factory() if factory
+                      else urllib.request.build_opener())
+            try:
+                with opener.open(u, timeout=timeout) as resp:
+                    return resp.read().decode("utf-8", errors="replace")
+            except Exception:
+                return None
+
+        return _get
 
     def fetch(self, admitted: DataFrame) -> DataFrame:
         timeout = self.timeout_s

@@ -1,10 +1,10 @@
 """Real spider rule-sets as registry content, with fixtures shaped on the
-actual sites' markup (VERDICT r2 'Next round #4').
+actual sites' markup (VERDICT r2 'Next round #4', r3 'Next round #3').
 
-Eighteen deployed spiders from the reference corpus are ported as
-rules-as-data registry entries — no per-site code, only data consumed by
-the one generic extractor (plans/parser.extract_payload) and the shared
-dataflow (plans/parser.parse_page):
+Deployed spiders from the reference corpus are ported as rules-as-data
+registry entries — no per-site code, only data consumed by the one
+generic extractor (plans/parser.extract_payload) and the shared dataflow
+(plans/parser.parse_page):
 
 | site             | wid  | the behaviors it pins down | reference |
 |------------------|------|----------------------------|-----------|
@@ -26,6 +26,12 @@ dataflow (plans/parser.parse_page):
 | malaya           |  193 | DUPEFILTER-terminated pagination (the WP page-nav's last anchor taken unconditionally — self-points on the final page, the URL-seen check ends the chain), category1+2 split from one URL path segment (token-count-dependent positions), data-src lazy-load images, menu Home skip-slice | 已部署/malaya.py:29,50-60,66-83 |
 | piagov           | 1231 | three-hop POSITIONAL menus (navbar anchor [2], sections anchors [4:7]) with dont_filter category hops, URL-derived form-POST .json chain (page counter in query AND body), last-entry iso page gate with the year-0000 → 2020 patch (bug-faithful), single-article-page stop quirk, byline fallback-now dates | 已部署/piagov.py:29-61,63-110,113-141 |
 | raftaar          | 1052 | NESTED one-page two-level menu (children_sel) instantiating templated API collection URLs with composed '<sub>-<top>' slugs and off-site links skipped, offset pagination starting at 20 bounded by the response's total-count, REAL JSON schema walked by api_map field paths, epoch-millisecond dates, API-fed titles, image-less articles with abstract == body | 已部署/raftaar.py:29,32-50,52-70,72-83 |
+| apkaakhbar       | 1059 | SIDE-FETCH entry gates (judge_pub_time: every entry's cutoff decided by a raw requests.get of its article — invisible to the scheduler), Newspaper-theme admin-ajax POST chain bounded by a page-scraped max_num_pages riding in the body, bootstrap ungated by the grid's own cutoff (flag1 vs flag2), menu [1:-1] slice, strong-concat abstracts, images[:-3] slice, whole-container body | 已部署/apkaakhbar.py:52,57-66,71-107,151-161 |
+| udaybulletin     |  941 | nested one-page menu with PARENT SUPPRESSION (tops with children are grouping headers only), label-conditional slug composition (only 'खेल' children compose '<sub>-<top>'), UNBOUNDED offset API pagination closed only by the gate, gate-time ≠ stored-time epoch-ms fields (content-updated-at gates, content-created-at is stored), excluded category2 labels | 已部署/udaybulletin.py:36,41-59,63-80,83-103 |
+| spin             | 1192 | seed-variant dispatch (sport → HARDCODED 35-slug collection list, life → four id-keyed menu groups), root-LIST JSON API, last-item channel-name carry (every article of a page inherits the LAST item's category2 — meta mutated in-loop, yielded after), last-item epoch page gate, published_time meta content re-tokenized 'HH:MM, DD.MM.YY' → ISO | 已部署/spin.py:34-67,76-96,104-127 |
+| spot             |  495 | query-stripped PATH slugs in the API template (page counter from 0), per-item try/except skip of malformed entries, image path fallback (image → images.main), both categories from the ARTICLE's own URL segments, nth-of-type body scoping | 已部署/spot.py:22,33-48,56-58 |
+| topgear          |  487 | 19 programmatic API seeds with a slug→section map (incl. the launch-pad carry-over bug: no branch matches, so it inherits the previous iteration's 'columns'), stateless collection/page state read off the request URL, FIRST-item page gate that drops the page's entries entirely, every-<p> bodies with interleaved images | 已部署/topgear.py:24-78,81-96 |
+| unbox            |  485 | SEEDLESS form-POST feed (start_requests POSTs the tie-theme load-more endpoint directly — seed_method/seed_body), DOUBLE-JSON HTML envelope (json.loads twice → 'code'), last-list-date page gate, multi-tag body selection (p/em/h3 in document order) | 已部署/unbox.py:25-61,64-80 |
 
 The mock pages here are deterministic miniatures of each site's real
 markup (class names, attribute shapes, and nesting mirror the spiders'
@@ -44,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from crawler_spark.functions.dates import AAJTAK_HINDI_MONTHS, HINDI_MONTHS
 from crawler_spark.plans.parser import (
     API_OFFSET,
+    API_PAGE_TPL,
     API_TEMPLATE,
     FORM_PAGE,
     FORM_URL_PAGE,
@@ -2438,6 +2445,741 @@ def _build_piagov(g: _G) -> None:
 # Combined graph
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# apkaakhbar — side-fetch entry gates (judge_pub_time), Newspaper-theme
+# admin-ajax POST chain bounded by a page-scraped max_num_pages, menu
+# [1:-1] slice, strong-concat abstract, trailing-image slice
+# (已部署/apkaakhbar.py)
+# ---------------------------------------------------------------------------
+
+APKAAKHBAR_POST_URL = ("https://apkaakhbar.com/wp-admin/admin-ajax.php"
+                       "?td_theme_name=Newspaper&v=8.0")
+# the theme's static loopState fields (apkaakhbar.py:29-39); the dynamic
+# three (category_id, max_num_pages, currentPage) are scraped/advanced
+APKAAKHBAR_FIXED = {
+    "action": "td_ajax_loop",
+    "loopState[sidebarPosition]": "",
+    "loopState[moduleId]": "6",
+    "loopState[atts][offset]": "2",
+    "loopState[ajax_pagination_infinite_stop]": "0",
+    "loopState[server_reply_html_data]": "",
+}
+
+APKAAKHBAR_RULES = {
+    "rule": FORM_PAGE,
+    "format": "html",
+    "api_format": "json_html",  # POST replies wrap HTML in JSON
+    "json_html_key": "server_reply_html_data",  # apkaakhbar.py:92
+    "form_api_url": APKAAKHBAR_POST_URL,
+    "form_fixed_params": APKAAKHBAR_FIXED,
+    # page-scraped fields land on theme-named body keys (apkaakhbar.py:
+    # 71-77: max_num_pages regexed off a script, category_id off another)
+    "form_param_map": {"max_num_pages": "loopState[max_num_pages]",
+                       "category_id": "loopState[atts][category_id]"},
+    "form_page_param": "loopState[currentPage]",
+    "form_start_page": 1,  # first POST carries currentPage=1 (py:76,104)
+    # the chain stops once the NEXT page would exceed the scraped bound
+    # riding in the body (apkaakhbar.py:103)
+    "form_max_pages_key": "loopState[max_num_pages]",
+    # the HTML grid's gate (flag1) never touches the POST bootstrap —
+    # only the POST pages' own gate (flag2) ends the chain (py:82-107)
+    "form_bootstrap_ungated": True,
+    # judge_pub_time (py:57-66): EVERY entry is gated by side-fetching
+    # its article and reading the module date — a raw requests.get the
+    # scheduler never sees
+    "entry_gate_fetch": {"sel": ".entry-date.updated.td-module-date"},
+    "article_pub_priority": "page",  # py:156: date read off the article
+    "extract": {
+        # start_requests: #menu-td-demo-header-menu-1 li a [1:-1] (py:52)
+        "category": {"sel": "#menu-td-demo-header-menu-1 li a",
+                     "slice": [1, -1]},
+        # category page grid: .td-big-grid-wrapper > div (py:79-88)
+        "entry": {"sel": ".td-big-grid-wrapper > div",
+                  "fields": {"href": {"sel": "a", "attr": "href"},
+                             "title": {"sel": "a", "attr": "title"}}},
+        # the three dynamic loopState params scraped off the page (py:71-75)
+        "form_params": (r"tdAjaxLoop\.loopState\.max_num_pages = "
+                        r"(?P<max_num_pages>\d+)[\s\S]*?"
+                        r"'category_id':(?P<category_id>\d+)"),
+        "pub": {"sel": ".entry-date.updated.td-module-date"},
+        # abstract: EVERY <strong> text concatenated (py:157-160)
+        "abstract": {"sel": "strong", "join": True},
+        # body: the whole td-post-content container text (py:161)
+        "body_fallback": {"sel": ".td-post-content"},
+        # images: article img [:-3] — the trailing related/footer images
+        # are positionally dropped (py:151)
+        "block": {"img_sel": "article img", "img_slice": [0, -3]},
+        "variants": [
+            {   # POST replies list articles as td-block-span6 tiles
+                # (py:93-95); has_more is structural — the scraped
+                # max_num_pages bound ends the chain, not a marker
+                "match": r"admin-ajax\.php",
+                "entry": {"sel": "div.td-block-span6",
+                          "fields": {"href": {"sel": "a", "attr": "href"},
+                                     "title": {"sel": "a",
+                                               "attr": "title"}}},
+                "more": r"td-block-span6",
+            },
+        ],
+    },
+}
+
+
+def _apk_body(cat_id: str, max_pages: int, page: int) -> str:
+    """The canonical POST body parse_page constructs (sorted k=v join) —
+    the fixture must key its POST pages on the exact same string."""
+    params = dict(APKAAKHBAR_FIXED)
+    params["loopState[atts][category_id]"] = cat_id
+    params["loopState[max_num_pages]"] = str(max_pages)
+    params["loopState[currentPage]"] = str(page)
+    return "&".join(f"{k}={v}" for k, v in sorted(params.items()))
+
+
+def _apk_date(dt: datetime) -> str:
+    """'January 11, 2021' — the td-module-date text (apkaakhbar.py:61)."""
+    return f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+
+
+def _apk_article(g: _G, base: str, host: str, slug: str,
+                 dt: datetime) -> str:
+    url = f"{base}/{slug}/"
+    imgs = "".join(f'<img src="{base}/img/{slug}-{k}.jpg">'
+                   for k in range(4))  # [:-3] keeps exactly one
+    g.page(
+        url, "article",
+        f'<html><article><span class="entry-date updated td-module-date">'
+        f"{_apk_date(dt)}</span>{imgs}"
+        f"<p><strong>Lead {slug}.</strong><strong> More.</strong></p>"
+        f'<div class="td-post-content">Body of {slug} runs here.</div>'
+        f"</article></html>",
+        host,
+    )
+    return url
+
+
+def _build_apkaakhbar(g: _G) -> None:
+    step = [0]  # 5 h spacing: the cutoff (36 h) trips at entry 8
+    host = "apkaakhbar.com"
+    wid = 1059
+    g.registry[wid] = dict(APKAAKHBAR_RULES)
+    base = f"https://{host}"
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    cats = [("national", "21"), ("world", "34")]
+    menu = ('<ul id="menu-td-demo-header-menu-1">'
+            f'<li><a href="{base}/">Home</a></li>'
+            + "".join(f'<li><a href="{base}/category/{c}/">{c.title()}</a>'
+                      "</li>" for c, _ in cats)
+            + f'<li><a href="{base}/contact/">Contact</a></li></ul>')
+    g.page(base + "/", "menu", f"<html>{menu}</html>", host)
+
+    max_pages = 2
+    for cslug, cid in cats:
+        curl = f"{base}/category/{cslug}/"
+        grid = []
+        for e in range(2):
+            dt = _t(step[0], 5.0)
+            step[0] += 1
+            aurl = _apk_article(g, base, host, f"{cslug}-g{e}", dt)
+            grid.append(
+                f'<div class="td-big-grid-wrapper"><div>'
+                f'<a href="{aurl}" title="Grid {cslug} {e}"></a></div></div>'
+            )
+        script = (f"<script>tdAjaxLoop.loopState.max_num_pages = {max_pages}"
+                  f";\nvar atts = {{'category_id':{cid}}};</script>")
+        g.page(curl, "list",
+               "<html>" + "".join(grid) + script + "</html>", host)
+        for p in range(1, max_pages + 1):
+            tiles = []
+            for e in range(3):
+                dt = _t(step[0], 5.0)
+                step[0] += 1
+                aurl = _apk_article(g, base, host, f"{cslug}-p{p}-{e}", dt)
+                tiles.append(
+                    f'<div class="td-block-span6">'
+                    f'<a href="{aurl}" title="Post {cslug} {p}-{e}"></a>'
+                    f"</div>"
+                )
+            g.page(
+                APKAAKHBAR_POST_URL, "api",
+                json.dumps({"server_reply_html_data":
+                            "<html>" + "".join(tiles) + "</html>"}),
+                host, method="POST", body=_apk_body(cid, max_pages, p),
+            )
+
+
+# ---------------------------------------------------------------------------
+# udaybulletin — nested one-page menu with parent suppression and
+# label-conditional slug composition, UNBOUNDED offset API pagination,
+# gate-time ≠ stored-time epoch-ms fields (已部署/udaybulletin.py)
+# ---------------------------------------------------------------------------
+
+UDAY_BASE = "https://www.udaybulletin.com"
+UDAY_API = (UDAY_BASE + "/api/v1/collections/{collection}"
+            "?item-type=story&offset={offset}&limit=10")
+
+UDAYBULLETIN_RULES = {
+    "rule": API_OFFSET,
+    "format": "html",
+    "api_format": "json",
+    "menu_api_template": UDAY_API,  # udaybulletin.py:36
+    "menu_api_start_offset": 10,  # py:46,59: offset_num starts at 10
+    "api_offset_step": 10,  # py:78: offset_num += 10
+    # the response carries no total count and the reference paginates
+    # unboundedly while the gate holds (py:77-80)
+    "api_offset_total": False,
+    # only 'खेल' children compose '<sub>-<top>' slugs (py:49-55); every
+    # other child's own slug stands alone
+    "menu_compose_labels": ["खेल"],
+    "date_style": "epoch_ms",
+    "api_map": {
+        "entries": "items",
+        "href": ("story", "url"),  # absolute URLs (py:68)
+        "title": ("story", "headline"),
+        # stored pub time = content-created-at (py:74); the cutoff gate
+        # reads content-updated-at (py:70) — two different fields
+        "time": ("story", "content-created-at"),
+        "gate_time": ("story", "content-updated-at"),
+    },
+    "extract": {
+        # parse(): div.header-three-m__default-menu__24xMV>ul>li walk —
+        # tops with children are grouping headers only (py:41-59)
+        "category": {"sel": "div.header-three-m__default-menu__24xMV"
+                            " > ul > li",
+                     "link_sel": "a",
+                     "children_sel": "ul > li > a",
+                     "children_suppress_parent": True},
+        "excluded_labels": ["ऑटोमोबाइल", "अन्य खबर", "अन्य खेल"],  # py:47
+        # abstract div's theme class chain (py:93)
+        "abstract": {"sel": ".subheadline-m__subheadline__3H1ig"
+                            ".subheadline-m__dark__31XBm"},
+        # body paragraphs + the single lazy-loaded figure image (py:96-103)
+        "block": {"para_sel": ".arr--story-page-card-wrapper p",
+                  "img_sel": "figure img", "img_attr": "data-src"},
+    },
+}
+
+
+def _uday_item(url: str, headline: str, created: datetime,
+               updated: datetime) -> dict:
+    ems = int(created.replace(tzinfo=timezone.utc).timestamp() * 1000)
+    ums = int(updated.replace(tzinfo=timezone.utc).timestamp() * 1000)
+    return {"story": {"url": url, "headline": headline,
+                      "content-created-at": ems,
+                      "content-updated-at": ums}}
+
+
+def _build_udaybulletin(g: _G) -> None:
+    host = "www.udaybulletin.com"
+    wid = 941
+    g.registry[wid] = dict(UDAYBULLETIN_RULES)
+    g.seeds.append({"url": UDAY_BASE + "/", "website_id": wid,
+                    "language_id": 1930})
+    menu = (
+        '<div class="header-three-m__default-menu__24xMV"><ul>'
+        f'<li><a href="{UDAY_BASE}/desh">देश</a></li>'
+        f'<li><a href="{UDAY_BASE}/khel">खेल</a><ul>'
+        f'<li><a href="{UDAY_BASE}/khel/cricket">क्रिकेट</a></li>'
+        f'<li><a href="{UDAY_BASE}/khel/anya">अन्य खेल</a></li>'
+        "</ul></li>"
+        f'<li><a href="{UDAY_BASE}/manoranjan">मनोरंजन</a><ul>'
+        f'<li><a href="{UDAY_BASE}/manoranjan/film">फिल्म</a></li>'
+        f'<li><a href="{UDAY_BASE}/manoranjan/auto">ऑटोमोबाइल</a></li>'
+        "</ul></li>"
+        "</ul></div>"
+    )
+    g.page(UDAY_BASE + "/", "menu", f"<html>{menu}</html>", host)
+
+    # collections actually emitted: desh (plain top), cricket-khel
+    # (composed — label खेल), film (plain child slug)
+    for coll in ("desh", "cricket-khel", "film"):
+        step = [0]  # per collection, 8 h spacing: page 2's third entry's
+        # UPDATED time (40 h − 30 min) trips the gate — closing the
+        # otherwise-unbounded offset chain exactly as the reference's
+        # cutoff does
+        for page, off in ((1, 10), (2, 20)):
+            items = []
+            for e in range(3):
+                dt = _t(step[0], 8.0)
+                step[0] += 1
+                aurl = f"{UDAY_BASE}/story/{coll}-{page}-{e}"
+                items.append(_uday_item(
+                    aurl, f"कहानी {coll} {page}-{e}", dt,
+                    dt + timedelta(minutes=30),
+                ))
+                g.page(
+                    aurl, "article",
+                    f'<html><div class="p-alt subheadline-m__subheadline__'
+                    f'3H1ig subheadline-m__dark__31XBm">सार {coll} {page}-'
+                    f'{e}</div><div class="arr--story-page-card-wrapper">'
+                    f"<p>पहला {coll} {page}-{e}</p><p>दूसरा</p></div>"
+                    f'<figure><img data-src="{UDAY_BASE}/im/{coll}{page}'
+                    f'{e}.jpg"></figure></html>',
+                    host,
+                )
+            g.page(UDAY_API.format(collection=coll, offset=off), "api",
+                   json.dumps({"items": items}), host)
+
+
+# ---------------------------------------------------------------------------
+# spin — two seeds dispatching to a hardcoded 35-slug collection list
+# (sport) vs four selector menu groups (life), root-list JSON API with a
+# last-item channel-name carry and last-item page gate, published_time
+# meta reformat dates (已部署/spin.py)
+# ---------------------------------------------------------------------------
+
+SPIN_BASE = "https://www.spin.ph"
+SPIN_API = ("https://api.summitmedia-digital.com/spin/v1/channel/get"
+            "/{collection}/{page}/6")
+# the sport branch's collection list is spider data, kept verbatim
+# (spin.py:60-66)
+SPIN_SPORT_SLUGS = [
+    "american-football", "athletics", "badminton", "baseball", "basketball",
+    "billiards", "bowling", "boxing", "cheerdance", "chess", "cycling",
+    "dragon-boat", "extreme-sports", "football", "golf", "gymnastics",
+    "horse-racing", "karatedo", "lifestyle", "mma", "moto-racing",
+    "multisport", "polo", "rugby", "running", "sailing", "softball",
+    "swimming", "taekwondo", "volleyball", "wrestling", "tennis",
+    "triathlon", "weightlifting", "winter-sports",
+]
+
+SPIN_RULES = {
+    "rule": API_PAGE_TPL,
+    "format": "html",
+    "api_format": "json",
+    "menu_api_template": SPIN_API,
+    "menu_api_start_page": 1,  # spin.py:57: /{slug}/1/6
+    # article pub: the published_time meta content re-tokenized
+    # 'HH:MM, DD.MM.YY' → '20YY-MM-DD HH:MM:00' (spin.py:112-118)
+    "date_style": "hm_dmy2",
+    # the page gate compares the LAST item's epoch directly (py:90-92)
+    "page_time_style": "epoch_s",
+    "article_pub_priority": "page",
+    "api_map": {
+        "entries": [],  # the response root IS the item list (py:76)
+        "href": "url",
+        "href_prefix": SPIN_BASE,  # py:83
+        # category2 = channel.parent.name, else channel.name — and ALL of
+        # a page's articles inherit the LAST item's value (py:77-89)
+        "page_cat2_last": {"paths": [("channel", "parent", "name"),
+                                     ("channel", "name")]},
+        "page_time_last": "date_published",  # py:90-92
+    },
+    "extract": {
+        "title": {"sel": "h1"},  # py:120
+        "pub": {"sel": "meta[property=published_time]",
+                "attr": "content"},  # py:109-111
+        # lead image .artl__head img precedes the .wrap__ctnt paragraphs
+        # in document order (py:104-107,121-127)
+        "block": {"para_sel": ".wrap__ctnt p",
+                  "img_sel": ".artl__head img"},
+        "variants": [
+            {   # the sport seed never mines the page — 35 hardcoded
+                # slugs (spin.py:58-67)
+                "match": r"spin\.ph/\?ref=nav",
+                "fixed_categories": [
+                    {"href": s, "label": "sport"} for s in SPIN_SPORT_SLUGS
+                ],
+            },
+            {   # the life seed walks four id-keyed sub-menus (py:41-53)
+                "match": r"spin\.ph/life\?ref=nav",
+                "category": [
+                    {"sel": f"#{mid} > li", "link_sel": "a",
+                     "label": "life", "label2": False}
+                    for mid in ("menu-guide-subchs",
+                                "menu-active-lifestyle-subchs",
+                                "menu-people-subchs",
+                                "menu-cars-and-tech-subchs")
+                ],
+            },
+        ],
+    },
+}
+
+
+def _spin_meta_time(dt: datetime) -> str:
+    """'HH:MM, DD.MM.YY' — the published_time meta content shape the
+    reformat at spin.py:113-118 expects."""
+    return (f"{dt.hour:02d}:{dt.minute:02d}, "
+            f"{dt.day:02d}.{dt.month:02d}.{dt.year % 100:02d}")
+
+
+def _build_spin(g: _G) -> None:
+    host = "www.spin.ph"
+    api_host = "api.summitmedia-digital.com"
+    wid = 1192
+    g.registry[wid] = dict(SPIN_RULES)
+    sport_seed = SPIN_BASE + "/?ref=nav"
+    life_seed = SPIN_BASE + "/life?ref=nav"
+    g.seeds.append({"url": sport_seed, "website_id": wid,
+                    "language_id": 1866})
+    g.seeds.append({"url": life_seed, "website_id": wid,
+                    "language_id": 1866})
+    g.page(sport_seed, "menu", "<html><body>sport home</body></html>", host)
+    g.page(
+        life_seed, "menu",
+        "<html>"
+        '<ul id="menu-guide-subchs">'
+        f'<li><a href="{SPIN_BASE}/life/food?ref=m">Food</a></li></ul>'
+        '<ul id="menu-active-lifestyle-subchs">'
+        f'<li><a href="{SPIN_BASE}/life/fitness?ref=m">Fitness</a></li>'
+        "</ul>"
+        '<ul id="menu-people-subchs"></ul>'
+        '<ul id="menu-cars-and-tech-subchs"></ul>'
+        "</html>",
+        host,
+    )
+    live = {"basketball": "Basketball", "boxing": None,
+            "food": "Food Trips", "fitness": None}
+    for slug in SPIN_SPORT_SLUGS + ["food", "fitness"]:
+        if slug not in live:
+            # exhausted collection: empty root list → no entries, no
+            # gate date, no pagination (spin.py:90's all_time != [])
+            g.page(SPIN_API.format(collection=slug, page=1), "api",
+                   "[]", api_host)
+            continue
+        parent = live[slug]
+        step = [0]  # per collection: page 2's LAST entry (39 h) closes
+        for page in (1, 2):  # the chain at the 36 h cutoff
+            items = []
+            for e in range(2):
+                dt = _t(step[0], 13.0)
+                step[0] += 1
+                path = f"/{slug}/story-{page}-{e}"
+                chan = ({"parent": {"name": parent}, "name": slug}
+                        if parent else {"parent": None, "name": slug})
+                items.append({
+                    "url": path, "channel": chan,
+                    "date_published": int(
+                        dt.replace(tzinfo=timezone.utc).timestamp()
+                    ),
+                })
+                g.page(
+                    SPIN_BASE + path, "article",
+                    f'<html><div class="artl__head">'
+                    f'<img src="{SPIN_BASE}/th{path}.jpg"></div>'
+                    f'<meta property="published_time" '
+                    f'content="{_spin_meta_time(dt)}">'
+                    f"<h1>Spin {slug} {page}-{e}</h1>"
+                    f'<div class="wrap__ctnt"><p>spin body {slug} '
+                    f"{page}-{e} a</p><p>more</p></div></html>",
+                    host,
+                )
+            g.page(SPIN_API.format(collection=slug, page=page), "api",
+                   json.dumps(items), api_host)
+
+
+# ---------------------------------------------------------------------------
+# spot — path-slug API collections (page counter from 0), per-item
+# try/except skip, image path fallback, article categories from its own
+# URL segments (已部署/spot.py)
+# ---------------------------------------------------------------------------
+
+SPOT_BASE = "https://www.spot.ph"
+SPOT_API = ("https://api.summitmedia-digital.com/spot/v1/channel/get"
+            "{collection}/{page}/100")
+
+SPOT_RULES = {
+    "rule": API_PAGE_TPL,
+    "format": "html",
+    "api_format": "json",
+    "menu_api_template": SPOT_API,  # spot.py:22
+    "menu_api_start_page": 0,  # py:35: page starts at 0
+    "menu_api_slug": "path",  # py:33: the whole query-stripped href path
+    "date_style": "epoch_s",
+    # parse3 (py:56-58): both categories from the ARTICLE's own URL
+    "cat1_from_url_re": r"^https?://[^/]+/([^/]+)/",
+    "cat2_from_url_re": r"^https?://[^/]+/[^/]+/([^/]+)/",
+    "api_map": {
+        "entries": [],  # root list
+        "href": "url",
+        "href_prefix": SPOT_BASE,  # py:41
+        "title": "title",
+        "time": "date_published",
+        "abstract": "blurb",
+        # i['image'] if present else i['images']['main'] (py:41)
+        "img": {"paths": ["image", ("images", "main")]},
+        # each item wrapped in try/except Exception: continue (py:39-45)
+        "entry_skip_bad": True,
+    },
+    "extract": {
+        # parse(): .c-nav.c-nav--sub a[:6] (py:33)
+        "category": {"sel": ".c-nav.c-nav--sub a", "slice": [0, 6]},
+        # parse3: first content section's paragraphs (py:58)
+        "block": {"para_sel": "section.content"
+                              " > section:nth-of-type(1) p"},
+    },
+}
+
+
+def _build_spot(g: _G) -> None:
+    host = "www.spot.ph"
+    api_host = "api.summitmedia-digital.com"
+    wid = 495
+    g.registry[wid] = dict(SPOT_RULES)
+    g.seeds.append({"url": SPOT_BASE + "/", "website_id": wid,
+                    "language_id": 1866})
+    nav = ('<nav class="c-nav c-nav--sub">'
+           f'<a href="/newsfeatures?ref=nav">News</a>'
+           f'<a href="/eatdrink?ref=nav">Eat+Drink</a></nav>')
+    g.page(SPOT_BASE + "/", "menu", f"<html>{nav}</html>", host)
+
+    for coll in ("/newsfeatures", "/eatdrink"):
+        step = [0]  # per collection, 9 h spacing: page 1's third entry
+        for page in (0, 1):  # (45 h) trips the per-entry gate mid-page
+            items = []
+            for e in range(3):
+                dt = _t(step[0], 9.0)
+                step[0] += 1
+                path = f"{coll}/sub-{coll.strip('/')}/{page}{e}01/story/"
+                item = {
+                    "url": path,
+                    "title": f"Spot {coll.strip('/')} {page}-{e}",
+                    "date_published": int(
+                        dt.replace(tzinfo=timezone.utc).timestamp()
+                    ),
+                    "blurb": f"blurb {coll.strip('/')} {page}-{e}",
+                }
+                if e % 2 == 0:
+                    item["image"] = f"{SPOT_BASE}/im{coll}{page}{e}.jpg"
+                else:
+                    item["images"] = {
+                        "main": f"{SPOT_BASE}/imm{coll}{page}{e}.jpg"
+                    }
+                items.append(item)
+                g.page(
+                    SPOT_BASE + path, "article",
+                    f'<html><section class="content"><section>'
+                    f"<p>spot body {coll.strip('/')} {page}-{e}</p>"
+                    f"<p>second</p></section>"
+                    f"<section><p>related teaser — not body</p></section>"
+                    f"</section></html>",
+                    host,
+                )
+            # one malformed item exercising the try/except skip (py:39-45)
+            items.append({"title": "no url — skipped"})
+            g.page(SPOT_API.format(collection=coll, page=page), "api",
+                   json.dumps(items), api_host)
+
+
+# ---------------------------------------------------------------------------
+# topgear — programmatic API seeds over 19 collections with a
+# slug→section mapping (including the launch-pad carry-over bug), page
+# gate on the FIRST item, entries never individually gated, all-page-
+# paragraph bodies (已部署/topgear.py)
+# ---------------------------------------------------------------------------
+
+TOPGEAR_BASE = "https://www.topgear.com.ph/"
+TOPGEAR_API = ("https://api.summitmedia-digital.com/topgear/v1/channel"
+               "/get/{collection}/{page}/10")
+# the start_requests if/elif chain (topgear.py:56-67) as data. category1
+# is assigned BEFORE the loop and only reassigned when a branch matches —
+# 'launch-pad' matches none, so it inherits the PREVIOUS iteration's
+# 'columns' (wheels-of-justice). Bug-faithful.
+TOPGEAR_CAT1 = {
+    **{s: "drives" for s in ("car-reviews", "big-test")},
+    **{s: "news" for s in ("car-news", "industry-news", "motoring-news",
+                           "racing-news", "technology-news")},
+    **{s: "features" for s in ("feature-articles", "lifestyle",
+                               "tip-sheet")},
+    **{s: "columns" for s in ("head-over-wheels", "rust-n-pieces",
+                              "the-decision", "motor-mouth-online",
+                              "wheels-of-justice", "launch-pad")},
+    **{s: "moto-sapiens" for s in ("motorcycle-news", "motorcycle-feature",
+                                   "motorcycle-review")},
+}
+
+TOPGEAR_RULES = {
+    "rule": API_PAGE_TPL,
+    "format": "html",
+    "api_format": "json",
+    "seed_kind": "api",  # seeds ARE the page-0 API URLs (topgear.py:70-72)
+    "menu_api_template": TOPGEAR_API,
+    # stateless: collection + page read off the request URL itself, so
+    # the programmatic seeds need no meta bootstrap
+    "api_url_state_re": r"/channel/get/(?P<collection>[^/]+)/(?P<page>\d+)"
+                        r"/10$",
+    "cat1_map": TOPGEAR_CAT1,
+    "page_time_style": "epoch_s",  # py:73's raw epoch compare
+    # the gate check runs BEFORE any yield: a failed page drops its
+    # entries entirely (py:73-77's break-before-else)
+    "page_gate_drops_entries": True,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "api_map": {
+        "entries": [],  # root list
+        "href": "url",
+        "href_prefix": TOPGEAR_BASE,  # py:77 (trailing slash + rel url)
+        # gate: FIRST item's date_published; entries themselves are all
+        # yielded ungated (py:73-77)
+        "page_time_first": "date_published",
+    },
+    "extract": {
+        "title": {"sel": ".ch ~ div > h1"},  # py:83
+        "pub": {"sel": ".card__body"},  # py:92 — fuzzy format_time2
+        # body = EVERY <p> on the page; images interleave within them
+        # (py:86-95)
+        "block": {"para_sel": "p", "img_sel": "p img"},
+    },
+}
+
+# live collections: per-page entry ages in HOURS before BASE_DT. The 36 h
+# cutoff sits mid-chain: car-news survives two pages and dies on its
+# third's FIRST item; lifestyle dies on page 1; launch-pad's very first
+# page is already old — the reference yields NOTHING for it (the gate
+# breaks before any yield), the strongest page_gate_drops_entries probe.
+TOPGEAR_LIVE = {
+    "car-news": [(0.0, 9.0), (18.0, 27.0), (50.0, 59.0)],
+    "lifestyle": [(0.0, 9.0), (45.0, 54.0)],
+    "launch-pad": [(40.0, 49.0)],
+}
+
+
+def _build_topgear(g: _G) -> None:
+    host = "www.topgear.com.ph"
+    api_host = "api.summitmedia-digital.com"
+    wid = 487
+    g.registry[wid] = dict(TOPGEAR_RULES)
+    for coll in TOPGEAR_CAT1:
+        seed = TOPGEAR_API.format(collection=coll, page=0)
+        g.seeds.append({"url": seed, "website_id": wid,
+                        "language_id": 1866})
+        if coll not in TOPGEAR_LIVE:
+            g.page(seed, "api", "[]", api_host)
+            continue
+        for page, ages in enumerate(TOPGEAR_LIVE[coll]):
+            items = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                rel = f"{coll}/tg-{page}-{e}"
+                items.append({
+                    "url": rel,
+                    "date_published": int(
+                        dt.replace(tzinfo=timezone.utc).timestamp()
+                    ),
+                })
+                g.page(
+                    TOPGEAR_BASE + rel, "article",
+                    f'<html><div class="ch">crumb</div>'
+                    f"<div><h1>TG {coll} {page}-{e}</h1></div>"
+                    f'<div class="card__body">'
+                    f"{_MON_ABBR[dt.month - 1]} {dt.day}, {dt.year}</div>"
+                    f"<p>tg body {coll} {page}-{e} first</p>"
+                    f'<p><img src="{TOPGEAR_BASE}im/{coll}{page}{e}.jpg">'
+                    f"</p><p>tg closing para</p></html>",
+                    host,
+                )
+            g.page(TOPGEAR_API.format(collection=coll, page=page), "api",
+                   json.dumps(items), api_host)
+
+
+# ---------------------------------------------------------------------------
+# unbox — seedless form-POST feed (start_requests POSTs the theme's
+# load-more endpoint directly), DOUBLE-JSON HTML envelope, page gate on
+# the last list date, multi-tag body selection (已部署/unbox.py)
+# ---------------------------------------------------------------------------
+
+UNBOX_POST_URL = "https://www.unbox.ph/wp-admin/admin-ajax.php"
+# the tie theme's static block config (unbox.py:25-44); only 'page' moves
+UNBOX_FIXED = {
+    "action": "tie_blocks_load_more",
+    "block[order]": "latest",
+    "block[source]": "id",
+    "block[number]": "10",
+    "block[pagi]": "load-more",
+    "block[excerpt]": "true",
+    "block[post_meta]": "true",
+    "block[read_more]": "true",
+    "block[breaking_effect]": "reveal",
+    "block[sub_style]": "big",
+    "block[style]": "default",
+    "block[title_length]": "",
+    "block[excerpt_length]": "",
+    "block[media_overlay]": "",
+    "block[read_more_text]": "",
+    "width": "single",
+}
+
+UNBOX_RULES = {
+    "rule": FORM_PAGE,
+    "format": "html",
+    "api_format": "json_html",
+    "json_html_double": True,  # json.loads TWICE (unbox.py:57)
+    "json_html_key": "code",
+    "seed_kind": "api",
+    "seed_method": "POST",  # start_requests POSTs page 1 directly
+    "form_page_param": "page",
+    "extract": {
+        # li > a — hrefs only; titles come off the article (py:58-59)
+        "entry": {"sel": "li > a"},
+        "more": r"<li",  # structural: the date gate ends the chain
+        # gate: the LAST li date, fuzzy-parsed (py:60-61)
+        "page_time": {"sel": "li .date.meta-item.tie-icon", "index": -1},
+        "title": {"sel": ".entry-header > h1"},  # py:68
+        "pub": {"sel": "span.date.meta-item.tie-icon"},  # py:76
+        # body: p,em,strong,h3 inside entry-content, document order
+        # (py:70-75); images from the same container (py:78-79)
+        "block": {
+            "para_sel": [".entry-content.entry.clearfix p",
+                         ".entry-content.entry.clearfix em",
+                         ".entry-content.entry.clearfix h3"],
+            "img_sel": ".entry-content.entry.clearfix img",
+        },
+    },
+    "article_pub_priority": "page",
+    "title_priority": "page",
+}
+
+
+def _unbox_body(page: int) -> str:
+    params = dict(UNBOX_FIXED)
+    params["page"] = str(page)
+    return "&".join(f"{k}={v}" for k, v in sorted(params.items()))
+
+
+UNBOX_RULES["seed_body"] = _unbox_body(1)
+
+
+def _unbox_date(dt: datetime) -> str:
+    return f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+
+
+def _build_unbox(g: _G) -> None:
+    step = [0]  # 8 h spacing; the 36 h cutoff trips on page 2's last date
+    host = "www.unbox.ph"
+    wid = 485
+    base = f"https://{host}"
+    g.registry[wid] = dict(UNBOX_RULES)
+    g.seeds.append({"url": UNBOX_POST_URL, "website_id": wid,
+                    "language_id": 1866})
+    for page in (1, 2, 3):
+        lis = []
+        for e in range(2):
+            dt = _t(step[0], 8.0)
+            step[0] += 1
+            aurl = f"{base}/review-{page}-{e}/"
+            lis.append(
+                f'<li><a href="{aurl}"></a>'
+                f'<span class="date meta-item tie-icon">'
+                f"{_unbox_date(dt)}</span></li>"
+            )
+            g.page(
+                aurl, "article",
+                f'<html><div class="entry-header"><h1>Unbox {page}-{e}'
+                f'</h1></div><span class="date meta-item tie-icon">'
+                f"{_unbox_date(dt)}</span>"
+                f'<div class="entry-content entry clearfix">'
+                f"<h3>Specs {page}-{e}</h3><p>unbox body {page}-{e}</p>"
+                f'<img src="{base}/shot{page}{e}.png">'
+                f"<em>verdict em</em></div></html>",
+                host,
+            )
+        html = "<html><ul>" + "".join(lis) + "</ul></html>"
+        g.page(UNBOX_POST_URL, "api",
+               json.dumps(json.dumps({"code": html})),
+               host, method="POST", body=_unbox_body(page))
+
+
 SITE_BUILDERS = {
     "zeenews": _build_zeenews,
     "aajtak": _build_aajtak,
@@ -2457,6 +3199,12 @@ SITE_BUILDERS = {
     "raftaar": _build_raftaar,
     "malaya": _build_malaya,
     "piagov": _build_piagov,
+    "apkaakhbar": _build_apkaakhbar,
+    "udaybulletin": _build_udaybulletin,
+    "spin": _build_spin,
+    "spot": _build_spot,
+    "topgear": _build_topgear,
+    "unbox": _build_unbox,
 }
 
 

@@ -207,10 +207,14 @@ class CrawlEngine:
             (
                 r.url, None, None, 0, f"{i:04d}",
                 # seed_kind='list': start_urls pointing straight at a list
-                # page, no menu hop (interaksyon.py:13,25).
+                # page, no menu hop (interaksyon.py:13,25). seed_method/
+                # seed_body: start_requests POSTing a form feed directly
+                # (unbox.py:54-57).
                 registry.get(int(r.website_id), {}).get("seed_kind", "menu"),
                 False, "{}",
-                int(r.website_id), int(r.language_id), batch_id, 0, "GET", "",
+                int(r.website_id), int(r.language_id), batch_id, 0,
+                registry.get(int(r.website_id), {}).get("seed_method", "GET"),
+                registry.get(int(r.website_id), {}).get("seed_body", ""),
             )
             for i, r in enumerate(seeds.itertuples(index=False))
         ]
@@ -371,6 +375,17 @@ class CrawlEngine:
         registry_bc = self._registry_bc
         cutoff = self.cutoff_epoch
         as_of = self.as_of
+        # The in-parse side-fetch seam (apkaakhbar.py:57-66 judge_pub_time,
+        # ambala.py:54): built only when some site's rules actually gate on
+        # it — every other crawl pays nothing.
+        side = (
+            self.fetcher.side_fetch_fn()
+            if any(
+                r.get("entry_gate_fetch") or r.get("page_gate_fetch_last")
+                for r in registry_bc.value.values()
+            ) and hasattr(self.fetcher, "side_fetch_fn")
+            else None
+        )
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -395,6 +410,7 @@ class CrawlEngine:
                         extract=rule.get("extract"),
                         site=rule,
                         req_kind=row.parse_kind,
+                        side_fetch=side,
                     )
                     if doc is not None:
                         out.append(

@@ -43,6 +43,7 @@ def test_all_sites_produce_documents(sim):
     assert set(by_site) == {
         1033, 467, 1194, 190, 1225, 473, 184, 490, 532, 448, 936, 1248,
         1247, 1155, 191, 1052, 193, 1231,
+        1059, 941, 1192, 495, 487, 485,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -611,6 +612,161 @@ def test_piagov_positional_menus_form_json_chain_and_quirks(sim):
     # missing byline → fallback-now (the fixture's as_of anchor)
     assert by_url[f"{base}/regional/luzon/r-2-1"]["pub_time"] == \
         "2021-06-01 00:00:00"
+
+
+def test_apkaakhbar_side_fetch_gates_and_bounded_form_chain(sim):
+    """apkaakhbar: every entry gated by SIDE-FETCHING its article
+    (judge_pub_time — a requests.get the scheduler never sees), the
+    admin-ajax POST chain bounded by the page-scraped max_num_pages, the
+    bootstrap firing even when the HTML grid's gate already tripped
+    (flag1 vs flag2), strong-concat abstracts and the [:-3] image
+    slice."""
+    docs = _docs_by_site(sim)[1059]
+    by_url = {d["request_url"]: d for d in docs}
+    # national: grid 2 + POST p1 3 + POST p2 3, all inside the cutoff;
+    # the POST chain stops at the scraped bound (max_num_pages=2), not a
+    # date gate
+    nat = [u for u in by_url if "national" in u]
+    assert len(nat) == 8
+    # world: grid entry 0 is already old — the side-fetch gate stops the
+    # grid loop before entry 1, yet the POST bootstrap still fires
+    # (form_bootstrap_ungated) and ITS first entry's gate kills the chain
+    assert len([u for u in by_url if "world" in u]) == 0
+    fetched = [u for _b, u in sim["crawl_log"]]
+    assert sum("apkaakhbar.com/wp-admin" in u
+               for u in fetched) == 3  # nat p1+p2, world p1
+    d = by_url["https://apkaakhbar.com/national-g0/"]
+    assert d["abstract"] == "Lead national-g0.More."  # joined strongs
+    assert d["title"] == "Grid national 0"  # list-scraped title attr
+    assert d["pub_time"] == "2021-05-30 00:00:00"  # article module date
+    imgs = [s for s in d["spans"] if s["kind"] == "image"]
+    assert len(imgs) == 1  # 4 on the page, [:-3] keeps the first
+
+
+def test_udaybulletin_menu_composition_and_gate_vs_store_times(sim):
+    """udaybulletin: tops with children are suppressed, only 'खेल'
+    children compose '<sub>-<top>' slugs, excluded labels skipped, the
+    offset chain is UNBOUNDED but closes on the content-updated-at gate
+    while documents carry content-created-at."""
+    docs = _docs_by_site(sim)[941]
+    colls = {d["request_url"].split("/story/")[1].rsplit("-", 2)[0]
+             for d in docs}
+    assert colls == {"desh", "cricket-khel", "film"}
+    fetched = [u for _b, u in sim["crawl_log"]]
+    api = [u for u in fetched
+           if "udaybulletin.com/api/v1/collections/" in u]
+    # offsets 10 and 20 per collection; the updated-at gate stops 30
+    assert sum("offset=10" in u for u in api) == 3
+    assert sum("offset=20" in u for u in api) == 3
+    assert not any("offset=30" in u for u in api)
+    assert not any("anya" in u or "auto" in u for u in fetched)  # excluded
+    by_site = {d["request_url"]: d for d in docs}
+    d = by_site["https://www.udaybulletin.com/story/cricket-khel-1-0"]
+    assert d["category1"] == "खेल" and d["category2"] == "क्रिकेट"
+    assert d["title"] == "कहानी cricket-khel 1-0"  # API headline
+    assert d["pub_time"] == "2021-05-30 12:00:00"  # created-at, not updated
+    # page 2 loses its third entry to the updated-at gate: 5 per collection
+    assert len(docs) == 15
+
+
+def test_spin_fixed_collections_and_last_item_channel_carry(sim):
+    """spin: the sport seed fans out to the hardcoded 35-slug list (33
+    exhausted), the life seed walks four menu groups, category2 is the
+    LAST item's channel name for every article of the page (meta mutated
+    in-loop, yielded after), the page gate reads the last item's epoch,
+    and article dates come from the published_time meta reformat."""
+    fetched = [u for _b, u in sim["crawl_log"]]
+    api = [u for u in fetched if "spin/v1/channel" in u]
+    from crawler_spark.sources.real_sites import SPIN_SPORT_SLUGS
+
+    # every sport slug's page 1 is fetched; only live ones advance
+    assert sum("/1/6" in u for u in api) == len(SPIN_SPORT_SLUGS) + 2
+    assert sum("/2/6" in u for u in api) == 4
+    assert not any("/3/6" in u for u in api)  # page-2 last entry is old
+    docs = _docs_by_site(sim)[1192]
+    by_url = {d["request_url"]: d for d in docs}
+    d = by_url["https://www.spin.ph/basketball/story-1-0"]
+    assert (d["category1"], d["category2"]) == ("sport", "Basketball")
+    b = by_url["https://www.spin.ph/boxing/story-1-0"]
+    assert b["category2"] == "boxing"  # channel.parent None → channel.name
+    f = by_url["https://www.spin.ph/food/story-1-0"]
+    assert (f["category1"], f["category2"]) == ("life", "Food Trips")
+    assert d["pub_time"] == "2021-05-30 12:00:00"  # hm_dmy2 reformat
+    assert d["spans"][0]["kind"] == "image"  # artl__head leads
+
+
+def test_spot_path_slugs_skip_bad_items_and_url_categories(sim):
+    """spot: collections are query-stripped PATHS in the API template
+    (page counter from 0), malformed items are silently skipped, the
+    image falls back image → images.main, and both categories come off
+    the article's own URL segments."""
+    fetched = [u for _b, u in sim["crawl_log"]]
+    api = [u for u in fetched if "spot/v1/channel" in u]
+    assert any(u.endswith("/get/newsfeatures/0/100") for u in api)
+    assert any(u.endswith("/get/eatdrink/1/100") for u in api)
+    assert not any("/2/100" in u for u in api)
+    docs = _docs_by_site(sim)[495]
+    assert len(docs) == 10  # 3+2 per collection; bad items never crash
+    d = {x["request_url"]: x for x in docs}[
+        "https://www.spot.ph/newsfeatures/sub-newsfeatures/0101/story/"
+    ]
+    assert d["category1"] == "newsfeatures"
+    assert d["category2"] == "sub-newsfeatures"
+    assert d["abstract"] == "blurb newsfeatures 0-1"  # API blurb
+    assert d["spans"][0]["media_ref"].startswith(
+        "https://www.spot.ph/imm"
+    )  # images.main fallback (odd items lack 'image')
+    # the second content section is NOT body (nth-of-type(1))
+    assert all("related teaser" not in (s["text"] or "")
+               for s in d["spans"])
+
+
+def test_topgear_first_item_page_gate_drops_entries(sim):
+    """topgear: 19 programmatic API seeds (16 exhausted), the page gate
+    reads the FIRST item and a failed gate drops the page's entries
+    entirely — launch-pad (old from page 0) yields NOTHING — and the
+    slug→section map includes the launch-pad carry-over bug."""
+    docs = _docs_by_site(sim)[487]
+    assert len(docs) == 6  # car-news 4, lifestyle 2, launch-pad 0
+    assert not any("launch-pad" in d["request_url"] for d in docs)
+    cats = {(d["category1"], d["category2"]) for d in docs}
+    assert cats == {("news", "car-news"), ("features", "lifestyle")}
+    fetched = [u for _b, u in sim["crawl_log"]]
+    api = [u for u in fetched if "topgear/v1" in u]
+    assert sum(u.endswith("/0/10") for u in api) == 19  # every seed
+    # car-news reaches page 2 (dropped there); lifestyle page 1; launch-pad
+    # never advances
+    assert sum("car-news" in u for u in api) == 3
+    assert sum("lifestyle" in u for u in api) == 2
+    assert sum("launch-pad" in u for u in api) == 1
+    d = {x["request_url"]: x for x in docs}[
+        "https://www.topgear.com.ph/car-news/tg-0-0"
+    ]
+    assert d["title"] == "TG car-news 0-0"  # .ch ~ div > h1
+    # body = EVERY <p>: first para, the empty img-only para, closing para
+    texts = [s["text"] for s in d["spans"] if s["kind"] == "text"]
+    assert texts == ["tg body car-news 0-0 first", "", "tg closing para"]
+
+
+def test_unbox_post_seed_double_json_and_multitag_body(sim):
+    """unbox: the seed IS a POST to the load-more endpoint (no menu, no
+    start_urls), replies are JSON-inside-JSON HTML envelopes, pagination
+    advances the body's page field until the last list date goes stale,
+    and the body walks p/em/h3 in document order."""
+    docs = _docs_by_site(sim)[485]
+    assert len(docs) == 6  # pages 1-3 × 2; page 3's stale date stops 4
+    fetched = [u for _b, u in sim["crawl_log"]]
+    assert sum("unbox.ph/wp-admin" in u for u in fetched) == 3
+    d = {x["request_url"]: x for x in docs}[
+        "https://www.unbox.ph/review-1-0/"
+    ]
+    assert d["title"] == "Unbox 1-0"  # entry-header h1 (page wins)
+    assert d["abstract"] == "Specs 1-0"  # first non-empty element
+    kinds = [(s["kind"], s["text"]) for s in d["spans"]]
+    assert kinds == [
+        ("text", "Specs 1-0"), ("text", "unbox body 1-0"),
+        ("image", None), ("text", "verdict em"),
+    ]
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,
