@@ -151,7 +151,10 @@ def _parse_simple(token: str):
 
 
 def _parse_selector(sel: str):
-    tokens = re.findall(r"[>~+]|[^\s>~+]+", sel)
+    # bracket groups are atomic so attribute values may contain spaces —
+    # the corpus selects on full style strings, e.g.
+    # p[style="text-align: justify;"] (dfa.py:106)
+    tokens = re.findall(r"[>~+]|(?:[^\s>~+\[]|\[[^\]]*\])+", sel)
     path, comb = [], " "
     for t in tokens:
         if t in (">", "~", "+"):

@@ -1476,14 +1476,15 @@ def parse_page(
             flag = flag and carry_time is not None and (
                 _epoch(None, as_of, carry_time, date_style) >= cutoff_epoch
             )
-        if site.get("page_gate_fetch_last") and side_fetch is not None \
-                and entries:
-            # ambala.py:54-64: pagination decided by side-fetching the
-            # LAST entry's article (raw requests.get, invisible to the
-            # scheduler) and reading its date — entries themselves were
-            # already yielded ungated above.
+        pgf = site.get("page_gate_fetch_last")
+        if pgf is not None and side_fetch is not None and entries:
+            # ambala.py:54-64 / newstracklive.py:93-99: pagination decided
+            # by side-fetching the LAST entry's article (raw requests.get,
+            # invisible to the scheduler) and reading its date off the
+            # given rule — entries themselves were already yielded ungated
+            # above.
             raw = _page_scalar(
-                side_fetch(urljoin(url, entries[-1]["href"])), gate_fetch
+                side_fetch(urljoin(url, entries[-1]["href"])), pgf
             )
             if cutoff_epoch is not None:
                 flag = flag and (

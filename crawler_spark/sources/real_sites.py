@@ -32,6 +32,19 @@ generic extractor (plans/parser.extract_payload) and the shared dataflow
 | spot             |  495 | query-stripped PATH slugs in the API template (page counter from 0), per-item try/except skip of malformed entries, image path fallback (image → images.main), both categories from the ARTICLE's own URL segments, nth-of-type body scoping | 已部署/spot.py:22,33-48,56-58 |
 | topgear          |  487 | 19 programmatic API seeds with a slug→section map (incl. the launch-pad carry-over bug: no branch matches, so it inherits the previous iteration's 'columns'), stateless collection/page state read off the request URL, FIRST-item page gate that drops the page's entries entirely, every-<p> bodies with interleaved images | 已部署/topgear.py:24-78,81-96 |
 | unbox            |  485 | SEEDLESS form-POST feed (start_requests POSTs the tie-theme load-more endpoint directly — seed_method/seed_body), DOUBLE-JSON HTML envelope (json.loads twice → 'code'), last-list-date page gate, multi-tag body selection (p/em/h3 in document order) | 已部署/unbox.py:25-61,64-80 |
+| ambala           |  965 | ungated entries with ARTICLE-level doc drops (fetched+seen but stored only if fresh), pagination by SIDE-FETCHING the last entry's article date, breadcrumb category1, Month-D-Y switch dates | 已部署/ambala.py:36-64,73-83,88-124 |
+| dfa              | 1216 | menu group with a label-DEFAULT map (unknown sections collapse to 'Events'), '/' href skip, HARDCODED extra list URLs, carry-forward entry dates (undated rows inherit the last seen; the final carry gates pagination), styled-paragraph justify/center body/image split | 已部署/dfa.py:33-53,57-95,98-123 |
+| doh              | 1218 | single mined category, Drupal view lists with date carry, positional field-item image/body split, first-sentence+'...' abstracts | 已部署/doh.py:27-35,38-88,90-123 |
+| jb               |  678 | menu hrefs bolted onto an '/index.php&p=N' counter (menu_list_url_fmt), every entry yielded normally AND the last probed dont_filter for pagination ONLY (probe_keep_last), Portuguese bylines through an English month switch | 已部署/jb.py:29-40,42-55,57-96 |
+| poorvanchalmedia | 1144 | dropdown-filtered menu li's, category1 from the LIST page's own h1, list-scraped data-src lead images, last-entry meta page gate, dash-joined article times (reference token bug documented, intent ported) | 已部署/poorvanchalmedia.py:8-72,94-111,113-126 |
+| newstracklive    | 1134 | two-group menu (first three + dropdown subs), category2 = category1 from the list's own title, SIDE-FETCH last-entry page gate, the bugged date switch ported bug-for-bug (PM adds 11; the minute field is the MONTH), carousel-caption body fallback | 已部署/newstracklive.py:11-47,66-99,101-124 |
+| divyahimachal    | 1091 | slice [1:-1] nested menu with child skips + Epaper exclusion, TWO entry groups (featured-then-grid), byline page gate via the token-count dual date form (ordinals split away), EIGHTH-span article dates, danda-split abstract fallback; the reference's shared-item meta race is deliberately not replicated | 已部署/divyahimachal.py:12-86,105-135,137-152,154-176 |
+| philippinesnews  | 1209 | slice [1:4] flat menu, single-page ungated lists, title/date off a shared title_text block with positional [-6..-2] tokens | 已部署/philippinesnews.py:29-45,47-110 |
+| tourism          | 1219 | seedless static list (seed IS the list; no menu, no pagination, no gates), title regexed out beside its <small> date, CONSTANT categories | 已部署/tourism.py:16,30-36,38-107 |
+| haribhoomi       |  984 | menu walk STOPPED at the /live-tv sentinel, 'View All' list marker (pages without it yield nothing), GMT-suffix-trimmed AM/PM dates, custom <h-img> body images, positional tag-block breadcrumbs trimmed at '>' | 已部署/haribhoomi.py:8-78,101-145,147-176 |
+| samacharjagat    | 1095 | pipe-trimmed 'Weekday, D Mon Y H:MM:SS AM/PM' stamps, two-danda-segment abstracts, hspace-attribute body images with the feature image appended last | 已部署/samacharjagat.py:8-54,80-105,107-140 |
+| tarunmitra       | 1112 | ':'-labeled menu items route through a SECOND-LEVEL page whose strong links are the real sections (prefix keeps category1), slice [2:-4], dash-joined AM/PM dates | 已部署/tarunmitra.py:8-49,75-106,108-147 |
+| dainiksandhyaprakash | 999 | menu expanded by SIDE-FETCHING the first category's breadcrumb links, gif-placeholder image filter, artfulstry body fallback, icon-gated next link | 已部署/dainiksandhyaprakash.py:33-58,60-78,80-108 |
 
 The mock pages here are deterministic miniatures of each site's real
 markup (class names, attribute shapes, and nesting mirror the spiders'
@@ -3180,6 +3193,1229 @@ def _build_unbox(g: _G) -> None:
                host, method="POST", body=_unbox_body(page))
 
 
+# ---------------------------------------------------------------------------
+# ambala — ungated entries with ARTICLE-level doc drops, pagination by
+# side-fetching the LAST entry's article date, breadcrumb category,
+# Month-D-Y switch dates (已部署/ambala.py)
+# ---------------------------------------------------------------------------
+
+AMBALA_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "date_style": "mdy_switch",  # time_adjustment (ambala.py:88-124)
+    "entry_gate": False,  # every href yielded before any gate (py:50-55)
+    # pagination gated by a requests.get of the LAST entry (py:57-60)
+    "page_gate_fetch_last": {"sel": "span.thetime.date.updated"},
+    # the article itself drops the doc when old (py:73-83)
+    "article_drop_old": True,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "nav ul li", "link_sel": "a"},  # py:36-40
+        "entry": {"sel": "div.article-three-posts article",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "next": {"sel": "li.nav-previous a", "attr": "href"},  # py:62-64
+        "title": {"sel": "header h1"},
+        "pub": {"sel": "span.thetime.date.updated"},
+        "cat1": {"sel": "span.thecategory"},  # breadcrumb (py:79)
+        "block": {"para_sel": "div.thecontent p"},
+    },
+}
+
+# per-page entry ages (hours before BASE_DT): the news chain's page 2
+# simply has no nav-previous link (gate passed, chain exhausted); the
+# sports chain's page-1 LAST article is old — the side-fetch gate stops
+# pagination AND its own doc is dropped by the article-level cutoff.
+AMBALA_PAGES = {
+    "news": [(0.0, 5.0, 10.0), (15.0, 20.0, 25.0)],
+    "sports": [(30.0, 35.0, 40.0)],
+}
+
+
+def _build_ambala(g: _G) -> None:
+    host = "ambalavaani.com"
+    wid = 965
+    base = f"http://{host}"
+    g.registry[wid] = dict(AMBALA_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    menu = "".join(
+        f'<li><a href="{base}/category/{c}/">{c.title()}</a></li>'
+        for c in AMBALA_PAGES
+    )
+    g.page(base + "/", "menu", f"<html><nav><ul>{menu}</ul></nav></html>",
+           host)
+    for cslug, pages in AMBALA_PAGES.items():
+        for p, ages in enumerate(pages, 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{base}/{cslug}-story-{p}-{e}/"
+                rows.append(
+                    f'<div class="article-three-posts"><article>'
+                    f'<a href="{aurl}">t</a></article></div>'
+                )
+                g.page(
+                    aurl, "article",
+                    f"<html><header><h1>Ambala {cslug} {p}-{e}</h1>"
+                    f"</header>"
+                    f'<span class="thetime date updated">'
+                    f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}</span>"
+                    f'<span class="thecategory">{cslug.title()}</span>'
+                    f'<div class="thecontent"><p>ambala lead {p}-{e}.'
+                    f"</p><p>more text.</p></div></html>",
+                    host,
+                )
+            nxt = (f'<li class="nav-previous">'
+                   f'<a href="{base}/category/{cslug}/page/{p + 1}/">'
+                   f"Older</a></li>") if p < 2 else ""
+            lurl = (f"{base}/category/{cslug}/" if p == 1
+                    else f"{base}/category/{cslug}/page/{p}/")
+            g.page(lurl, "list",
+                   "<html>" + "".join(rows) + nxt + "</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# dfa — menu group with a label-default map, hardcoded extra list URLs,
+# carry-forward entry dates, justify/center styled-paragraph bodies
+# (已部署/dfa.py)
+# ---------------------------------------------------------------------------
+
+DFA_BASE = "https://dfa.gov.ph"
+
+DFA_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "date_style": "month_switch",  # 'D Month YYYY' switch (dfa.py:64-88)
+    "entry_gate": False,  # every row yielded, dated or not (py:63-90)
+    # entries missing a date inherit the last one seen; the final carried
+    # value gates pagination (py:63-95)
+    "entry_time_carry": True,
+    # hardcoded entry points yielded alongside the mined menu (py:47-53)
+    "extra_lists": [
+        {"url": DFA_BASE + "/gad-feature-news",
+         "category1": "Gender and Development", "category2": None},
+    ],
+    "extract": {
+        "category": [
+            {"sel": "li.item-1048 ul > li > a", "label": "News",
+             "exclude_hrefs": ["/"],
+             # known section names keep their text; everything else
+             # collapses to 'Events' (py:39-46)
+             "label2_default_unless": {
+                 "keep": ["DFA Releases", "Statements and Advisories",
+                          "News from our Foreign Service Posts"],
+                 "default": "Events"}},
+            {"sel": "li.item-1130 a", "label": "COVID-19 Advisories",
+             "label2": False},
+        ],
+        "entry": {"sel": "tbody > tr",
+                  "fields": {"href": {"sel": "a", "attr": "href"},
+                             "time": {"sel": "td.list-date"}}},
+        "next": {"sel": "li.pagination-next > a", "attr": "href"},
+        "title": {"sel": "h1.entry-title"},
+        "block": {
+            "para_sel": 'div[itemprop=articleBody]'
+                        ' p[style="text-align: justify;"]',
+            "img_sel": 'p[style="text-align: center;"] img',
+        },
+    },
+}
+
+
+def _dfa_date(dt: datetime) -> str:
+    return f"{dt.day} {_MON_FULL[dt.month - 1]} {dt.year}"
+
+
+def _build_dfa(g: _G) -> None:
+    host = "dfa.gov.ph"
+    wid = 1216
+    g.registry[wid] = dict(DFA_RULES)
+    g.seeds.append({"url": DFA_BASE + "/", "website_id": wid,
+                    "language_id": 1866})
+    menu = (
+        '<li class="item-1048 deeper parent gmenu"><ul>'
+        f'<li><a href="/">Home</a></li>'
+        f'<li><a href="{DFA_BASE}/dfa-releases">DFA Releases</a></li>'
+        f'<li><a href="{DFA_BASE}/dfa-updates">Updates</a></li>'
+        "</ul></li>"
+        f'<li class="item-1130 gmenu"><a href="{DFA_BASE}/covid-advisories">'
+        "COVID-19</a></li>"
+    )
+    g.page(DFA_BASE + "/", "menu", f"<html><nav>{menu}</nav></html>", host)
+
+    def art(slug: str, dt: datetime | None) -> str:
+        aurl = f"{DFA_BASE}/news/{slug}"
+        img = (f'<p style="text-align: center;">'
+               f'<img src="/img/{slug}.jpg"></p>')
+        g.page(
+            aurl, "article",
+            f'<html><h1 class="entry-title">DFA {slug}</h1>'
+            f'<div itemprop="articleBody">'
+            f'<p style="text-align: justify;">dfa body {slug} one</p>'
+            f'<p style="text-align: justify;">dfa body {slug} two</p>'
+            f"{img}</div></html>",
+            host,
+        )
+        d = f'<td class="list-date small">{_dfa_date(dt)}</td>' if dt else ""
+        return f'<tr><a href="{aurl}">{slug}</a>{d}</tr>'
+
+    # dfa-releases: page 1 exercises the carry (middle row undated),
+    # page 2's carried last date is stale → chain stops. The other three
+    # lists are single pages without a next link.
+    rows = [art("rel-1-0", BASE_DT),
+            art("rel-1-1", None),  # carries rel-1-0's date
+            art("rel-1-2", BASE_DT - timedelta(hours=10))]
+    g.page(
+        DFA_BASE + "/dfa-releases", "list",
+        "<html><table><tbody>" + "".join(rows) + "</tbody></table>"
+        f'<li class="pagination-next">'
+        f'<a href="{DFA_BASE}/dfa-releases?page=2">next</a></li></html>',
+        host,
+    )
+    rows = [art("rel-2-0", BASE_DT - timedelta(hours=20)),
+            art("rel-2-1", BASE_DT - timedelta(hours=40))]
+    g.page(
+        DFA_BASE + "/dfa-releases?page=2", "list",
+        "<html><table><tbody>" + "".join(rows) + "</tbody></table>"
+        f'<li class="pagination-next">'
+        f'<a href="{DFA_BASE}/dfa-releases?page=3">next</a></li></html>',
+        host,
+    )
+    for lst, slug in (("/dfa-updates", "upd"), ("/gad-feature-news", "gad"),
+                      ("/covid-advisories", "cov")):
+        rows = [art(f"{slug}-0", BASE_DT - timedelta(hours=2)),
+                art(f"{slug}-1", BASE_DT - timedelta(hours=4))]
+        g.page(DFA_BASE + lst, "list",
+               "<html><table><tbody>" + "".join(rows)
+               + "</tbody></table></html>", host)
+
+
+# ---------------------------------------------------------------------------
+# doh — single mined category, Drupal view lists with carry-forward
+# dates, positional field-item image/body split, first-sentence+ellipsis
+# abstracts (已部署/doh.py)
+# ---------------------------------------------------------------------------
+
+DOH_BASE = "https://doh.gov.ph"
+
+DOH_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "date_style": "mdy_switch",  # 'Month D, YYYY' switch (doh.py:48-75)
+    "entry_gate": False,
+    "entry_time_carry": True,  # time2 persists across undated rows
+    "extract": {
+        "category": {"sel": "li#menu-1929-1 a"},  # ONE section (py:32-35)
+        "entry": {"sel": "div.panel > div > div.view-content > div",
+                  "fields": {
+                      "href": {"sel": "a", "attr": "href"},
+                      "time": {"sel": "span.field-content.content-time"},
+                  }},
+        "next": {"sel": "li.pager-next > a", "attr": "href"},
+        "title": {"sel": "h5.page__title.title"},
+        # the 2-div field-item split is positional in the reference
+        # (py:97-105: div_list[0] image, div_list[-1] body) — the markup
+        # itself keeps images out of the body div, so one selector pair
+        # lands on the same nodes
+        "block": {"para_sel": "div.field-item.even p",
+                  "img_sel": "div.field-item.even img"},
+    },
+    # abstract = body's first sentence + '...' (py:117)
+    "abstract_split": {"sep": ".", "take": 1, "suffix": "..."},
+    "title_priority": "page",
+}
+
+
+def _build_doh(g: _G) -> None:
+    host = "doh.gov.ph"
+    wid = 1218
+    g.registry[wid] = dict(DOH_RULES)
+    g.seeds.append({"url": DOH_BASE + "/", "website_id": wid,
+                    "language_id": 1866})
+    g.page(
+        DOH_BASE + "/", "menu",
+        f'<html><li id="menu-1929-1"><a href="{DOH_BASE}/press-releases">'
+        "Press Releases</a></li></html>",
+        host,
+    )
+    pages = [(0.0, None, 12.0), (24.0, 40.0)]
+    for p, ages in enumerate(pages, 1):
+        rows = []
+        for e, age in enumerate(ages):
+            aurl = f"{DOH_BASE}/press/{p}-{e}"
+            d = ""
+            if age is not None:
+                dt = BASE_DT - timedelta(hours=age)
+                d = (f'<span class="field-content content-time">'
+                     f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+                     f"</span>")
+            rows.append(f'<div>{d}<a href="{aurl}">doh {p}-{e}</a></div>')
+            g.page(
+                aurl, "article",
+                f'<html><h5 class="page__title title">DOH {p}-{e}</h5>'
+                f'<div class="field-item even">'
+                f'<img src="{DOH_BASE}/img/{p}{e}.jpg"></div>'
+                f'<div class="field-item even">'
+                f"<p>doh first sentence {p}-{e}. doh second sentence.</p>"
+                f"</div></html>",
+                host,
+            )
+        nxt = (f'<li class="pager-next"><a href="/press-releases?page={p}">'
+               "next</a></li>") if p == 1 else ""
+        lurl = (DOH_BASE + "/press-releases" if p == 1
+                else f"{DOH_BASE}/press-releases?page={p - 1}")
+        g.page(lurl, "list",
+               f'<html><div class="panel"><div><div class="view-content">'
+               + "".join(rows) + f"</div></div></div>{nxt}</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# jb — menu hrefs bolted onto an '/index.php&p=N' counter, every entry
+# yielded AND the last probed dont_filter for pagination only,
+# Portuguese bylines through an English month switch (已部署/jb.py)
+# ---------------------------------------------------------------------------
+
+JB_BASE = "https://www.jb.com.br"
+
+JB_RULES = {
+    "rule": NEXT_LINK,  # pagination is probe-driven; no direct next link
+    "format": "html",
+    "date_style": "pt_dmy_hm",  # jb.py:63-92's positional month switch
+    "entry_gate": False,  # all entries yielded before the probe (py:47-50)
+    "probe_last": True,
+    # the last entry was already yielded normally — the probe ONLY
+    # decides pagination (py:52-55, parse_next_page yields no article)
+    "probe_keep_last": True,
+    # the menu href is only a base: '/index.php&p=' + page (py:37-40)
+    "menu_list_url_fmt": "{base}/index.php&p={page}",
+    "page_url_fmt": "{base}/index.php&p={page}",
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "div.css-1llhclm > ul.css-1vxc2sl"
+                            " > li.css-cwdrld > a.css-1wjnrbv",
+                     "skip": 1},
+        "entry": {"sel": "li.css-ye6x8s > article.css-1cp3ece"
+                         " > div.css-1l4spti > a"},
+        "title": {"sel": "h1#link-1b44e840"},
+        "pub": {"sel": "time.css-1sbuyqj"},
+        "abstract": {"sel": "p#article-summary"},
+        "block": {"para_sel": "p.css-158dogj",
+                  "img_sel": "picture > img"},
+    },
+}
+
+
+def _jb_date(dt: datetime) -> str:
+    """'Qua 26 de May de 2021 18:30' — the byline token shape jb.py:66's
+    re.split(',| ') positions expect (English month abbreviations)."""
+    return (f"Qua {dt.day} de {_MON_ABBR[dt.month - 1]} de {dt.year} "
+            f"{dt.hour}:{dt.minute:02d}")
+
+
+def _build_jb(g: _G) -> None:
+    host = "www.jb.com.br"
+    wid = 678
+    g.registry[wid] = dict(JB_RULES)
+    g.seeds.append({"url": JB_BASE + "/", "website_id": wid,
+                    "language_id": 2122})
+    menu = (
+        '<div class="css-1llhclm"><ul class="css-1vxc2sl">'
+        + "".join(
+            f'<li class="css-cwdrld"><a class="css-1wjnrbv" '
+            f'href="{JB_BASE}/{c}">{c.title()}</a></li>'
+            for c in ("home", "pais", "rio")
+        )
+        + "</ul></div>"
+    )
+    g.page(JB_BASE + "/", "menu", f"<html>{menu}</html>", host)
+    pages = {"pais": [(0.0, 10.0), (20.0, 40.0)],
+             "rio": [(5.0, 15.0), (25.0, 45.0)]}
+    for cslug, page_ages in pages.items():
+        for p, ages in enumerate(page_ages, 1):
+            lis = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{JB_BASE}/{cslug}/noticia-{p}-{e}"
+                lis.append(
+                    f'<li class="css-ye6x8s"><article class="css-1cp3ece">'
+                    f'<div class="css-1l4spti"><a href="{aurl}">t</a>'
+                    f"</div></article></li>"
+                )
+                g.page(
+                    aurl, "article",
+                    f'<html><h1 id="link-1b44e840">JB {cslug} {p}-{e}</h1>'
+                    f'<time class="css-1sbuyqj">{_jb_date(dt)}</time>'
+                    f'<picture><img src="{JB_BASE}/f/{cslug}{p}{e}.jpg">'
+                    f"</picture>"
+                    f'<p id="article-summary">resumo {cslug} {p}-{e}</p>'
+                    f'<p class="css-158dogj">corpo {cslug} {p}-{e} um</p>'
+                    f'<p class="css-158dogj">corpo dois</p></html>',
+                    host,
+                )
+            g.page(
+                f"{JB_BASE}/{cslug}/index.php&p={p}", "list",
+                '<html><ol aria-live="polite">' + "".join(lis)
+                + "</ol></html>",
+                host,
+            )
+
+
+# ---------------------------------------------------------------------------
+# poorvanchalmedia — dropdown-filtered menu, list-scraped lead images
+# (data-src), category1 from the LIST page's own title, last-entry meta
+# page gate, dash-time article dates (已部署/poorvanchalmedia.py)
+# ---------------------------------------------------------------------------
+
+PVM_BASE = "https://www.poorvanchalmedia.com"
+
+POORVANCHALMEDIA_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    # time_font's INTENT ('Mon D, YYYY - HH:MM'; the reference's token
+    # indexing re-splits its own first token — see parser.parse_site_date)
+    "date_style": "mdy_hm_dash",
+    "page_time_style": "mdy_switch",  # time_font_2 (py:42-72)
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        # only li's carrying a dropdown-toggle link are sections (py:94-97)
+        "category": {"sel": "ul.nav.navbar-nav li", "skip": 1,
+                     "link_sel": "a.dropdown-toggle.disabled"},
+        "cat1_self": {"sel": "h1.page-title"},  # py:101
+        "entry": {"sel": "#content div.post-item-image",
+                  "fields": {"href": {"sel": "a", "attr": "href"},
+                             "img": {"sel": "img", "attr": "data-src"}}},
+        # gate: the LAST post-item's meta date (py:106-111)
+        "page_time": {"sel": "#content div.post-item p.post-meta",
+                      "index": -1},
+        "next": {"sel": "ul.pagination li.next a", "attr": "href"},
+        "title": {"sel": "h1.title"},
+        "pub": {"sel": ".post-details-meta-date span.sp-left"},
+        "block": {"para_sel": ".post-text.show_data_between_para p"},
+    },
+}
+
+
+def _build_poorvanchalmedia(g: _G) -> None:
+    host = "www.poorvanchalmedia.com"
+    wid = 1144
+    g.registry[wid] = dict(POORVANCHALMEDIA_RULES)
+    g.seeds.append({"url": PVM_BASE + "/", "website_id": wid,
+                    "language_id": 1740})
+    menu = (
+        "<ul class=\"nav navbar-nav\">"
+        f'<li><a href="{PVM_BASE}/">Home</a></li>'
+        f'<li><a class="dropdown-toggle disabled" href="{PVM_BASE}/up">'
+        "यूपी</a></li>"
+        f'<li><a href="{PVM_BASE}/tv">TV</a></li>'  # no dropdown → skipped
+        f'<li><a class="dropdown-toggle disabled" href="{PVM_BASE}/bihar">'
+        "बिहार</a></li>"
+        "</ul>"
+    )
+    g.page(PVM_BASE + "/", "menu", f"<html>{menu}</html>", host)
+    pages = [(0.0, 12.0), (24.0, 40.0)]
+    for cslug, label in (("up", "यूपी खबरें"), ("bihar", "बिहार खबरें")):
+        for p, ages in enumerate(pages, 1):
+            items = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{PVM_BASE}/{cslug}/khabar-{p}-{e}"
+                items.append(
+                    f'<div class="post-item"><div class="post-item-image">'
+                    f'<a href="{aurl}"></a>'
+                    f'<img data-src="{PVM_BASE}/im/{cslug}{p}{e}.jpg">'
+                    f'</div><p class="post-meta">'
+                    f"{_MON_ABBR[dt.month - 1]} {dt.day}, {dt.year}</p>"
+                    f"</div>"
+                )
+                g.page(
+                    aurl, "article",
+                    f'<html><h1 class="title">PVM {cslug} {p}-{e}</h1>'
+                    f'<div class="post-details-meta-date">'
+                    f'<span class="sp-left">{_MON_ABBR[dt.month - 1]} '
+                    f"{dt.day}, {dt.year} - {dt.hour}:{dt.minute:02d}"
+                    f"</span></div>"
+                    f'<div class="post-text show_data_between_para">'
+                    f"<p>pvm body {cslug} {p}-{e} पहला</p><p>दूसरा</p>"
+                    f"</div></html>",
+                    host,
+                )
+            nxt = (f'<ul class="pagination"><li class="next">'
+                   f'<a href="{PVM_BASE}/{cslug}?page={p + 1}">»</a>'
+                   "</li></ul>")
+            lurl = (f"{PVM_BASE}/{cslug}" if p == 1
+                    else f"{PVM_BASE}/{cslug}?page={p}")
+            g.page(lurl, "list",
+                   f'<html><h1 class="page-title">{label}</h1>'
+                   f'<div id="content">' + "".join(items)
+                   + f"</div>{nxt}</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# newstracklive — two-group menu (first three + dropdown subs), both
+# categories from the LIST page's own title, side-fetch last-entry page
+# gate, the bugged AM/PM+minute-is-month date switch, carousel body
+# fallback (已部署/newstracklive.py)
+# ---------------------------------------------------------------------------
+
+NTL_BASE = "https://www.newstracklive.com"
+
+NEWSTRACKLIVE_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    # time_font, bug-faithful: PM adds 11 and the minute field is the
+    # MONTH number (newstracklive.py:11-47)
+    "date_style": "mdy_hm_ampm_bugged",
+    "entry_gate": False,
+    # pagination decided by requests.get of the LAST entry (py:93-99)
+    "page_gate_fetch_last": {"sel": "div.time"},
+    "cat2_from_cat1": True,  # category2 = category1 (py:86-89)
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": [
+            {"sel": "div.collapse.navbar-collapse ul li",
+             "slice": [0, 3], "link_sel": "a"},
+            {"sel": "div.collapse.navbar-collapse ul li.dropdown"
+                    " ul.dropdown-menu.text-capitalize li",
+             "link_sel": "a"},
+        ],
+        "cat1_self": {"sel": "div.main-title-outer div.main-title"},
+        "entry": {"sel": "div.col-md-4.col-sm-8.col-xs-16"
+                         " div.topic.nt_topic a"},
+        "next": {"sel": "div.ntdv_pagination li a", "index": -1,
+                 "attr": "href"},
+        "title": {"sel": ".col-sm-16.sec-info > h1"},
+        "pub": {"sel": "div.text-danger.sub-info-bordered div.time"},
+        "block": {"para_sel": ".col-sm-16.sec-info p",
+                  # body falls back to the photo-carousel captions when
+                  # the article has no sec-info paragraphs (py:108-112)
+                  "para_sel_fallback": ".carousel-caption p",
+                  "img_sel": "div.ntdv_imgcon > img"},
+    },
+}
+
+
+def _ntl_date(dt: datetime) -> str:
+    """'May 29 2021 3:45 PM' — the div.time token shape time_font
+    (newstracklive.py:11-21) splits on single spaces."""
+    h12 = dt.hour % 12 or 12
+    half = "PM" if dt.hour >= 12 else "AM"
+    return (f"{_MON_ABBR[dt.month - 1]} {dt.day} {dt.year} "
+            f"{h12}:{dt.minute:02d} {half}")
+
+
+def _build_newstracklive(g: _G) -> None:
+    host = "www.newstracklive.com"
+    wid = 1134
+    g.registry[wid] = dict(NEWSTRACKLIVE_RULES)
+    g.seeds.append({"url": NTL_BASE + "/", "website_id": wid,
+                    "language_id": 1740})
+    menu = (
+        '<div class="collapse navbar-collapse"><ul>'
+        f'<li><a href="{NTL_BASE}/news/national">National</a></li>'
+        f'<li><a href="{NTL_BASE}/news/world">World</a></li>'
+        f'<li><a href="{NTL_BASE}/news/sports">Sports</a></li>'
+        f'<li><a href="{NTL_BASE}/tv">TV</a></li>'  # beyond [:3]
+        '<li class="dropdown"><a href="#">More</a>'
+        '<ul class="dropdown-menu text-capitalize">'
+        f'<li><a href="{NTL_BASE}/news/tech">Tech</a></li>'
+        "</ul></li></ul></div>"
+    )
+    g.page(NTL_BASE + "/", "menu", f"<html>{menu}</html>", host)
+    pages = [(0.0, 14.0), (28.0, 42.0)]
+    for cslug in ("national", "world", "sports", "tech"):
+        for p, ages in enumerate(pages, 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{NTL_BASE}/{cslug}/story-{p}-{e}"
+                rows.append(
+                    f'<div class="col-md-4 col-sm-8 col-xs-16">'
+                    f'<div class="topic nt_topic"><a href="{aurl}">t</a>'
+                    f"</div></div>"
+                )
+                caro = cslug == "tech" and e == 0
+                body = (
+                    '<div class="carousel-caption"><p>ntl carousel '
+                    f"{cslug} {p}-{e}</p></div>" if caro else
+                    f'<div class="col-sm-16 sec-info">'
+                    f"<h1>NTL {cslug} {p}-{e}</h1>"
+                    f"<p>ntl body {cslug} {p}-{e}</p><p>more</p></div>"
+                )
+                head = ("" if not caro else
+                        f'<div class="col-sm-16 sec-info">'
+                        f"<h1>NTL {cslug} {p}-{e}</h1></div>")
+                g.page(
+                    aurl, "article",
+                    f"<html>{head}"
+                    f'<div class="text-danger sub-info-bordered">'
+                    f'<div class="time">{_ntl_date(dt)}</div></div>'
+                    f"{body}"
+                    f'<div class="ntdv_imgcon">'
+                    f'<img src="{NTL_BASE}/im/{cslug}{p}{e}.jpg"></div>'
+                    f"</html>",
+                    host,
+                )
+            nxt = (f'<div class="ntdv_pagination">'
+                   f'<li><a href="?page={p + 1}">next</a></li></div>')
+            lurl = (f"{NTL_BASE}/news/{cslug}" if p == 1
+                    else f"{NTL_BASE}/news/{cslug}?page={p}")
+            g.page(lurl, "list",
+                   f'<html><div class="main-title-outer pull-left">'
+                   f'<div class="main-title">{cslug.title()} News</div>'
+                   "</div>" + "".join(rows) + nxt + "</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# divyahimachal — skip-sliced nested menu with child skips, TWO entry
+# groups (featured + grid), byline page gate with the token-count dual
+# date form, 8th-span article dates, danda-split abstract fallback
+# (已部署/divyahimachal.py)
+# ---------------------------------------------------------------------------
+
+DH_BASE = "https://www.divyahimachal.com"
+
+DIVYAHIMACHAL_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    # format_time2's dual form: ordinal'd 'Mon D(th), YYYY H:MM am/pm' on
+    # articles, 'Month D, YYYY' midnight on list bylines (py:12-86).
+    # NOTE the reference mutates ONE shared item dict across its menu
+    # loop (meta={"item": item}) — which categories a doc ends up with
+    # depends on response arrival order there; this port keeps the sane
+    # per-request lineage instead of replicating the race.
+    "date_style": "dh_fuzzy",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "ul.navbar.left > li", "slice": [1, -1],
+                     "link_sel": "a", "children_sel": "ul > li > a",
+                     "children_skip": 1,
+                     "children_suppress_parent": True},
+        "excluded_labels": ["Epaper"],  # py:117-118
+        # the featured o-topnewsnew link is yielded BEFORE the grid
+        # (py:139-146)
+        "entry": [
+            {"sel": "div.o-topnewsnew",
+             "fields": {"href": {"sel": "a", "attr": "href"}}},
+            {"sel": "div.frame.left",
+             "fields": {"href": {"sel": "a", "attr": "href"}}},
+        ],
+        # gate: last byline minus its first token (py:147's
+        # text.split(" ", 1)[1])
+        "page_time": {"sel": "span.byline", "index": -1,
+                      "re": r"^\S+ (.*)$"},
+        "next": {"sel": "a.next.page-numbers", "attr": "href"},
+        "title": {"sel": "article.storybox h1"},
+        # the EIGHTH span on the page (py:162's find_all("span")[7])
+        "pub": {"sel": "span", "index": 7},
+        "abstract": {"sel": "div.content-body p > strong"},
+        "block": {"para_sel": "div.content-body p",
+                  "img_sel": "img.attachment-post-thumbnail"
+                             ".size-post-thumbnail.wp-post-image"},
+    },
+    "abstract_split": {"sep": "।"},  # py:166's body.split('।')[0]
+}
+
+
+def _dh_article_date(dt: datetime) -> str:
+    h12 = dt.hour % 12 or 12
+    half = "pm" if dt.hour >= 12 else "am"
+    return (f"{_MON_ABBR[dt.month - 1]} {dt.day}th, {dt.year} "
+            f"{h12}:{dt.minute:02d} {half}")
+
+
+def _build_divyahimachal(g: _G) -> None:
+    host = "www.divyahimachal.com"
+    wid = 1091
+    g.registry[wid] = dict(DIVYAHIMACHAL_RULES)
+    g.seeds.append({"url": DH_BASE + "/", "website_id": wid,
+                    "language_id": 1930})
+    menu = (
+        '<ul class="navbar left">'
+        f'<li><a href="/">Home</a></li>'
+        f'<li><a href="/himachal">हिमाचल</a><ul>'
+        f'<li><a href="/himachal">सभी</a></li>'  # children_skip drops this
+        f'<li><a href="/himachal/shimla">शिमला</a></li>'
+        f'<li><a href="/himachal/mandi">मंडी</a></li>'
+        "</ul></li>"
+        f'<li><a href="/desh">देश</a></li>'
+        f'<li><a href="/epaper">Epaper</a></li>'
+        f'<li><a href="/dh-tv">DH TV</a></li>'  # [1:-1] drops this
+        "</ul>"
+    )
+    g.page(DH_BASE + "/", "menu", f"<html>{menu}</html>", host)
+
+    def art(slug: str, dt: datetime) -> str:
+        aurl = f"{DH_BASE}/story/{slug}"
+        fillers = "".join(f"<span>m{k}</span>" for k in range(7))
+        g.page(
+            aurl, "article",
+            f"<html>{fillers}<span>{_dh_article_date(dt)}</span>"
+            f'<article class="storybox"><h1>DH {slug}</h1></article>'
+            f'<img class="attachment-post-thumbnail '
+            f'size-post-thumbnail wp-post-image" src="/th/{slug}.jpg">'
+            f'<div class="content-body"><p><strong>सार {slug}</strong>'
+            f"</p><p>पहला वाक्य {slug}। दूसरा वाक्य।</p></div></html>",
+            host,
+        )
+        return aurl
+
+    pages = [(0.0, 8.0, 16.0), (24.0, 32.0, 40.0)]
+    for cpath in ("/himachal/shimla", "/himachal/mandi", "/desh"):
+        cslug = cpath.rsplit("/", 1)[-1]
+        for p, ages in enumerate(pages, 1):
+            dts = [BASE_DT - timedelta(hours=a) for a in ages]
+            featured = art(f"{cslug}-f{p}", dts[0])
+            frames = "".join(
+                f'<div class="frame left">'
+                f'<a href="{art(f"{cslug}-{p}-{e}", dt)}">t</a>'
+                f'<span class="byline">By {_MON_FULL[dt.month - 1]} '
+                f"{dt.day}, {dt.year}</span></div>"
+                for e, dt in enumerate(dts[1:])
+            )
+            nxt = (f'<a class="next page-numbers" '
+                   f'href="{DH_BASE}{cpath}/page/{p + 1}/">»</a>')
+            lurl = (DH_BASE + cpath if p == 1
+                    else f"{DH_BASE}{cpath}/page/{p}/")
+            g.page(lurl, "list",
+                   f'<html><div class="o-topnewsnew">'
+                   f'<a href="{featured}">f</a></div>{frames}{nxt}</html>',
+                   host)
+
+
+# ---------------------------------------------------------------------------
+# philippinesnews — sliced flat menu, single-page lists with no
+# pagination and no gating, title/date off a shared title_text block
+# (已部署/philippinesnews.py)
+# ---------------------------------------------------------------------------
+
+PN_BASE = "https://www.philippinesnews.net"
+
+PHILIPPINESNEWS_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "date_style": "pn_dmy_hm",  # py:57-84's [-6..-2] positional switch
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "ul.dropdown.menu li a", "slice": [1, 4]},
+        "entry": {"sel": "div.media-object-section h5",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "title": {"sel": "div.title_text a"},
+        "pub": {"sel": "div.title_text p"},
+        "block": {"para_sel": "div.detail_text p",
+                  "img_sel": "div.article_image img"},
+    },
+}
+
+
+def _build_philippinesnews(g: _G) -> None:
+    host = "www.philippinesnews.net"
+    wid = 1209
+    g.registry[wid] = dict(PHILIPPINESNEWS_RULES)
+    g.seeds.append({"url": PN_BASE + "/", "website_id": wid,
+                    "language_id": 1866})
+    menu = ('<ul class="dropdown menu">'
+            + "".join(f'<li><a href="/{c}">{c.title()}</a></li>'
+                      for c in ("home", "news", "sport", "biz", "extra"))
+            + "</ul>")
+    g.page(PN_BASE + "/", "menu", f"<html>{menu}</html>", host)
+    step = [0]
+    for cslug in ("news", "sport", "biz"):
+        rows = []
+        for e in range(3):
+            dt = _t(step[0], 3.0)
+            step[0] += 1
+            aurl = f"{PN_BASE}/{cslug}/item-{e}"
+            rows.append(f'<div class="media-object-section"><h5>'
+                        f'<a href="/{cslug}/item-{e}">t</a></h5></div>')
+            g.page(
+                aurl, "article",
+                f'<html><div class="title_text"><a href="#">PN {cslug} '
+                f"{e}</a><p>Updated {dt.day} "
+                f"{_MON_ABBR[dt.month - 1]} {dt.year} at "
+                f"{dt.hour}:{dt.minute:02d} PST</p></div>"
+                f'<div class="detail_text"><p>pn body {cslug} {e}</p>'
+                f"<p>second para</p></div>"
+                f'<div class="article_image">'
+                f'<img src="{PN_BASE}/i/{cslug}{e}.jpg"></div></html>',
+                host,
+            )
+        g.page(f"{PN_BASE}/{cslug}", "list",
+               "<html>" + "".join(rows) + "</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# tourism — seedless static list (no menu, no pagination, no gates),
+# title regexed out from beside its date <small>, constant categories
+# (已部署/tourism.py)
+# ---------------------------------------------------------------------------
+
+TOURISM_BASE = "http://www.tourism.gov.ph"
+
+TOURISM_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "seed_kind": "list",  # start_urls IS the list (tourism.py:16,30-36)
+    "date_style": "tourism_mdy",  # py:43-69's [-4..-1] switch
+    "cat1_const": "News Updates",  # py:100-101
+    "cat2_const": "Featured News",
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "entry": {"sel": "h4.media-heading > a"},
+        # title = the page-header text with its <small> extracted
+        # (py:72-74) — regex keeps everything before the tag
+        "title": r'<h2 class="page-header">([^<]+?)\s*<small',
+        "pub": {"sel": "h2.page-header > small"},
+        "block": {"para_sel": "div.col-md-12 > p",
+                  "img_sel": "center > img"},
+    },
+}
+
+
+def _build_tourism(g: _G) -> None:
+    host = "www.tourism.gov.ph"
+    wid = 1219
+    g.registry[wid] = dict(TOURISM_RULES)
+    g.seeds.append({"url": TOURISM_BASE + "/news", "website_id": wid,
+                    "language_id": 1866})
+    rows = []
+    for e in range(4):
+        dt = _t(e, 4.0)
+        aurl = f"{TOURISM_BASE}/news/update-{e}"
+        rows.append(f'<h4 class="media-heading">'
+                    f'<a href="/news/update-{e}">t</a></h4>')
+        g.page(
+            aurl, "article",
+            f'<html><h2 class="page-header">Tourism Update {e} '
+            f"<small>on {_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+            f"</small></h2>"
+            f'<div class="col-md-12"><p>tourism body {e} single line</p>'
+            f"</div><center><img src=\"/img/t{e}.jpg\"></center></html>",
+            host,
+        )
+    g.page(TOURISM_BASE + "/news", "list",
+           "<html>" + "".join(rows) + "</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# haribhoomi — sentinel-terminated menu walk, 'View All' list marker
+# (pages without it yield nothing), GMT-suffixed AM/PM dates, custom
+# <h-img> body images, positional tag-block breadcrumbs
+# (已部署/haribhoomi.py)
+# ---------------------------------------------------------------------------
+
+HB_BASE = "https://www.haribhoomi.com"
+
+HARIBHOOMI_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "date_style": "dmy_hm_ampm",  # py:8-78 'D Month YYYY H:MM AM/PM'
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        # the walk BREAKS at the /live-tv link — everything after is
+        # never crawled (py:110-111)
+        "category": {"sel": "div.main-menu.navbar-collapse.collapse"
+                            " nav ul a",
+                     "stop_href": "/live-tv"},
+        # a page without 'View All' is an unexpected submenu: log-and-
+        # yield-nothing (py:121,144-145)
+        "require_marker": r"View All",
+        "entry": {"sel": "div.news_listing_main_v2 div.list_content",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "page_time": {"sel": "div.list_content span.convert-to-localtime",
+                      "index": -1, "re": r"^(.*?)(?: GMT.*)?$"},
+        "next": {"sel": "a.page-numbers.next.last", "attr": "href"},
+        "title": {"sel": "h1"},
+        "pub": {"sel": "span.convert-to-localtime",
+                "re": r"^(.*?)(?: GMT.*)?$"},
+        "abstract": {"sel": "h2.desc_data"},
+        # tag-block breadcrumbs, positional: a[1] = category1, a[2] =
+        # category2, text trimmed at '>' (py:169-170)
+        "cat1": {"sel": "div.tag-block a", "index": 1,
+                 "re": r"^\s*([^>]*[^>\s])"},
+        "cat2": {"sel": "div.tag-block a", "index": 2,
+                 "re": r"^\s*([^>]*[^>\s])"},
+        "block": {"para_sel": "div.story_content p",
+                  "img_sel": ["div.image-wrap-article img",
+                              "h-img.hocalwire-draggable"]},
+    },
+    "abstract_split": {"sep": "।"},
+}
+
+
+def _hb_date(dt: datetime) -> str:
+    h12 = dt.hour % 12 or 12
+    half = "PM" if dt.hour >= 12 else "AM"
+    return (f"{dt.day} {_MON_FULL[dt.month - 1]} {dt.year} "
+            f"{h12}:{dt.minute:02d} {half} GMT+0530")
+
+
+def _build_haribhoomi(g: _G) -> None:
+    host = "www.haribhoomi.com"
+    wid = 984
+    g.registry[wid] = dict(HARIBHOOMI_RULES)
+    g.seeds.append({"url": HB_BASE + "/", "website_id": wid,
+                    "language_id": 1930})
+    menu = (
+        '<div id="sticky"><div class="main-menu navbar-collapse collapse">'
+        "<nav><ul>"
+        f'<li><a href="/state">राज्य</a></li>'
+        f'<li><a href="/astro">ज्योतिष</a></li>'  # submenu page: no marker
+        f'<li><a href="/live-tv">Live TV</a></li>'
+        f'<li><a href="/never">Never crawled</a></li>'
+        "</ul></nav></div></div>"
+    )
+    g.page(HB_BASE + "/", "menu", f"<html>{menu}</html>", host)
+    # /astro: an unexpected submenu — no 'View All', yields nothing
+    g.page(HB_BASE + "/astro", "list",
+           "<html><nav>submenu only</nav></html>", host)
+    pages = [(0.0, 13.0), (26.0, 39.0)]
+    for p, ages in enumerate(pages, 1):
+        rows = []
+        for e, age in enumerate(ages):
+            dt = BASE_DT - timedelta(hours=age)
+            aurl = f"{HB_BASE}/state/khabar-{p}-{e}"
+            rows.append(
+                f'<div class="list_content"><a href="/state/khabar-{p}-{e}">'
+                f't</a><span class="convert-to-localtime">{_hb_date(dt)}'
+                f"</span></div>"
+            )
+            g.page(
+                aurl, "article",
+                f'<html><div id="details-page-infinite-scrolling-data">'
+                f"<h1>HB state {p}-{e}</h1>"
+                f'<span class="convert-to-localtime">{_hb_date(dt)}</span>'
+                f'<div class="tag-block"><a href="#">होम</a>'
+                f'<a href="#">राज्य &gt; </a><a href="#">हरियाणा &gt; </a>'
+                f"</div>"
+                f'<div class="image-wrap-article">'
+                f'<img src="/th/s{p}{e}.jpg"></div>'
+                f'<div class="story_content"><p>पहला वाक्य {p}-{e}। '
+                f"दूसरा।</p>"
+                f'<h-img class="hocalwire-draggable" src="/in/s{p}{e}.jpg">'
+                f"</h-img></div></div></html>",
+                host,
+            )
+        nxt = (f'<a class="page-numbers next last page-numbers" '
+               f'href="{HB_BASE}/state?page={p + 1}">next</a>')
+        lurl = (HB_BASE + "/state" if p == 1
+                else f"{HB_BASE}/state?page={p}")
+        g.page(lurl, "list",
+               '<html>View All<div class="news_listing_main_v2">'
+               + "".join(rows) + f"</div>{nxt}</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# samacharjagat — pipe-trimmed weekday timestamps with seconds, danda
+# two-segment abstracts, hspace-attribute body images with the feature
+# image appended last (已部署/samacharjagat.py)
+# ---------------------------------------------------------------------------
+
+SJ_BASE = "https://www.samacharjagat.com"
+
+SAMACHARJAGAT_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    # 'Weekday, D Mon YYYY H:MM:SS AM/PM' (py:8-54). The reference's
+    # shared-item meta race (see divyahimachal) is likewise kept sane
+    # per-request here.
+    "date_style": "wdmy_hms_ampm",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "ul.nav.navbar-nav li > a", "skip": 1},
+        "entry": {"sel": "div.col-md-8 div.col-md-3 > a"},
+        "page_time": {"sel": "div.cat_page > div", "index": -1},
+        "next": {"sel": "ul.pager li > a", "index": -1, "attr": "href"},
+        "title": {"sel": "div.post_heading h1"},
+        # the byline text after '|', minus the reference's odd first-char
+        # drop (py:122-125's pub_time[1:] char loop)
+        "pub": {"sel": "div.post_heading div.post_meta",
+                "re": r"\|.(.*)$"},
+        "block": {"para_sel": "div.post_body > p",
+                  "img_sel": ["img[hspace=0]", "div.feature_image img"]},
+    },
+    # abstract = first TWO danda segments concatenated (py:135)
+    "abstract_split": {"sep": "।", "take": 2},
+}
+
+
+def _sj_date(dt: datetime) -> str:
+    h12 = dt.hour % 12 or 12
+    half = "PM" if dt.hour >= 12 else "AM"
+    return (f"Tuesday, {dt.day} {_MON_ABBR[dt.month - 1]} {dt.year} "
+            f"{h12}:{dt.minute:02d}:00 {half}")
+
+
+def _build_samacharjagat(g: _G) -> None:
+    host = "www.samacharjagat.com"
+    wid = 1095
+    g.registry[wid] = dict(SAMACHARJAGAT_RULES)
+    g.seeds.append({"url": SJ_BASE + "/", "website_id": wid,
+                    "language_id": 1930})
+    menu = ('<ul class="nav navbar-nav">'
+            f'<li><a href="{SJ_BASE}/">होम</a></li>'
+            f'<li><a href="{SJ_BASE}/rajasthan">राजस्थान</a></li>'
+            f'<li><a href="{SJ_BASE}/national">राष्ट्रीय</a></li></ul>')
+    g.page(SJ_BASE + "/", "menu", f"<html>{menu}</html>", host)
+    pages = [(0.0, 11.0), (22.0, 44.0)]
+    for cslug in ("rajasthan", "national"):
+        for p, ages in enumerate(pages, 1):
+            rows, gates = [], []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{SJ_BASE}/{cslug}/news-{p}-{e}"
+                rows.append(f'<div class="col-md-3">'
+                            f'<a href="{aurl}">t</a></div>')
+                gates.append(f"<div>{_sj_date(dt)}</div>")
+                g.page(
+                    aurl, "article",
+                    f'<html><div class="post_heading">'
+                    f"<h1>SJ {cslug} {p}-{e}</h1>"
+                    f'<div class="post_meta">SJ News | {_sj_date(dt)}'
+                    f"</div></div>"
+                    f'<div class="post_body"><p>पहला खंड {p}-{e}।'
+                    f"दूसरा खंड।तीसरा।</p>"
+                    f'<img hspace="0" src="/b/{cslug}{p}{e}.jpg"></div>'
+                    f'<div class="col-md-12 feature_image img-responsive">'
+                    f'<img src="/f/{cslug}{p}{e}.jpg"></div></html>',
+                    host,
+                )
+            nxt = (f'<ul class="pager"><li><a href="?page={p + 1}">'
+                   "आगे</a></li></ul>")
+            lurl = (f"{SJ_BASE}/{cslug}" if p == 1
+                    else f"{SJ_BASE}/{cslug}?page={p}")
+            g.page(
+                lurl, "list",
+                f'<html><div class="col-md-8">' + "".join(rows)
+                + f'<div class="col-md-9"><div class="cat_page">'
+                + "".join(gates) + f"</div></div></div>{nxt}</html>",
+                host,
+            )
+
+
+# ---------------------------------------------------------------------------
+# tarunmitra — ':'-labeled menu items route through a SECOND-LEVEL page
+# whose strong links are the real sections, slice [2:-4], tie-theme next
+# link, dash-joined AM/PM dates (已部署/tarunmitra.py)
+# ---------------------------------------------------------------------------
+
+TM_BASE = "https://tarunmitra.in"
+
+TARUNMITRA_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "date_style": "mdy_hm_ampm2",  # 'MonthFull D, YYYY- H:MM AM/PM'
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        # labels with ':' are two-level sections; category1 keeps the
+        # prefix (py:91-97)
+        "category": {"sel": "#menu-main-menu li", "slice": [2, -4],
+                     "link_sel": "a", "menu2_label_sep": ":"},
+        # the second-level page's strong links (py:98-106)
+        "category2": {"sel": "div.entry p > strong > a"},
+        "entry": {"sel": "article.item-list",
+                  "fields": {"href": {"sel": "h2 > a", "attr": "href"}}},
+        "page_time": {"sel": "#main-content div.content article > p"
+                             " > span", "index": -1},
+        "next": {"sel": "#tie-next-page > a", "attr": "href"},
+        "title": {"sel": "h1.name.post-title.entry-title"},
+        "pub": {"sel": "span.tie-date"},
+        "block": {"para_sel": "#the-post div.entry > p",
+                  "img_sel": "img.attachment-full.size-full"
+                             ".wp-post-image"},
+    },
+}
+
+
+def _tm_date(dt: datetime) -> str:
+    h12 = dt.hour % 12 or 12
+    half = "PM" if dt.hour >= 12 else "AM"
+    return (f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}- "
+            f"{h12}:{dt.minute:02d} {half}")
+
+
+def _build_tarunmitra(g: _G) -> None:
+    host = "tarunmitra.in"
+    wid = 1112
+    g.registry[wid] = dict(TARUNMITRA_RULES)
+    g.seeds.append({"url": TM_BASE + "/", "website_id": wid,
+                    "language_id": 1930})
+    lis = (
+        [f'<li><a href="{TM_BASE}/x{k}">x{k}</a></li>' for k in range(2)]
+        + [f'<li><a href="{TM_BASE}/desh">देश</a></li>',
+           f'<li><a href="{TM_BASE}/rajya">राज्य: सभी</a></li>']
+        + [f'<li><a href="{TM_BASE}/y{k}">y{k}</a></li>' for k in range(4)]
+    )
+    g.page(TM_BASE + "/", "menu",
+           f'<html><ul id="menu-main-menu">{"".join(lis)}</ul></html>',
+           host)
+    # the ':'-labeled section routes through this second-level page
+    g.page(
+        TM_BASE + "/rajya", "menu2",
+        f'<html><div class="entry"><p><strong>'
+        f'<a href="{TM_BASE}/rajya/up">उत्तर प्रदेश</a></strong></p>'
+        f'<p><strong><a href="{TM_BASE}/rajya/bihar">बिहार</a></strong>'
+        f"</p></div></html>",
+        host,
+    )
+    pages = [(0.0, 12.0), (24.0, 48.0)]
+    for cslug in ("desh", "rajya/up", "rajya/bihar"):
+        flat = cslug.replace("/", "-")
+        for p, ages in enumerate(pages, 1):
+            rows, spans = [], []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{TM_BASE}/{cslug}/lekh-{p}-{e}"
+                rows.append(f'<article class="item-list"><h2>'
+                            f'<a href="{aurl}">t</a></h2></article>')
+                spans.append(f"<p><span>{_tm_date(dt)}</span></p>")
+                g.page(
+                    aurl, "article",
+                    f'<html><h1 class="name post-title entry-title">'
+                    f"TM {flat} {p}-{e}</h1>"
+                    f'<span class="tie-date">{_tm_date(dt)}</span>'
+                    f'<img class="attachment-full size-full wp-post-image"'
+                    f' src="/i/{flat}{p}{e}.jpg">'
+                    f'<div id="the-post"><div><div class="entry">'
+                    f"<p>tm सार {flat} {p}-{e}</p><p>tm आगे</p>"
+                    f"</div></div></div></html>",
+                    host,
+                )
+            nxt = (f'<div id="tie-next-page">'
+                   f'<a href="{TM_BASE}/{cslug}/page/{p + 1}/">»</a></div>')
+            lurl = (f"{TM_BASE}/{cslug}" if p == 1
+                    else f"{TM_BASE}/{cslug}/page/{p}/")
+            g.page(
+                lurl, "list",
+                f'<html><div id="main-content"><div class="content">'
+                f"<div><article>" + "".join(spans)
+                + "</article></div></div></div>"
+                + "".join(rows) + nxt + "</html>",
+                host,
+            )
+
+
+# ---------------------------------------------------------------------------
+# dainiksandhyaprakash — menu expanded by SIDE-FETCHING the first
+# category's breadcrumb links, Newspaper-theme grids, gif-placeholder
+# image filter, artfulstry body fallback (已部署/dainiksandhyaprakash.py)
+# ---------------------------------------------------------------------------
+
+DSP_BASE = "http://dainiksandhyaprakash.com"
+
+DAINIKSANDHYAPRAKASH_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "date_style": "mdy_switch",  # time_adjustment (py:110-147)
+    "entry_gate": False,
+    # requests.get of the FIRST category page harvests its breadcrumb
+    # links as extra sections (py:46-54)
+    "menu_side_expand": {"source_index": 0, "sel": "li.entry-category a"},
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "ul#menu-main-1 li a", "skip": 1},
+        "entry": {"sel": "div.td-block-span6 div h3 a"},
+        "page_time": {"sel": "div.td-ss-main-content span.td-post-date",
+                      "index": -1},
+        "next": {"sel": "div.page-nav.td-pb-padding-side a", "index": -1,
+                 "attr": "href"},
+        "title": {"sel": "h1.entry-title"},
+        "pub": {"sel": "div.meta-info span.td-post-date"},
+        "cat1": {"sel": "li.entry-category a"},
+        "block": {"para_sel": "div.td-post-content.td-pb-padding-side p",
+                  "para_sel_fallback": "div.artfulstry div",
+                  "img_sel": "div.td-post-featured-image img",
+                  # lazy-load stubs are dropped (py:88-90)
+                  "img_skip_re": r"^data:image/gif"},
+    },
+}
+
+
+def _build_dainiksandhyaprakash(g: _G) -> None:
+    host = "dainiksandhyaprakash.com"
+    wid = 999
+    g.registry[wid] = dict(DAINIKSANDHYAPRAKASH_RULES)
+    g.seeds.append({"url": DSP_BASE + "/", "website_id": wid,
+                    "language_id": 1930})
+    menu = ('<ul id="menu-main-1">'
+            f'<li><a href="{DSP_BASE}/">Home</a></li>'
+            f'<li><a href="{DSP_BASE}/shimla">शिमला</a></li>'
+            f'<li><a href="{DSP_BASE}/solan">सोलन</a></li></ul>')
+    g.page(DSP_BASE + "/", "menu", f"<html>{menu}</html>", host)
+
+    def art(slug: str, dt: datetime, cat: str,
+            artfulstry: bool = False) -> str:
+        aurl = f"{DSP_BASE}/story/{slug}"
+        body = (
+            '<div class="artfulstry"><div>dsp कैरोसेल '
+            f"{slug}</div></div>" if artfulstry else
+            f'<div class="td-post-content td-pb-padding-side">'
+            f"<p>dsp पहला {slug}</p><p>dsp दूसरा</p></div>"
+        )
+        g.page(
+            aurl, "article",
+            f'<html><h1 class="entry-title">DSP {slug}</h1>'
+            f'<ul><li class="entry-category">'
+            f'<a href="{DSP_BASE}/{cat}">{cat}</a></li></ul>'
+            f'<div class="meta-info"><span class="td-post-date">'
+            f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}</span></div>"
+            f'<div class="td-post-content td-pb-padding-side">'
+            f'<div class="td-post-featured-image">'
+            f'<img src="data:image/gif;base64,R0lGOD">'
+            f'<img src="{DSP_BASE}/f/{slug}.jpg"></div></div>'
+            f"{body}</html>",
+            host,
+        )
+        return aurl
+
+    pages = [(0.0, 10.0), (20.0, 40.0)]
+    # shimla carries the breadcrumb links the side expand harvests
+    for cslug in ("shimla", "solan", "mandi"):
+        for p, ages in enumerate(pages, 1):
+            rows, dates = [], []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = art(f"{cslug}-{p}-{e}", dt, cslug,
+                           artfulstry=(cslug == "solan" and e == 0
+                                       and p == 1))
+                rows.append(f'<div class="td-block-span6"><div><h3>'
+                            f'<a href="{aurl}">t</a></h3></div></div>')
+                dates.append(
+                    f'<span class="td-post-date">'
+                    f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}</span>"
+                )
+            nxt = (f'<div class="page-nav td-pb-padding-side">'
+                   f'<i class="td-icon-menu-right"></i>'
+                   f'<a href="{DSP_BASE}/{cslug}/page/{p + 1}/">»</a>'
+                   "</div>") if p == 1 else ""
+            crumb = ('<ul><li class="entry-category">'
+                     f'<a href="{DSP_BASE}/mandi">mandi</a></li></ul>'
+                     if cslug == "shimla" and p == 1 else "")
+            lurl = (f"{DSP_BASE}/{cslug}" if p == 1
+                    else f"{DSP_BASE}/{cslug}/page/{p}/")
+            g.page(
+                lurl, "list",
+                f'<html>{crumb}<div class="td-ss-main-content">'
+                + "".join(rows) + "".join(dates) + f"</div>{nxt}</html>",
+                host,
+            )
+
+
 SITE_BUILDERS = {
     "zeenews": _build_zeenews,
     "aajtak": _build_aajtak,
@@ -3205,6 +4441,19 @@ SITE_BUILDERS = {
     "spot": _build_spot,
     "topgear": _build_topgear,
     "unbox": _build_unbox,
+    "ambala": _build_ambala,
+    "dfa": _build_dfa,
+    "doh": _build_doh,
+    "jb": _build_jb,
+    "poorvanchalmedia": _build_poorvanchalmedia,
+    "newstracklive": _build_newstracklive,
+    "divyahimachal": _build_divyahimachal,
+    "philippinesnews": _build_philippinesnews,
+    "tourism": _build_tourism,
+    "haribhoomi": _build_haribhoomi,
+    "samacharjagat": _build_samacharjagat,
+    "tarunmitra": _build_tarunmitra,
+    "dainiksandhyaprakash": _build_dainiksandhyaprakash,
 }
 
 

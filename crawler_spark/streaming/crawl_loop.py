@@ -382,6 +382,7 @@ class CrawlEngine:
             self.fetcher.side_fetch_fn()
             if any(
                 r.get("entry_gate_fetch") or r.get("page_gate_fetch_last")
+                or r.get("menu_side_expand")
                 for r in registry_bc.value.values()
             ) and hasattr(self.fetcher, "side_fetch_fn")
             else None

@@ -44,6 +44,8 @@ def test_all_sites_produce_documents(sim):
         1033, 467, 1194, 190, 1225, 473, 184, 490, 532, 448, 936, 1248,
         1247, 1155, 191, 1052, 193, 1231,
         1059, 941, 1192, 495, 487, 485,
+        965, 1216, 1218, 678, 1144, 1134, 1091, 1209, 1219, 984, 1095,
+        1112, 999,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -767,6 +769,189 @@ def test_unbox_post_seed_double_json_and_multitag_body(sim):
         ("text", "Specs 1-0"), ("text", "unbox body 1-0"),
         ("image", None), ("text", "verdict em"),
     ]
+
+
+def test_ambala_article_drop_and_side_fetch_page_gate(sim):
+    """ambala: every entry yielded ungated, an OLD article page drops its
+    own document (fetched, seen, but never stored), and pagination is
+    decided by side-fetching the LAST entry's article date."""
+    docs = _docs_by_site(sim)[965]
+    urls = {d["request_url"] for d in docs}
+    fetched = [u for _b, u in sim["crawl_log"]]
+    # sports page 1's last article (40 h) is old: it WAS fetched but its
+    # doc was dropped, and the side-fetch gate stopped page 2
+    stale = "http://ambalavaani.com/sports-story-1-2/"
+    assert stale in fetched and stale not in urls
+    assert not any("ambalavaani.com/category/sports/page" in u
+                   for u in fetched)
+    # news survives both pages (page 2 simply has no older link)
+    assert sum("news-story" in u for u in urls) == 6
+    d = {x["request_url"]: x for x in docs}[
+        "http://ambalavaani.com/news-story-1-0/"
+    ]
+    assert d["category1"] == "News"  # breadcrumb span.thecategory
+    assert d["pub_time"] == "2021-05-30 00:00:00"  # mdy_switch midnight
+
+
+def test_dfa_label_defaults_extra_lists_and_time_carry(sim):
+    """dfa: unknown menu labels collapse to 'Events', the '/' href is
+    skipped, the hardcoded GAD list is crawled without a menu link, and
+    undated rows inherit the previous row's date (meta carry)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1216]}
+    rel = docs["https://dfa.gov.ph/news/rel-1-1"]  # the undated row
+    assert rel["pub_time"] == docs[
+        "https://dfa.gov.ph/news/rel-1-0"]["pub_time"]  # carried
+    assert docs["https://dfa.gov.ph/news/upd-0"]["category2"] == "Events"
+    assert docs["https://dfa.gov.ph/news/gad-0"]["category1"] == \
+        "Gender and Development"
+    fetched = [u for _b, u in sim["crawl_log"]]
+    # page 2's carried last date (40 h) stops page 3
+    assert any(u.endswith("dfa-releases?page=2") for u in fetched)
+    assert not any(u.endswith("page=3") and "dfa" in u for u in fetched)
+
+
+def test_jb_probe_keeps_last_entry_and_base_page_counter(sim):
+    """jb: every entry (including the last) is a normal article request,
+    the dont_filter probe of the last one ONLY decides pagination, and
+    the page counter is bolted onto the menu href base."""
+    docs = _docs_by_site(sim)[678]
+    assert len(docs) == 8  # both page-2 entries stored (ungated)
+    fetched = [u for _b, u in sim["crawl_log"]]
+    assert sum(u.endswith("index.php&p=1") for u in fetched) == 2
+    assert sum(u.endswith("index.php&p=2") for u in fetched) == 2
+    assert not any(u.endswith("&p=3") for u in fetched)  # stale gate
+    # the probed last entry appears TWICE in the log (normal + probe)
+    from collections import Counter
+    c = Counter(fetched)
+    assert c["https://www.jb.com.br/pais/noticia-1-1"] == 2
+    d = {x["request_url"]: x for x in docs}[
+        "https://www.jb.com.br/pais/noticia-1-0"
+    ]
+    assert d["pub_time"] == "2021-05-30 12:00:00"  # pt_dmy_hm
+    assert d["abstract"] == "resumo pais 1-0"  # #article-summary
+
+
+def test_newstracklive_bugged_dates_and_carousel_fallback(sim):
+    """newstracklive: the hand-rolled date switch is ported bug-for-bug
+    (PM adds 11, the minute field is the month number), both categories
+    come from the list page's own title, and an article without sec-info
+    paragraphs falls back to its carousel captions."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1134]}
+    d = docs["https://www.newstracklive.com/national/story-1-0"]
+    # BASE_DT 12:00 → 12 PM → hour 23; minute = month (05). Bug-faithful.
+    assert d["pub_time"] == "2021-05-30 23:05:00"
+    assert d["category1"] == d["category2"] == "National News"
+    caro = docs["https://www.newstracklive.com/tech/story-1-0"]
+    texts = [s["text"] for s in caro["spans"] if s["kind"] == "text"]
+    assert texts == ["ntl carousel tech 1-0"]  # para_sel_fallback
+    fetched = [u for _b, u in sim["crawl_log"]]
+    # side-fetch page gate: page 2's last (42 h) stops page 3
+    assert not any("newstracklive" in u and "page=3" in u for u in fetched)
+
+
+def test_divyahimachal_menu_slices_and_eighth_span_date(sim):
+    """divyahimachal: menu slice [1:-1] + Epaper exclusion + child skip,
+    two entry groups in featured-then-grid order, the article date read
+    off the page's EIGHTH span (ordinals split away), danda-split
+    abstract fallback."""
+    docs = _docs_by_site(sim)[1091]
+    assert len(docs) == 18
+    urls = {d["request_url"] for d in docs}
+    fetched = [u for _b, u in sim["crawl_log"]]
+    assert not any("epaper" in u or "dh-tv" in u for u in fetched)
+    # children_skip dropped the self-link; parent suppressed
+    assert any("shimla" in u for u in urls)
+    assert not any(u.endswith("/himachal") for u in fetched)
+    d = {x["request_url"]: x for x in docs}[
+        "https://www.divyahimachal.com/story/desh-f1"
+    ]
+    assert d["pub_time"] == "2021-05-30 12:00:00"  # span[7], 12 pm quirk
+    assert d["abstract"] == "सार desh-f1"  # p>strong beats the danda split
+
+
+def test_haribhoomi_sentinel_stop_and_view_all_marker(sim):
+    """haribhoomi: the menu walk stops AT the /live-tv sentinel (later
+    links never crawled), a category page without 'View All' yields
+    nothing, GMT suffixes are trimmed, custom <h-img> tags carry body
+    images, and breadcrumbs are positional."""
+    fetched = [u for _b, u in sim["crawl_log"]]
+    assert not any("live-tv" in u or "never" in u for u in fetched)
+    assert any(u.endswith("/astro") for u in fetched)  # fetched, empty
+    docs = _docs_by_site(sim)[984]
+    assert all("state" in d["request_url"] for d in docs)
+    d = {x["request_url"]: x for x in docs}[
+        "https://www.haribhoomi.com/state/khabar-1-0"
+    ]
+    assert (d["category1"], d["category2"]) == ("राज्य", "हरियाणा")
+    assert d["pub_time"] == "2021-05-30 12:00:00"  # GMT trimmed, 12 PM
+    assert d["abstract"] == "पहला वाक्य 1-0"  # desc_data absent → danda
+    refs = [s["media_ref"] for s in d["spans"] if s["kind"] == "image"]
+    assert any("/in/" in r for r in refs)  # the <h-img> body image
+
+
+def test_tarunmitra_label_routed_second_level(sim):
+    """tarunmitra: a ':'-labeled menu item routes through a second-level
+    page whose strong links are the real sections; category1 keeps the
+    prefix before the colon."""
+    docs = _docs_by_site(sim)[1112]
+    ups = [d for d in docs if "/rajya/up/" in d["request_url"]]
+    assert ups and all(
+        (d["category1"], d["category2"]) == ("राज्य", "उत्तर प्रदेश")
+        for d in ups
+    )
+    plain = [d for d in docs if "/desh/" in d["request_url"]]
+    assert plain and all(d["category2"] is None for d in plain)
+
+
+def test_dainiksandhyaprakash_side_expand_and_img_filter(sim):
+    """dainiksandhyaprakash: the first category page is side-fetched at
+    menu parse and its breadcrumb links crawled as extra sections; gif
+    lazy-load placeholders are filtered out of the featured images; an
+    article without content paragraphs falls back to artfulstry divs."""
+    docs = _docs_by_site(sim)[999]
+    assert any("mandi" in d["request_url"] for d in docs)  # side expand
+    d = {x["request_url"]: x for x in docs}[
+        "http://dainiksandhyaprakash.com/story/shimla-1-0"
+    ]
+    refs = [s["media_ref"] for s in d["spans"] if s["kind"] == "image"]
+    assert len(refs) == 1 and refs[0].endswith("/f/shimla-1-0.jpg")
+    caro = {x["request_url"]: x for x in docs}[
+        "http://dainiksandhyaprakash.com/story/solan-1-0"
+    ]
+    texts = [s["text"] for s in caro["spans"] if s["kind"] == "text"]
+    assert texts == ["dsp कैरोसेल solan-1-0"]
+
+
+def test_tranche_b_remaining_sites_shapes(sim):
+    """doh/poorvanchalmedia/philippinesnews/tourism/samacharjagat: the
+    smaller per-site contracts — sentence-split abstracts, list-scraped
+    lead images, constant categories, pipe-trimmed weekday stamps."""
+    doh = {d["request_url"]: d for d in _docs_by_site(sim)[1218]}
+    d = doh["https://doh.gov.ph/press/1-0"]
+    assert d["abstract"] == "doh first sentence 1-0..."  # split + '...'
+    undated = doh["https://doh.gov.ph/press/1-1"]
+    assert undated["pub_time"] == d["pub_time"]  # carry
+    pvm = {d["request_url"]: d
+           for d in _docs_by_site(sim)[1144]}
+    p = pvm["https://www.poorvanchalmedia.com/up/khabar-1-0"]
+    assert p["category1"] == "यूपी खबरें"  # cat1_self off the list header
+    assert p["spans"][0]["kind"] == "image"  # list data-src lead image
+    assert p["pub_time"] == "2021-05-30 12:00:00"  # mdy_hm_dash
+    pn = _docs_by_site(sim)[1209]
+    assert len(pn) == 9 and all(
+        d["pub_time"].startswith("2021-05") for d in pn
+    )
+    t = _docs_by_site(sim)[1219][0]
+    assert (t["category1"], t["category2"]) == (
+        "News Updates", "Featured News"
+    )
+    assert not t["title"].endswith(" ")  # <small> stripped from the h2
+    sj = {d["request_url"]: d for d in _docs_by_site(sim)[1095]}
+    s = sj["https://www.samacharjagat.com/rajasthan/news-1-0"]
+    assert s["pub_time"] == "2021-05-30 12:00:00"  # wdmy_hms_ampm 12 PM
+    assert s["abstract"] == "पहला खंड 1-0दूसरा खंड"  # two danda segments
+    refs = [x["media_ref"] for x in s["spans"] if x["kind"] == "image"]
+    assert len(refs) == 2 and refs[-1].endswith("/f/rajasthan10.jpg")
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,
