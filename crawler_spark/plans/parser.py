@@ -211,6 +211,15 @@ def parse_site_date(raw: str | None, style: str | None,
                 return datetime(int(t[4]), MONTHS[t[3]], int(t[2]), hh,
                                 int(t[6]), int(t[7]))
             return as_of.replace(microsecond=0)
+        if style == "mdy_slash_hms":
+            # techpinas.py:52-56 timeformat: 'M/D/YYYY HH:MM:SS ...' —
+            # the time-of-day token is pasted verbatim after the
+            # re-rendered date (any trailing AM/PM token is ignored).
+            t = raw.strip().split(" ")
+            mo, dd, yy = t[0].split("/")
+            hh, mm, ss = t[1].split(":")
+            return datetime(int(yy), int(mo), int(dd), int(hh), int(mm),
+                            int(ss))
         if style == "mdy_hm_ampm2":
             # tarunmitra.py:8-49 format_time2: 'MonthFull D, YYYY- H:MM
             # AM/PM' — re.split(' |,|:|-') positions [0]=Month [1]=D
@@ -682,6 +691,14 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                     # `if a.get("href") != "/"`).
                     if href in spec.get("exclude_hrefs", ()):
                         continue
+                    # ``href_re``: only matching hrefs are sections —
+                    # janadesh.py:26-28's re.match('^http', href),
+                    # centralindia.py:52-54's category-prefix filter.
+                    if spec.get("href_re") and (
+                        href is None
+                        or not re.match(spec["href_re"], href)
+                    ):
+                        continue
                     children = (
                         htmlsel.select(n, spec["children_sel"])
                         if spec.get("children_sel") else []
@@ -693,8 +710,11 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                     # separator routes to a SECOND-LEVEL menu page and
                     # keeps only the prefix as category1 —
                     # tarunmitra.py:91-97's `if ':' in category`.
+                    # ``child_kind`` on the spec routes EVERY link of this
+                    # group to the given kind — sunstar.py:30-38's three-
+                    # hop menu chain (menu → section page → one more hop)
                     lbl = text
-                    ck = None
+                    ck = spec.get("child_kind")
                     sep = spec.get("menu2_label_sep")
                     if sep and text is not None and sep in text:
                         lbl = text.split(sep)[0]
@@ -836,6 +856,11 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
             out["page_time_raw"] = scalar("page_time")
         if rules.get("cat1_self"):
             out["cat1_self"] = scalar("cat1_self")
+        if rules.get("page_abstract"):
+            # ONE page-level teaser rides into every entry's meta —
+            # aapkikhabar.py:63 sets meta['abstract'] from the list's
+            # single div.news_desc for each article it yields
+            out["page_abstract"] = scalar("page_abstract")
         for pkey in ("api_params", "form_params"):
             if rules.get(pkey):
                 pm = re.search(rules[pkey], html)
@@ -899,9 +924,20 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
         img_ids = ids_of("img_sel")
         src_attr = block.get("img_attr", "src")
         skip_re = block.get("img_skip_re")
+        stop_re = block.get("para_stop_re")
+        stopped_paras = False
         for n in htmlsel.walk(dom()):
             if id(n) in para_ids:
-                paras.append(n.text())
+                if stopped_paras:
+                    continue
+                t = n.text()
+                # ``para_stop_re``: the body loop BREAKS at a sentinel
+                # paragraph (aapkikhabar.py:146-149's 'Trending tweet of
+                # india' cutoff) — the sentinel itself is dropped
+                if stop_re and re.match(stop_re, t):
+                    stopped_paras = True
+                    continue
+                paras.append(t)
             elif id(n) in img_ids and n.attr(src_attr) is not None:
                 src = n.attr(src_attr)
                 if skip_re and re.search(skip_re, src):
@@ -914,6 +950,23 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
             # soup.select('article img')[:-3] drops the trailing
             # sidebar/footer images
             imgs = imgs[slice(*block["img_slice"])]
+        if block.get("img_attr_re"):
+            # the image URL lives INSIDE an attribute value — politics.py:
+            # 66-67 reads div.relative's style and takes the last quoted
+            # string; group 1 of the regex is the URL
+            out_imgs = []
+            for im in imgs:
+                m = re.search(block["img_attr_re"], im["src"])
+                if m:
+                    out_imgs.append({**im, "src": m.group(1)})
+            imgs = out_imgs
+        if block.get("para_skip"):
+            # positional paragraph skip — politics.py:82's body_list[1:]
+            paras = paras[int(block["para_skip"]):]
+        if block.get("para_slice"):
+            # positional paragraph slice — sunstar.py:59-60 stores ONLY
+            # the first .col-sm-11 paragraph as both body and abstract
+            paras = paras[slice(*block["para_slice"])]
     else:
         for m in re.finditer(block, html):
             d = m.groupdict()
@@ -1143,17 +1196,28 @@ def parse_page(
         # category's breadcrumb links as extra sections).
         mse = site.get("menu_side_expand")
         if mse and side_fetch is not None:
-            cats = [c for c in payload.get("categories", [])
-                    if not c.get("excluded")]
-            idx = int(mse.get("source_index", 0))
-            if 0 <= idx < len(cats):
-                src = side_fetch(urljoin(url, cats[idx]["href"]))
-                if src is not None:
-                    tree = htmlsel.parse_html(src)
-                    for a in htmlsel.select(tree, mse["sel"]):
+            # source: an explicit URL (emalwa.py:35's second requests.get)
+            # or the nth mined category page (dainiksandhyaprakash.py:46)
+            if mse.get("url"):
+                src_url = mse["url"]
+            else:
+                cats = [c for c in payload.get("categories", [])
+                        if not c.get("excluded")]
+                idx = int(mse.get("source_index", 0))
+                src_url = (urljoin(url, cats[idx]["href"])
+                           if 0 <= idx < len(cats) else None)
+            src = side_fetch(src_url) if src_url else None
+            if src is not None:
+                tree = htmlsel.parse_html(src)
+                sels = mse.get("sels") or [mse["sel"]]
+                for s in sels:
+                    for a in htmlsel.select(tree, s):
                         h = a.attr(mse.get("attr", "href"))
-                        if h is not None:
-                            emit(h, "list", {})
+                        if h is None:
+                            continue
+                        m = ({"category1": a.text()}
+                             if mse.get("label_from_text") else {})
+                        emit(h, "list", m)
         return None, requests
 
     if eff_kind == "menu2":
@@ -1175,7 +1239,9 @@ def parse_page(
                 continue
             m2 = dict(meta)
             m2["category2"] = cat["label"]
-            emit(cat["href"], child_kind, m2,
+            # spec-level child_kind: a menu2 page may chain into ANOTHER
+            # menu hop before the list (sunstar.py:30-38)
+            emit(cat["href"], cat.get("child_kind", child_kind), m2,
                  dont_filter=bool(payload.get("dont_filter")))
         return None, requests
 
@@ -1350,6 +1416,9 @@ def parse_page(
             elif entry.get("abstract") is not None:
                 # list-page abstracts ride down in meta (philboxing.py:44-45)
                 entry_meta["abstract"] = entry["abstract"]
+            elif payload.get("page_abstract") is not None:
+                # the page-level teaser (aapkikhabar.py:63)
+                entry_meta["abstract"] = payload["page_abstract"]
             if gate_fetch is not None and side_fetch is not None:
                 raw = _page_scalar(
                     side_fetch(urljoin(url, entry["href"])), gate_fetch
@@ -1376,7 +1445,11 @@ def parse_page(
                      dont_filter=dont_filter, pub_epoch=pt)
             else:
                 flag = False  # '时间截止' — zeenews.py:96-101
-                break
+                if not site.get("entry_gate_no_break"):
+                    break
+                # emalwa.py:50-59: the gate has no break — old entries are
+                # skipped but the loop keeps scanning (unsorted grids), and
+                # only pagination dies.
         # API bootstrap (manila.py:59-67): params scraped off the page
         # instantiate the load-more API URL; the chain continues under the
         # API_TEMPLATE rule below.
@@ -1682,8 +1755,13 @@ def parse_page(
             # (tourism.py:100-101's 'News Updates'/'Featured News').
             "category1": site.get("cat1_const") or cat1_seg or cat1_url
             or payload.get("cat1") or meta.get("category1"),
+            # ``cat2_meta_off``: the spider never reads category2 from its
+            # request lineage — URL/page sources or nothing (sunstar.py:
+            # 57-58's digits guard leaves it unset on numeric segments).
             "category2": site.get("cat2_const") or cat2_seg or cat2_url
-            or payload.get("cat2") or meta.get("category2"),
+            or payload.get("cat2")
+            or (None if site.get("cat2_meta_off")
+                else meta.get("category2")),
             "pub_time": parse_site_date(pub_raw, date_style, as_of)
             .strftime("%Y-%m-%d %H:%M:%S"),
             "spans": spans,

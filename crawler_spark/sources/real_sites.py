@@ -45,6 +45,20 @@ generic extractor (plans/parser.extract_payload) and the shared dataflow
 | samacharjagat    | 1095 | pipe-trimmed 'Weekday, D Mon Y H:MM:SS AM/PM' stamps, two-danda-segment abstracts, hspace-attribute body images with the feature image appended last | 已部署/samacharjagat.py:8-54,80-105,107-140 |
 | tarunmitra       | 1112 | ':'-labeled menu items route through a SECOND-LEVEL page whose strong links are the real sections (prefix keeps category1), slice [2:-4], dash-joined AM/PM dates | 已部署/tarunmitra.py:8-49,75-106,108-147 |
 | dainiksandhyaprakash | 999 | menu expanded by SIDE-FETCHING the first category's breadcrumb links, gif-placeholder image filter, artfulstry body fallback, icon-gated next link | 已部署/dainiksandhyaprakash.py:33-58,60-78,80-108 |
+| aapkikhabar      | 1023 | sibling-selector menu with a fixed-label sub-group, machine-readable data-datestring entry gates (already Y-M-D), ONE page-level news_desc teaser riding into every entry's abstract, body STOP-SENTINEL at the trending-tweets widget | 已部署/aapkikhabar.py:42-54,57-74,141-149 |
+| bandera          |  376 | four list seeds (no menu), pagination by side-fetching the LAST headline's article date (random-UA requests.get in the reference), breadcrumb category1 | 已部署/bandera.py:18-21,36-53,55-75 |
+| centralindia     |  952 | href-PREFIX-filtered menu selector, content-marker lists (a dead 404-template category yields nothing), ISO article datetimes vs Month-D-Y switch list gates, [-2] breadcrumb span | 已部署/centralindia.py:11-18,47-73,75-96 |
+| Manilatimes      |  186 | two flat menu groups, meta-info list entries with fuzzy dates, LAST .tdb-entry-category as category2, #fb-root sibling-paragraph bodies, figure data-src images | 已部署/Manilatimes.py:29-54,56-70 |
+| abante           |  486 | [:8] menu slice, category1 from the LIST URL's path segment, last-entry time page gate, styled continue-reading-content bodies, data-src featured image | 已部署/abante.py:26-39,41-55 |
+| janadesh         | 1067 | ^http-filtered [:-4] menu slice, DATELESS lists (pub falls back to crawl time — the site publishes no dates), fake pagination never followed, CONSTANT category2, list-scraped lead image | 已部署/janadesh.py:23-28,35-55 |
+| kickerdaily      |  496 | five list seeds with title-derived categories, li-JOIN abstracts (all bullet texts concatenated, else first paragraph), last-entry meta date page gate | 已部署/kickerdaily.py:12-17,32-46,48-72 |
+| yugatech         |  444 | homepage IS the list, category1 from the article URL's first segment, byline page gate, in-paragraph screenshots | 已部署/yugatech.py:25-33,35-50 |
+| politics         | 1206 | breadcrumb-SPAN title and category ([1]/[2] of itemprop=name), lead image from a background-image STYLE attribute (last quoted string), body skipping its first teaser paragraph, ISO datetimes | 已部署/politics.py:30-58,60-92 |
+| sunstar          |  443 | THREE menu hops (menu → tablecenter[1:8] → one more hop → list), URL-segment categories with a DIGITS guard leaving category2 unset, single-paragraph body==abstract | 已部署/sunstar.py:25-48,50-64 |
+| techpinas        |  492 | blogger older-link pagination gated on the FIRST teaser stamp, M/D/YYYY dates with the time-of-day token pasted verbatim, div/i/h3 multi-tag bodies, no categories at all | 已部署/techpinas.py:25-56 |
+| emalwa           | 1050 | seed menu PLUS a side-fetched second page harvesting two more link groups (labels from text), NO-BREAK entry gates over unsorted grids, list-scraped title/abstract/date | 已部署/emalwa.py:28-41,46-66,68-84 |
+| navsancharsamachar | 1048 | pre-fetched one-level menu, list-scraped title/abstract/date riding into imageless articles | 已部署/navsancharsamachar.py:30-63,65-80 |
+| ptvnews          |  445 | sliced sub-menu plus two hardcoded category lists, both categories from the LIST URL with a 'page'-segment guard; the execjs cookie challenge is out of scope — the crawl dataflow is the port | 已部署/ptvnews.py:31-39,52-67,69-92 |
 
 The mock pages here are deterministic miniatures of each site's real
 markup (class names, attribute shapes, and nesting mirror the spiders'
@@ -4416,6 +4430,1175 @@ def _build_dainiksandhyaprakash(g: _G) -> None:
             )
 
 
+# ---------------------------------------------------------------------------
+# aapkikhabar — sibling-selector menu with a fixed-label sub-group,
+# machine-readable data-datestring gates, ONE page-level teaser riding
+# into every entry, body stop-sentinel (已部署/aapkikhabar.py)
+# ---------------------------------------------------------------------------
+
+AAPKI_BASE = "https://aapkikhabar.com"
+
+AAPKIKHABAR_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "date_style": "ymd",  # data-datestring is already Y-M-D H:M:S
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": [
+            {"sel": "li.home_icon ~ li > a"},  # py:44-48
+            # the second li's sub-menu under a FIXED प्रदेश label
+            # (py:50-54; only that li carries a ul)
+            {"sel": "li.home_icon ~ li ul a", "label": "प्रदेश"},
+        ],
+        "entry": {"sel": "#listing_main_level_top > div > div",
+                  "fields": {
+                      "href": {"sel": "h3 > a", "attr": "href"},
+                      "time": {"sel": "span.date > span",
+                               "attr": "data-datestring"},
+                  }},
+        # the list's single news_desc teaser becomes every entry's
+        # abstract (py:63)
+        "page_abstract": {"sel": "div.news_desc"},
+        "next": {"sel": "a.page-numbers.next.last", "attr": "href"},
+        "title": {"sel": "#detailsContentSectionWrapper > h1"},
+        "pub": {"sel": "span.date span", "attr": "data-datestring"},
+        "block": {"para_sel": "div.share-section ~ div p",
+                  # the body loop breaks at the trending-tweets widget
+                  # (py:146-149)
+                  "para_stop_re": r"Trending tweet of india",
+                  "img_sel": "div.single-image img"},
+    },
+}
+
+
+def _build_aapkikhabar(g: _G) -> None:
+    host = "aapkikhabar.com"
+    wid = 1023
+    g.registry[wid] = dict(AAPKIKHABAR_RULES)
+    g.seeds.append({"url": AAPKI_BASE + "/", "website_id": wid,
+                    "language_id": 1930})
+    menu = (
+        '<ul><li class="home_icon"><a href="/">Home</a></li>'
+        f'<li><a href="/desh">देश</a></li>'
+        f'<li><a href="/pradesh">प्रदेश</a><ul>'
+        f'<li><a href="/pradesh/up">यूपी</a></li>'
+        f'<li><a href="/pradesh/mp">एमपी</a></li></ul></li>'
+        "</ul>"
+    )
+    g.page(AAPKI_BASE + "/", "menu", f"<html>{menu}</html>", host)
+    pages = [(0.0, 12.0), (24.0, 40.0)]
+    for cpath in ("/desh", "/pradesh", "/pradesh/up", "/pradesh/mp"):
+        cslug = cpath.strip("/").replace("/", "-")
+        for p, ages in enumerate(pages, 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                ds = dt.strftime("%Y-%m-%d %H:%M:%S")
+                aurl = f"{AAPKI_BASE}/{cslug}-khabar-{p}-{e}"
+                rows.append(
+                    f'<div><div><h3><a href="/{cslug}-khabar-{p}-{e}">t'
+                    f'</a></h3><span class="date">'
+                    f'<span data-datestring="{ds}">आज</span></span>'
+                    f"</div></div>"
+                )
+                g.page(
+                    aurl, "article",
+                    f'<html><div id="detailsContentSectionWrapper">'
+                    f"<h1>AK {cslug} {p}-{e}</h1></div>"
+                    f'<span class="date"><span data-datestring="{ds}">'
+                    f"आज</span></span>"
+                    f'<div class="single-image">'
+                    f'<img src="{AAPKI_BASE}/im/{cslug}{p}{e}.jpg"></div>'
+                    f'<div class="share-section"></div>'
+                    f"<div><p>ak body {cslug} {p}-{e}</p>"
+                    f"<p>Trending tweet of india widget</p>"
+                    f"<p>never stored</p></div></html>",
+                    host,
+                )
+            nxt = (f'<a class="page-numbers next last page-numbers" '
+                   f'href="{AAPKI_BASE}{cpath}?page={p + 1}">»</a>')
+            lurl = (AAPKI_BASE + cpath if p == 1
+                    else f"{AAPKI_BASE}{cpath}?page={p}")
+            g.page(
+                lurl, "list",
+                f'<html><div class="news_desc">तीज़र {cslug} पेज {p}</div>'
+                f'<div id="listing_main_level_top"><div>'
+                + "".join(rows) + f"</div></div>{nxt}</html>",
+                host,
+            )
+
+
+# ---------------------------------------------------------------------------
+# bandera — four list seeds, pagination by side-fetching the LAST
+# headline's article date (random-UA requests.get in the reference),
+# breadcrumb category (已部署/bandera.py)
+# ---------------------------------------------------------------------------
+
+BANDERA_BASE = "https://bandera.inquirer.net"
+
+BANDERA_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "seed_kind": "list",  # four start_urls ARE lists (bandera.py:18-21)
+    "entry_gate": False,
+    # pagination gate: requests.get of the last #lmd-headline article,
+    # reading #m-pd2's last span (py:43-47)
+    "page_gate_fetch_last": {"sel": "#m-pd2 span", "index": -1},
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "entry": {"sel": "#lmd-headline",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "next": {"sel": "#landing-read-more > a", "attr": "href"},
+        "title": {"sel": "#landing-headline > h1"},
+        "pub": {"sel": "#m-pd2 > span", "index": -1},
+        "cat1": {"sel": "#m-bread2 > a"},
+        "block": {"para_sel": "#article-content p",
+                  "img_sel": ".wp-caption.aligncenter img"},
+    },
+}
+
+
+def _build_bandera(g: _G) -> None:
+    host = "bandera.inquirer.net"
+    wid = 376
+    g.registry[wid] = dict(BANDERA_RULES)
+    pages = {"balita": [(0.0, 10.0), (20.0, 40.0)],
+             "chika": [(5.0, 42.0)]}
+    for seed in ("balita", "category/opinyon", "chika", "category/lotto"):
+        g.seeds.append({"url": f"{BANDERA_BASE}/{seed}", "website_id": wid,
+                        "language_id": 2117})
+    for cslug, page_ages in pages.items():
+        for p, ages in enumerate(page_ages, 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{BANDERA_BASE}/{cslug}/balita-{p}-{e}"
+                rows.append(f'<div id="lmd-headline">'
+                            f'<a href="{aurl}">t</a></div>')
+                g.page(
+                    aurl, "article",
+                    f'<html><div id="m-bread2">'
+                    f'<a href="/{cslug}">{cslug.title()}</a></div>'
+                    f'<div id="landing-headline"><h1>Bandera {cslug} '
+                    f"{p}-{e}</h1></div>"
+                    f'<div id="m-pd2"><span>By Staff</span>'
+                    f"<span>{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+                    f"</span></div>"
+                    f'<div class="wp-caption aligncenter">'
+                    f'<img src="{BANDERA_BASE}/i/{cslug}{p}{e}.jpg"></div>'
+                    f'<div id="article-content"><p>bandera una {cslug} '
+                    f"{p}-{e}</p><p>pangalawa</p></div></html>",
+                    host,
+                )
+            nxt = (f'<div id="landing-read-more">'
+                   f'<a href="{BANDERA_BASE}/{cslug}/page/{p + 1}">Next'
+                   f"</a></div>")
+            lurl = (f"{BANDERA_BASE}/{cslug}" if p == 1
+                    else f"{BANDERA_BASE}/{cslug}/page/{p}")
+            g.page(lurl, "list",
+                   "<html>" + "".join(rows) + nxt + "</html>", host)
+    # the two category/ seeds are single pages with no next link
+    for seed, slug in (("category/opinyon", "opinyon"),
+                       ("category/lotto", "lotto")):
+        dt = BASE_DT - timedelta(hours=3.0)
+        aurl = f"{BANDERA_BASE}/{slug}/solo-0"
+        g.page(
+            aurl, "article",
+            f'<html><div id="m-bread2"><a href="/{slug}">'
+            f"{slug.title()}</a></div>"
+            f'<div id="landing-headline"><h1>Bandera {slug} 0</h1></div>'
+            f'<div id="m-pd2"><span>{_MON_FULL[dt.month - 1]} {dt.day}, '
+            f"{dt.year}</span></div>"
+            f'<div id="article-content"><p>bandera {slug} body</p></div>'
+            f"</html>",
+            host,
+        )
+        g.page(f"{BANDERA_BASE}/{seed}", "list",
+               f'<html><div id="lmd-headline"><a href="{aurl}">t</a>'
+               f"</div></html>", host)
+
+
+# ---------------------------------------------------------------------------
+# centralindia — href-prefix-filtered menu, content-marker lists (a dead
+# category yields nothing), ISO article dates vs switch list gates,
+# [-2] breadcrumb span (已部署/centralindia.py)
+# ---------------------------------------------------------------------------
+
+CI_BASE = "https://www.centralindia.news"
+
+CENTRALINDIA_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "date_style": "isoT",  # time_switch2 (centralindia.py:16-18)
+    "page_time_style": "mdy_switch",  # time_switch1 (py:11-14)
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        # only /category/ links are sections (py:52-54)
+        "category": {"sel": "ul#menu-main-menu-1 li "
+                            f'a[href^="{CI_BASE}/category/"]'},
+        # a page without main content (or a 404 template) yields nothing
+        # (py:61-62)
+        "require_marker": {"sel": ".td-ss-main-content div"},
+        "entry": {"sel": ".td-ss-main-content .td-module-thumb a"},
+        "page_time": {"sel": ".td-ss-main-content div span.td-post-date",
+                      "index": -1},
+        "next": {"sel": ".page-nav.td-pb-padding-side a", "index": -1,
+                 "attr": "href"},
+        "title": {"sel": "div.td-ss-main-content .td-post-header"
+                         " header h1"},
+        "pub": {"sel": ".td-module-meta-info time", "attr": "datetime"},
+        # breadcrumbs: the second-to-last span (py:95)
+        "cat1": {"sel": ".entry-crumbs span", "index": -2},
+        "block": {"para_sel": ".td-post-content p",
+                  "img_sel": ".td-post-content .td-post-featured-image"
+                             " a img"},
+    },
+}
+
+
+def _build_centralindia(g: _G) -> None:
+    host = "www.centralindia.news"
+    wid = 952
+    g.registry[wid] = dict(CENTRALINDIA_RULES)
+    g.seeds.append({"url": CI_BASE + "/", "website_id": wid,
+                    "language_id": 1930})
+    menu = ('<ul id="menu-main-menu-1">'
+            f'<li><a href="{CI_BASE}/">Home</a></li>'
+            f'<li><a href="{CI_BASE}/category/bhopal/">भोपाल</a></li>'
+            f'<li><a href="{CI_BASE}/category/dead/">पुराना</a></li>'
+            f'<li><a href="{CI_BASE}/video/">Video</a></li></ul>')
+    g.page(CI_BASE + "/", "menu", f"<html>{menu}</html>", host)
+    # the dead category renders a 404 template: no main-content marker
+    g.page(CI_BASE + "/category/dead/", "list",
+           '<html><div class="td-404-title">404</div></html>', host)
+    pages = [(0.0, 12.0), (24.0, 40.0)]
+    for p, ages in enumerate(pages, 1):
+        rows, gates = [], []
+        for e, age in enumerate(ages):
+            dt = BASE_DT - timedelta(hours=age)
+            aurl = f"{CI_BASE}/bhopal-khabar-{p}-{e}/"
+            rows.append(f'<div class="td-module-thumb">'
+                        f'<a href="{aurl}">t</a></div>')
+            gates.append(f'<span class="td-post-date">'
+                         f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+                         f"</span>")
+            iso = dt.strftime("%Y-%m-%dT%H:%M:%S+00:00")
+            g.page(
+                aurl, "article",
+                f'<html><div class="td-ss-main-content">'
+                f'<div class="td-post-header"><header>'
+                f"<h1>CI भोपाल {p}-{e}</h1></header></div></div>"
+                f'<div class="td-module-meta-info">'
+                f'<time datetime="{iso}">date</time></div>'
+                f'<div class="entry-crumbs"><span>होम</span>'
+                f"<span>भोपाल</span><span>CI भोपाल {p}-{e}</span></div>"
+                f'<div class="td-post-content">'
+                f'<div class="td-post-featured-image"><a href="#">'
+                f'<img src="{CI_BASE}/f/{p}{e}.jpg"></a></div>'
+                f"<p>ci पहला {p}-{e}</p><p>ci दूसरा</p></div></html>",
+                host,
+            )
+        nxt = (f'<div class="page-nav td-pb-padding-side">'
+               f'<a href="{CI_BASE}/category/bhopal/page/{p + 1}/">'
+               f'<i class="td-icon-menu-right"></i></a></div>')
+        lurl = (f"{CI_BASE}/category/bhopal/" if p == 1
+                else f"{CI_BASE}/category/bhopal/page/{p}/")
+        g.page(lurl, "list",
+               f'<html><div class="td-ss-main-content"><div>'
+               + "".join(rows) + "".join(gates)
+               + f"</div></div>{nxt}</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# Manilatimes — two flat menu groups, meta-info list entries with fuzzy
+# dates, last-entry-category article category2, fb-root sibling bodies
+# (已部署/Manilatimes.py)
+# ---------------------------------------------------------------------------
+
+MT2_BASE = "https://www.manilatimes.net"
+
+MANILATIMES_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "extract": {
+        "category": [
+            {"sel": "#tdb-block-menu li a"},  # py:31-33
+            {"sel": "div.td-pulldown-filter-list > li > a"},  # py:34-36
+        ],
+        "entry": {"sel": "div.td-module-meta-info",
+                  "fields": {
+                      "href": {"sel": "a", "attr": "href"},
+                      "time": {"sel": ".td-post-date"},
+                  }},
+        "next": {"sel": ".page-nav.td-pb-padding-side a", "index": -1,
+                 "attr": "href"},
+        "title": {"sel": ".tdb-title-text"},
+        "cat2": {"sel": ".tdb-entry-category", "index": -1},  # py:63
+        "block": {"para_sel": "#fb-root ~ p",
+                  "img_sel": "figure > img", "img_attr": "data-src"},
+    },
+    "title_priority": "page",
+}
+
+
+def _build_manilatimes(g: _G) -> None:
+    host = "www.manilatimes.net"
+    wid = 186
+    g.registry[wid] = dict(MANILATIMES_RULES)
+    g.seeds.append({"url": MT2_BASE + "/", "website_id": wid,
+                    "language_id": 1866})
+    menu = (
+        '<div id="tdb-block-menu"><ul>'
+        f'<li><a href="{MT2_BASE}/news">News</a></li></ul></div>'
+        '<div class="td-pulldown-filter-list">'
+        f'<li><a href="{MT2_BASE}/sports">Sports</a></li></div>'
+    )
+    g.page(MT2_BASE + "/", "menu", f"<html>{menu}</html>", host)
+    pages = [(0.0, 11.0), (22.0, 44.0)]
+    for cslug in ("news", "sports"):
+        for p, ages in enumerate(pages, 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{MT2_BASE}/{cslug}/article-{p}-{e}"
+                rows.append(
+                    f'<div class="td-module-meta-info">'
+                    f'<a href="{aurl}">t</a><span class="td-post-date">'
+                    f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+                    f"</span></div>"
+                )
+                g.page(
+                    aurl, "article",
+                    f'<html><h1 class="tdb-title-text">MT {cslug} {p}-{e}'
+                    f"</h1>"
+                    f'<span class="tdb-entry-category">Metro</span>'
+                    f'<span class="tdb-entry-category">{cslug.title()}'
+                    f"</span>"
+                    f'<div id="fb-root"></div>'
+                    f"<p>mt lead {cslug} {p}-{e}</p><p>mt more</p>"
+                    f'<figure><img data-src="{MT2_BASE}/f/{cslug}{p}{e}'
+                    f'.jpg"></figure></html>',
+                    host,
+                )
+            nxt = (f'<div class="page-nav td-pb-padding-side">'
+                   f'<i class="td-icon-menu-right"></i>'
+                   f'<a href="{MT2_BASE}/{cslug}/page/{p + 1}">»</a>'
+                   "</div>")
+            lurl = (f"{MT2_BASE}/{cslug}" if p == 1
+                    else f"{MT2_BASE}/{cslug}/page/{p}")
+            g.page(lurl, "list",
+                   "<html>" + "".join(rows) + nxt + "</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# abante — [:8] menu slice, category1 from the LIST URL's path segment,
+# last-entry time page gate, styled continue-reading bodies
+# (已部署/abante.py)
+# ---------------------------------------------------------------------------
+
+ABANTE_BASE = "https://tonite.abante.com.ph"
+
+ABANTE_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    # category1 = the list URL's 5th path token (abante.py:35-36)
+    "cat1_url_re": r"^https?://[^/]+/[^/]+/([^/]+)",
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "#main-navigation > li > a",
+                     "slice": [0, 8]},
+        "entry": {"sel": "article .title > a"},
+        "page_time": {"sel": "article time", "index": -1},
+        "next": {"sel": ".older > a", "attr": "href"},
+        "title": {"sel": ".post-title"},
+        "pub": {"sel": ".time > time > b"},
+        "block": {"para_sel": 'div[class="continue-reading-content'
+                              ' close"] > p',
+                  "img_sel": ".single-container .single-featured > img",
+                  "img_attr": "data-src"},
+    },
+}
+
+
+def _build_abante(g: _G) -> None:
+    host = "tonite.abante.com.ph"
+    wid = 486
+    g.registry[wid] = dict(ABANTE_RULES)
+    g.seeds.append({"url": ABANTE_BASE + "/", "website_id": wid,
+                    "language_id": 1880})
+    menu = ('<ul id="main-navigation">'
+            + "".join(f'<li><a href="{ABANTE_BASE}/category/{c}/">'
+                      f"{c.title()}</a></li>"
+                      for c in ("showbiz", "balita"))
+            + "</ul>")
+    g.page(ABANTE_BASE + "/", "menu", f"<html>{menu}</html>", host)
+    pages = [(0.0, 13.0), (26.0, 39.0)]
+    for cslug in ("showbiz", "balita"):
+        for p, ages in enumerate(pages, 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{ABANTE_BASE}/{cslug}-kwento-{p}-{e}/"
+                rows.append(
+                    f'<article><div class="title"><a href="{aurl}">t</a>'
+                    f"</div><time>{_MON_FULL[dt.month - 1]} {dt.day}, "
+                    f"{dt.year}</time></article>"
+                )
+                g.page(
+                    aurl, "article",
+                    f'<html><h1 class="post-title">Abante {cslug} {p}-{e}'
+                    f'</h1><div class="time"><time><b>'
+                    f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+                    f"</b></time></div>"
+                    f'<div class="single-container">'
+                    f'<div class="single-featured">'
+                    f'<img data-src="{ABANTE_BASE}/i/{cslug}{p}{e}.jpg">'
+                    f"</div></div>"
+                    f'<div class="continue-reading-content close">'
+                    f"<p>abante una {cslug} {p}-{e}</p><p>pangalawa</p>"
+                    f"</div></html>",
+                    host,
+                )
+            nxt = (f'<div class="older">'
+                   f'<a href="{ABANTE_BASE}/category/{cslug}/page/{p + 1}/'
+                   f'">Older</a></div>')
+            lurl = (f"{ABANTE_BASE}/category/{cslug}/" if p == 1
+                    else f"{ABANTE_BASE}/category/{cslug}/page/{p}/")
+            g.page(lurl, "list",
+                   "<html>" + "".join(rows) + nxt + "</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# janadesh — http-filtered [:-4] menu slice, DATELESS lists (pub falls
+# back to crawl time), fake pagination never followed, constant
+# category2, list-scraped lead image (已部署/janadesh.py)
+# ---------------------------------------------------------------------------
+
+JD_BASE = "http://www.janadesh.in"
+
+JANADESH_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "cat2_const": "News Details",  # janadesh.py:47
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": ".menu-list ul li a", "slice": [0, -4],
+                     "href_re": r"^http"},  # py:26-28
+        "entry": {"sel": ".page-title ~ div.row > div",
+                  "fields": {"href": {"sel": "a", "attr": "href"},
+                             "img": {"sel": "img", "attr": "src"}}},
+        "title": {"sel": ".read-content h5"},
+        "block": {"para_sel": ".read-content p"},
+    },
+}
+
+
+def _build_janadesh(g: _G) -> None:
+    host = "www.janadesh.in"
+    wid = 1067
+    g.registry[wid] = dict(JANADESH_RULES)
+    g.seeds.append({"url": JD_BASE + "/", "website_id": wid,
+                    "language_id": 1930})
+    menu = ('<div class="menu-list"><ul>'
+            f'<li><a href="{JD_BASE}/desh">देश</a></li>'
+            f'<li><a href="/relative">सापेक्ष</a></li>'  # filtered: not ^http
+            f'<li><a href="{JD_BASE}/videsh">विदेश</a></li>'
+            + "".join(f'<li><a href="{JD_BASE}/tail{k}">t{k}</a></li>'
+                      for k in range(4))  # [:-4] drops these
+            + "</ul></div>")
+    g.page(JD_BASE + "/", "menu", f"<html>{menu}</html>", host)
+    for cslug in ("desh", "videsh"):
+        rows = []
+        for e in range(3):
+            aurl = f"{JD_BASE}/{cslug}/samachar-{e}"
+            rows.append(
+                f'<div><a href="{aurl}">t</a>'
+                f'<img src="{JD_BASE}/th/{cslug}{e}.jpg"></div>'
+            )
+            g.page(
+                aurl, "article",
+                f'<html><div class="read-content"><h5>JD {cslug} {e}'
+                f"</h5><p>jd पहला {cslug} {e}</p><p>jd दूसरा</p></div>"
+                f"</html>",
+                host,
+            )
+        g.page(f"{JD_BASE}/{cslug}", "list",
+               f'<html><h2 class="page-title">{cslug}</h2>'
+               f'<div class="row">' + "".join(rows) + "</div></html>",
+               host)
+
+
+# ---------------------------------------------------------------------------
+# kickerdaily — five list seeds with title-derived categories, li-join
+# abstracts, last-entry meta date page gate (已部署/kickerdaily.py)
+# ---------------------------------------------------------------------------
+
+KD_BASE = "https://kickerdaily.com"
+
+KICKERDAILY_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "seed_kind": "list",
+    "entry_gate": False,
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "extract": {
+        "cat1_self": {"sel": "h1.page-title"},  # py:36
+        "entry": {"sel": "#main-content > article",
+                  "fields": {"href": {"sel": ".entry-title a",
+                                      "attr": "href"}}},
+        "page_time": {"sel": "#main-content > article "
+                             ".mh-meta-date.updated", "index": -1},
+        "next": {"sel": "a.next.page-numbers", "attr": "href"},
+        "title": {"sel": "h1.entry-title"},
+        "pub": {"sel": "span.entry-meta-date.updated a"},
+        # abstract: EVERY list-item text concatenated, else first para
+        # (py:63-67)
+        "abstract": {"sel": "div.entry-content.clearfix li",
+                     "join": True},
+        "block": {"para_sel": "div.entry-content.clearfix p",
+                  "img_sel": "div.entry-content.clearfix img"},
+    },
+}
+
+
+def _build_kickerdaily(g: _G) -> None:
+    host = "kickerdaily.com"
+    wid = 496
+    g.registry[wid] = dict(KICKERDAILY_RULES)
+    for cslug in ("tagalog", "philippines", "world", "entertainment-world",
+                  "social-news"):
+        g.seeds.append({"url": f"{KD_BASE}/posts/category/{cslug}/",
+                        "website_id": wid, "language_id": 1880})
+    pages = [(0.0, 16.0), (32.0, 48.0)]
+    for cslug in ("tagalog", "philippines", "world", "entertainment-world",
+                  "social-news"):
+        for p, ages in enumerate(pages, 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{KD_BASE}/{cslug}-post-{p}-{e}/"
+                rows.append(
+                    f"<article>"
+                    f'<h2 class="entry-title mh-posts-list-title">'
+                    f'<a href="{aurl}">t</a></h2>'
+                    f'<span class="mh-meta-date updated">'
+                    f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+                    f"</span></article>"
+                )
+                lis = ('<ul><li>KD point one. </li><li>KD point two.</li>'
+                       "</ul>") if e == 0 else ""
+                g.page(
+                    aurl, "article",
+                    f'<html><h1 class="entry-title">KD {cslug} {p}-{e}'
+                    f'</h1><span class="entry-meta-date updated">'
+                    f'<a href="#">{_MON_FULL[dt.month - 1]} {dt.day}, '
+                    f"{dt.year}</a></span>"
+                    f'<div class="entry-content clearfix">{lis}'
+                    f"<p>kd body {cslug} {p}-{e}</p><p>kd two</p>"
+                    f'<img src="{KD_BASE}/i/{cslug}{p}{e}.jpg"></div>'
+                    f"</html>",
+                    host,
+                )
+            nxt = (f'<a class="next page-numbers" '
+                   f'href="{KD_BASE}/posts/category/{cslug}/page/{p + 1}/"'
+                   f">»</a>")
+            lurl = (f"{KD_BASE}/posts/category/{cslug}/" if p == 1
+                    else f"{KD_BASE}/posts/category/{cslug}/page/{p}/")
+            g.page(lurl, "list",
+                   f'<html><h1 class="page-title">{cslug.title()} Posts'
+                   f'</h1><div id="main-content">' + "".join(rows)
+                   + f"</div>{nxt}</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# yugatech — homepage IS the list, category1 from the article URL,
+# first-non-empty abstract, byline page gate (已部署/yugatech.py)
+# ---------------------------------------------------------------------------
+
+YT_BASE = "https://www.yugatech.com"
+
+YUGATECH_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "seed_kind": "list",
+    "entry_gate": False,
+    "cat1_from_url_re": r"^https?://[^/]+/([^/]+)/",
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "entry": {"sel": 'div[class="pad group"] > article'
+                         " .tab-item-title > a"},
+        "page_time": {"sel": "article .post-byline", "index": -1},
+        "next": {"sel": "ul.group li.next.right a", "index": -1,
+                 "attr": "href"},
+        "title": {"sel": ".post-title"},
+        "pub": {"sel": ".post-byline"},
+        "block": {"para_sel": ".entry-inner > p",
+                  "img_sel": ".entry-inner > p img"},
+    },
+}
+
+
+def _build_yugatech(g: _G) -> None:
+    host = "www.yugatech.com"
+    wid = 444
+    g.registry[wid] = dict(YUGATECH_RULES)
+    g.seeds.append({"url": YT_BASE + "/", "website_id": wid,
+                    "language_id": 1866})
+    pages = [(0.0, 15.0), (30.0, 45.0)]
+    for p, ages in enumerate(pages, 1):
+        rows = []
+        for e, age in enumerate(ages):
+            dt = BASE_DT - timedelta(hours=age)
+            aurl = f"{YT_BASE}/mobile/yt-review-{p}-{e}/"
+            rows.append(
+                f'<div class="pad group"><article>'
+                f'<div class="tab-item-title"><a href="{aurl}">t</a>'
+                f'</div><div class="post-byline">'
+                f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}</div>"
+                f"</article></div>"
+            )
+            g.page(
+                aurl, "article",
+                f'<html><h1 class="post-title">YT review {p}-{e}</h1>'
+                f'<div class="post-byline">{_MON_FULL[dt.month - 1]} '
+                f"{dt.day}, {dt.year}</div>"
+                f'<div class="entry-inner"><p>yt body {p}-{e}</p>'
+                f'<p><img src="{YT_BASE}/sh/{p}{e}.png"></p></div>'
+                f"</html>",
+                host,
+            )
+        nxt = (f'<ul class="group"><li class="next right">'
+               f'<a href="{YT_BASE}/page/{p + 1}/">»</a></li></ul>')
+        lurl = YT_BASE + "/" if p == 1 else f"{YT_BASE}/page/{p}/"
+        g.page(lurl, "list",
+               "<html>" + "".join(rows) + nxt + "</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# politics — breadcrumb-span title/category, style-attribute background
+# image, body skipping its first paragraph, ISO datetimes
+# (已部署/politics.py)
+# ---------------------------------------------------------------------------
+
+POL_BASE = "https://politics.com.ph"
+
+POLITICS_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "date_style": "isoT",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "nav > div.wrapper a", "slice": [0, 6]},
+        "entry": {"sel": "header.entry-header",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "page_time": {"sel": "time.entry-date.published", "index": -1,
+                      "attr": "datetime"},
+        "next": {"sel": "a.next.page-numbers", "attr": "href"},
+        # the breadcrumb spans: [1] = category, [2] = title (py:70-73)
+        "title": {"sel": "span[itemprop=name]", "index": 2},
+        "cat1": {"sel": "span[itemprop=name]", "index": 1},
+        "pub": {"sel": "time.entry-date.published", "attr": "datetime"},
+        "block": {"para_sel": "div.entry-content > p",
+                  # body_list[1:] — the first paragraph is a teaser the
+                  # reference drops (py:82)
+                  "para_skip": 1,
+                  # the lead image is a background-image STYLE value; the
+                  # URL is the last quoted string (py:66-67)
+                  "img_sel": "div.relative", "img_attr": "style",
+                  "img_attr_re": r"'([^']*)'[^']*$"},
+    },
+}
+
+
+def _build_politics(g: _G) -> None:
+    host = "politics.com.ph"
+    wid = 1206
+    g.registry[wid] = dict(POLITICS_RULES)
+    g.seeds.append({"url": POL_BASE + "/", "website_id": wid,
+                    "language_id": 1866})
+    menu = ('<nav><div class="wrapper">'
+            + "".join(f'<a href="{POL_BASE}/{c}/">{c.title()}</a>'
+                      for c in ("national", "local"))
+            + "</div></nav>")
+    g.page(POL_BASE + "/", "menu", f"<html>{menu}</html>", host)
+    pages = [(0.0, 14.0), (28.0, 42.0)]
+    for cslug in ("national", "local"):
+        for p, ages in enumerate(pages, 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                iso = dt.strftime("%Y-%m-%dT%H:%M:%S+08:00")
+                aurl = f"{POL_BASE}/{cslug}-balita-{p}-{e}/"
+                rows.append(
+                    f'<header class="entry-header"><a href="{aurl}">t</a>'
+                    f'<time class="entry-date published" datetime="{iso}">'
+                    f"d</time></header>"
+                )
+                g.page(
+                    aurl, "article",
+                    f'<html><span itemprop="name">Home</span>'
+                    f'<span itemprop="name">{cslug.title()}</span>'
+                    f'<span itemprop="name">POL {cslug} {p}-{e}</span>'
+                    f'<time class="entry-date published" '
+                    f'datetime="{iso}">d</time>'
+                    f'<div class="relative" style="background-image:'
+                    f"url('{POL_BASE}/bg/{cslug}{p}{e}.jpg')\"></div>"
+                    f'<div class="entry-content">'
+                    f"<p>teaser — dropped</p>"
+                    f"<p>pol body {cslug} {p}-{e}</p><p>pol two</p>"
+                    f"</div></html>",
+                    host,
+                )
+            nxt = (f'<a class="next page-numbers" '
+                   f'href="{POL_BASE}/{cslug}/page/{p + 1}/">»</a>')
+            lurl = (f"{POL_BASE}/{cslug}/" if p == 1
+                    else f"{POL_BASE}/{cslug}/page/{p}/")
+            g.page(lurl, "list",
+                   "<html>" + "".join(rows) + nxt + "</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# sunstar — THREE menu hops (menu → section page → one more hop → list),
+# URL-segment categories with a digits guard, single-paragraph bodies
+# (已部署/sunstar.py)
+# ---------------------------------------------------------------------------
+
+SS_BASE = "https://www.sunstar.com.ph"
+
+SUNSTAR_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "menu_child_kind": "menu2",
+    "entry_gate": False,
+    "cat1_from_url_re": r"^https?://[^/]+/(?:[^/]+/){2}([^/]+)/",
+    # the digits guard: a numeric 6th segment leaves category2 unset
+    # (sunstar.py:57-58) — and the menu lineage never feeds it
+    "cat2_from_url_re": r"^https?://[^/]+/(?:[^/]+/){3}([^/\d]+)/",
+    "cat2_meta_off": True,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": ".menu li > a"},
+        # hop 2: the section page's tablecenter links [1:8] lead to one
+        # MORE menu page (py:30-33)
+        "category2": {"sel": ".tablecenter > a", "slice": [1, 8],
+                      "child_kind": "menu2"},
+        "entry": {"sel": ".search-inner > div .title > a"},
+        "page_time": {"sel": ".search-inner > div .author span",
+                      "index": -1},
+        "next": {"sel": "a.paginationBtn.nextBtn", "attr": "href"},
+        "title": {"sel": ".titleArticle > h1"},
+        "pub": {"sel": ".articleDate"},
+        "block": {"para_sel": ".col-sm-11 p",
+                  # ONLY the first paragraph is body AND abstract
+                  # (py:59-60)
+                  "para_slice": [0, 1],
+                  "img_sel": ".imgArticle > img"},
+        "variants": [
+            {   # hop 3: the sub page's single row link IS the list
+                "match": r"/sub/",
+                "category2": {"sel": ".row.content > a", "slice": [0, 1],
+                              "child_kind": "list"},
+            },
+        ],
+    },
+}
+
+
+def _build_sunstar(g: _G) -> None:
+    host = "www.sunstar.com.ph"
+    wid = 443
+    g.registry[wid] = dict(SUNSTAR_RULES)
+    g.seeds.append({"url": SS_BASE + "/", "website_id": wid,
+                    "language_id": 1866})
+    g.page(SS_BASE + "/", "menu",
+           f'<html><div class="menu"><li>'
+           f'<a href="{SS_BASE}/sect/cebu">Cebu</a></li></div></html>',
+           host)
+    # hop 2: tablecenter page — [1:8] drops the first link
+    g.page(
+        SS_BASE + "/sect/cebu", "menu2",
+        f'<html><div class="tablecenter">'
+        f'<a href="{SS_BASE}/skip/me">skipped</a>'
+        f'<a href="{SS_BASE}/sub/cebu-news">News</a>'
+        f'<a href="{SS_BASE}/sub/cebu-biz">Business</a></div></html>',
+        host,
+    )
+    # hop 3: each sub page's first row link is the real list
+    for sub in ("cebu-news", "cebu-biz"):
+        g.page(
+            f"{SS_BASE}/sub/{sub}", "menu2",
+            f'<html><div class="row content">'
+            f'<a href="{SS_BASE}/list/{sub}/1">latest</a></div></html>',
+            host,
+        )
+    pages = [(0.0, 13.0), (26.0, 39.0)]
+    for sub, c2 in (("cebu-news", "local-news"), ("cebu-biz", "trade")):
+        for p, ages in enumerate(pages, 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                seg2 = c2 if e % 2 == 0 else "88"  # digits guard probe
+                aurl = f"{SS_BASE}/article/{sub}/cebu/{seg2}/{p}{e}01/story/"
+                rows.append(
+                    f'<div><div class="title"><a href="{aurl}">t</a>'
+                    f'</div><div class="author"><span>'
+                    f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+                    f"</span></div></div>"
+                )
+                g.page(
+                    aurl, "article",
+                    f'<html><div class="titleArticle"><h1>SunStar {sub} '
+                    f"{p}-{e}</h1></div>"
+                    f'<div class="articleDate">{_MON_FULL[dt.month - 1]} '
+                    f"{dt.day}, {dt.year}</div>"
+                    f'<div class="imgArticle">'
+                    f'<img src="{SS_BASE}/i/{sub}{p}{e}.jpg"></div>'
+                    f'<div class="col-sm-11"><p>ss only para {sub} {p}-{e}'
+                    f"</p><p>never stored</p></div></html>",
+                    host,
+                )
+            nxt = (f'<a class="paginationBtn nextBtn" '
+                   f'href="{SS_BASE}/list/{sub}/{p + 1}">next</a>')
+            g.page(f"{SS_BASE}/list/{sub}/{p}", "list",
+                   f'<html><div class="search-inner">' + "".join(rows)
+                   + f"</div>{nxt}</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# techpinas — blogger older-link pagination gated on the FIRST teaser
+# date, slash dates with verbatim time-of-day, div/i/h3 bodies
+# (已部署/techpinas.py)
+# ---------------------------------------------------------------------------
+
+TP_BASE = "https://www.techpinas.com"
+
+TECHPINAS_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "seed_kind": "list",
+    "date_style": "mdy_slash_hms",  # timeformat (techpinas.py:52-56)
+    "entry_gate": False,
+    "cat1_const": None,  # the reference never sets categories
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "entry": {"sel": ".section .post-outer a.read-more"},
+        # the gate reads the FIRST teaser's published stamp (py:30)
+        "page_time": {"sel": ".section .post-outer .published",
+                      "index": 0},
+        "next": {"sel": ".section a.blog-pager-older-link",
+                 "attr": "href"},
+        "title": {"sel": ".post-header > h1"},
+        "pub": {"sel": "abbr.published"},
+        "block": {"para_sel": [".post-body.entry-content > div",
+                               ".post-body.entry-content i",
+                               ".post-body.entry-content > h3"],
+                  "img_sel": ".post-body.entry-content img"},
+    },
+}
+
+
+def _tp_date(dt: datetime) -> str:
+    return (f"{dt.month}/{dt.day}/{dt.year} "
+            f"{dt.hour:02d}:{dt.minute:02d}:00 AM")
+
+
+def _build_techpinas(g: _G) -> None:
+    host = "www.techpinas.com"
+    wid = 492
+    g.registry[wid] = dict(TECHPINAS_RULES)
+    g.seeds.append({"url": TP_BASE + "/", "website_id": wid,
+                    "language_id": 1866})
+    pages = [(0.0, 18.0), (40.0, 50.0)]
+    for p, ages in enumerate(pages, 1):
+        rows = []
+        for e, age in enumerate(ages):
+            dt = BASE_DT - timedelta(hours=age)
+            aurl = f"{TP_BASE}/tp-gadget-{p}-{e}.html"
+            rows.append(
+                f'<div class="post-outer">'
+                f'<span class="published">{_tp_date(dt)}</span>'
+                f'<a class="read-more" href="{aurl}">Read</a></div>'
+            )
+            g.page(
+                aurl, "article",
+                f'<html><div class="post-header"><h1>TP gadget {p}-{e}'
+                f'</h1></div><abbr class="published">{_tp_date(dt)}'
+                f"</abbr>"
+                f'<div class="post-body entry-content">'
+                f"<div>tp intro {p}-{e}</div><h3>Specs</h3>"
+                f'<i>tp verdict</i><img src="{TP_BASE}/g/{p}{e}.png">'
+                f"</div></html>",
+                host,
+            )
+        nxt = (f'<a class="blog-pager-older-link" '
+               f'href="{TP_BASE}/search?page={p + 1}">Older</a>')
+        lurl = TP_BASE + "/" if p == 1 else f"{TP_BASE}/search?page={p}"
+        g.page(lurl, "list",
+               f'<html><div class="section">' + "".join(rows) + nxt
+               + "</div></html>", host)
+
+
+# ---------------------------------------------------------------------------
+# emalwa — seed menu PLUS a side-fetched second page harvesting two more
+# link groups (labels from text), no-break entry gates over unsorted
+# grids, list-scraped title/abstract/date (已部署/emalwa.py)
+# ---------------------------------------------------------------------------
+
+EM_BASE = "https://emalwa.com"
+
+EMALWA_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    # the gate skips old entries WITHOUT breaking — the grid is unsorted
+    # and later entries may still be fresh (emalwa.py:50-59)
+    "entry_gate_no_break": True,
+    # start_requests side-fetches a second page and mines two more link
+    # groups off it, labels from the link text (py:35-41)
+    "menu_side_expand": {
+        "url": EM_BASE + "/category/ratlam-and-other-cities/",
+        "sels": ["ul.td-pulldown-filter-list a", "#td-category > li a"],
+        "label_from_text": True,
+    },
+    "extract": {
+        "category": {"sel": "#menu-final-main-menu-1 li > a",
+                     "slice": [1, -1]},
+        "entry": {"sel": ".td_module_10.td_module_wrap"
+                         ".td-animation-stack",
+                  "fields": {
+                      "href": {"sel": "h3 > a", "attr": "href"},
+                      "title": {"sel": "h3 > a"},
+                      "abstract": {"sel": "div.td-excerpt"},
+                      "time": {"sel": ".td-post-date"},
+                  }},
+        "next": {"sel": ".page-nav.td-pb-padding-side a", "index": -1,
+                 "attr": "href"},
+        "block": {"para_sel": ".td-post-content p",
+                  "img_sel": ".td-post-content img"},
+    },
+}
+
+
+def _build_emalwa(g: _G) -> None:
+    host = "emalwa.com"
+    wid = 1050
+    g.registry[wid] = dict(EMALWA_RULES)
+    g.seeds.append({"url": EM_BASE + "/", "website_id": wid,
+                    "language_id": 1930})
+    menu = ('<ul id="menu-final-main-menu-1">'
+            f'<li><a href="{EM_BASE}/">Home</a></li>'
+            f'<li><a href="{EM_BASE}/category/malwa">मालवा</a></li>'
+            f'<li><a href="{EM_BASE}/contact">Contact</a></li></ul>')
+    g.page(EM_BASE + "/", "menu", f"<html>{menu}</html>", host)
+    # the side-fetched second page: two harvested link groups
+    g.page(
+        EM_BASE + "/category/ratlam-and-other-cities/", "list",
+        f'<html><ul class="td-pulldown-filter-list">'
+        f'<li><a href="{EM_BASE}/category/ratlam">रतलाम</a></li></ul>'
+        f'<ul id="td-category"><li>'
+        f'<a href="{EM_BASE}/category/ujjain">उज्जैन</a></li></ul></html>',
+        host,
+    )
+    # the grid is deliberately UNSORTED: entry 0 is old, entry 1 fresh —
+    # the no-break gate keeps scanning and still stores entry 1
+    pages = {"malwa": [(40.0, 6.0)],
+             "ratlam": [(0.0, 12.0), (24.0, 44.0)],
+             "ujjain": [(2.0, 10.0)]}
+    for cslug, page_ages in pages.items():
+        for p, ages in enumerate(page_ages, 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{EM_BASE}/{cslug}-khabar-{p}-{e}/"
+                rows.append(
+                    f'<div class="td_module_10 td_module_wrap '
+                    f'td-animation-stack"><h3>'
+                    f'<a href="{aurl}">EM {cslug} {p}-{e}</a></h3>'
+                    f'<div class="td-excerpt">em सार {cslug} {p}-{e}'
+                    f'</div><span class="td-post-date">'
+                    f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+                    f"</span></div>"
+                )
+                g.page(
+                    aurl, "article",
+                    f'<html><div class="td-post-content">'
+                    f"<p>em body {cslug} {p}-{e}</p>"
+                    f'<img src="{EM_BASE}/i/{cslug}{p}{e}.jpg"></div>'
+                    f"</html>",
+                    host,
+                )
+            last = p == len(page_ages)
+            nxt = ("" if last else
+                   f'<div class="page-nav td-pb-padding-side">'
+                   f'<a href="{EM_BASE}/category/{cslug}/page/{p + 1}/">'
+                   f"»</a></div>")
+            lurl = (f"{EM_BASE}/category/{cslug}" if p == 1
+                    else f"{EM_BASE}/category/{cslug}/page/{p}/")
+            g.page(lurl, "list",
+                   "<html>" + "".join(rows) + nxt + "</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# navsancharsamachar — pre-fetched menu, list-scraped title/abstract/
+# date riding into imageless articles (已部署/navsancharsamachar.py)
+# ---------------------------------------------------------------------------
+
+NSS_BASE = "http://navsancharsamachar.com"
+
+NAVSANCHARSAMACHAR_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "extract": {
+        "category": {"sel": "#menu-primary li", "link_sel": "a"},
+        "entry": {"sel": ".post",
+                  "fields": {
+                      "href": {"sel": "a", "attr": "href"},
+                      "title": {"sel": "h2 > a"},
+                      "abstract": {"sel": "div.exceprt"},
+                      "time": {"sel": ".date"},
+                  }},
+        "next": {"sel": "a.next.page-numbers", "attr": "href"},
+        "block": {"para_sel": ".post-entry p"},
+    },
+}
+
+
+def _build_navsancharsamachar(g: _G) -> None:
+    host = "navsancharsamachar.com"
+    wid = 1048
+    g.registry[wid] = dict(NAVSANCHARSAMACHAR_RULES)
+    g.seeds.append({"url": NSS_BASE + "/", "website_id": wid,
+                    "language_id": 1930})
+    menu = ('<ul id="menu-primary">'
+            f'<li><a href="{NSS_BASE}/desh">देश</a></li>'
+            f'<li><a href="{NSS_BASE}/khel">खेल</a></li></ul>')
+    g.page(NSS_BASE + "/", "menu", f"<html>{menu}</html>", host)
+    pages = [(0.0, 12.0), (24.0, 40.0)]
+    for cslug in ("desh", "khel"):
+        for p, ages in enumerate(pages, 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{NSS_BASE}/{cslug}-khabar-{p}-{e}"
+                rows.append(
+                    f'<div class="post"><h2><a href="{aurl}">NSS '
+                    f'{cslug} {p}-{e}</a></h2><div class="exceprt">'
+                    f'nss सार {cslug} {p}-{e}</div><span class="date">'
+                    f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+                    f"</span></div>"
+                )
+                g.page(
+                    aurl, "article",
+                    f'<html><div class="post-entry"><p>nss body {cslug} '
+                    f"{p}-{e}</p><p>nss दूसरा</p></div></html>",
+                    host,
+                )
+            nxt = (f'<a class="next page-numbers" '
+                   f'href="{NSS_BASE}/{cslug}?page={p + 1}">»</a>')
+            lurl = (f"{NSS_BASE}/{cslug}" if p == 1
+                    else f"{NSS_BASE}/{cslug}?page={p}")
+            g.page(lurl, "list",
+                   "<html>" + "".join(rows) + nxt + "</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# ptvnews — sliced sub-menu plus two hardcoded category lists, both
+# categories from the LIST URL with a 'page' segment guard; the JS
+# cookie challenge (execjs + proxy) is out of scope — the crawl
+# dataflow is what's ported (已部署/ptvnews.py)
+# ---------------------------------------------------------------------------
+
+PTV_BASE = "https://ptvnews.ph"
+
+PTVNEWS_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "cat1_url_re": r"^https?://[^/]+/category/([^/]+)/",
+    # list[5] != 'page' guard (ptvnews.py:64-66)
+    "cat2_url_re": r"^https?://[^/]+/category/[^/]+/(?!page)([^/]+)/",
+    # the hardcoded sports/business lists yielded beside the menu
+    # (py:51-52)
+    "extra_lists": [
+        {"url": PTV_BASE + "/category/sports/", "category1": None,
+         "category2": None},
+        {"url": PTV_BASE + "/category/business/", "category1": None,
+         "category2": None},
+    ],
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": ".sub-menu > li > a", "slice": [0, 12]},
+        "entry": {"sel": ".td-ss-main-content .td-block-span6 h3 > a"},
+        "page_time": {"sel": ".td-ss-main-content time", "index": -1},
+        "next": {"sel": ".page-nav.td-pb-padding-side > a", "index": -1,
+                 "attr": "href"},
+        "title": {"sel": ".entry-title"},
+        "pub": {"sel": 'time[class="entry-date updated td-module-date"]'},
+        "block": {"para_sel": ".td-post-content > p",
+                  "img_sel": ".td-post-featured-image img"},
+    },
+}
+
+
+def _build_ptvnews(g: _G) -> None:
+    host = "ptvnews.ph"
+    wid = 445
+    g.registry[wid] = dict(PTVNEWS_RULES)
+    g.seeds.append({"url": PTV_BASE + "/", "website_id": wid,
+                    "language_id": 1866})
+    menu = ('<ul class="sub-menu">'
+            f'<li><a href="{PTV_BASE}/category/news/national/">National'
+            "</a></li></ul>")
+    g.page(PTV_BASE + "/", "menu", f"<html>{menu}</html>", host)
+    pages = [(0.0, 12.0), (24.0, 40.0)]
+    for cpath, flat in (("news/national", "national"),
+                        ("sports", "sports"), ("business", "business")):
+        for p, ages in enumerate(pages, 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{PTV_BASE}/{flat}-ulat-{p}-{e}/"
+                rows.append(
+                    f'<div class="td-block-span6"><h3>'
+                    f'<a href="{aurl}">t</a></h3></div>'
+                    f"<time>{_MON_FULL[dt.month - 1]} {dt.day}, "
+                    f"{dt.year}</time>"
+                )
+                g.page(
+                    aurl, "article",
+                    f'<html><h1 class="entry-title">PTV {flat} {p}-{e}'
+                    f'</h1><time class="entry-date updated '
+                    f'td-module-date">{_MON_FULL[dt.month - 1]} '
+                    f"{dt.day}, {dt.year}</time>"
+                    f'<div class="td-post-featured-image">'
+                    f'<img src="{PTV_BASE}/f/{flat}{p}{e}.jpg"></div>'
+                    f'<div class="td-post-content">'
+                    f"<p>ptv ulat {flat} {p}-{e}</p><p>ptv dalawa</p>"
+                    f"</div></html>",
+                    host,
+                )
+            nxt = (f'<div class="page-nav td-pb-padding-side">'
+                   f'<a href="{PTV_BASE}/category/{cpath}/page/{p + 1}/">'
+                   f"»</a></div>")
+            lurl = (f"{PTV_BASE}/category/{cpath}/" if p == 1
+                    else f"{PTV_BASE}/category/{cpath}/page/{p}/")
+            g.page(lurl, "list",
+                   f'<html><div class="td-ss-main-content">'
+                   + "".join(rows) + f"</div>{nxt}</html>", host)
+
+
 SITE_BUILDERS = {
     "zeenews": _build_zeenews,
     "aajtak": _build_aajtak,
@@ -4454,6 +5637,20 @@ SITE_BUILDERS = {
     "samacharjagat": _build_samacharjagat,
     "tarunmitra": _build_tarunmitra,
     "dainiksandhyaprakash": _build_dainiksandhyaprakash,
+    "aapkikhabar": _build_aapkikhabar,
+    "bandera": _build_bandera,
+    "centralindia": _build_centralindia,
+    "manilatimes": _build_manilatimes,
+    "abante": _build_abante,
+    "janadesh": _build_janadesh,
+    "kickerdaily": _build_kickerdaily,
+    "yugatech": _build_yugatech,
+    "politics": _build_politics,
+    "sunstar": _build_sunstar,
+    "techpinas": _build_techpinas,
+    "emalwa": _build_emalwa,
+    "navsancharsamachar": _build_navsancharsamachar,
+    "ptvnews": _build_ptvnews,
 }
 
 

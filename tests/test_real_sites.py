@@ -46,6 +46,8 @@ def test_all_sites_produce_documents(sim):
         1059, 941, 1192, 495, 487, 485,
         965, 1216, 1218, 678, 1144, 1134, 1091, 1209, 1219, 984, 1095,
         1112, 999,
+        1023, 376, 952, 186, 486, 1067, 496, 444, 1206, 443, 492, 1050,
+        1048, 445,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -182,7 +184,8 @@ def test_zeenews_hindi_dates_and_excluded_slug(sim):
     times = sorted((d["pub_time"] for d in docs), reverse=True)
     assert times[0] == "2021-05-30 12:00:00"
     assert all(d["category2"] is None for d in docs)  # zeenews never sets it
-    assert not any("entertainment" in u for _, u in sim["crawl_log"])
+    assert not any("zeenews" in u and "entertainment" in u
+                   for _, u in sim["crawl_log"])
     # the photo-gallery variant markup was really parsed (variant dispatch)
     photo = [d for d in docs if "photo-gallery" in d["request_url"]]
     assert photo and all(d["title"].startswith("Photo") for d in photo)
@@ -952,6 +955,170 @@ def test_tranche_b_remaining_sites_shapes(sim):
     assert s["abstract"] == "पहला खंड 1-0दूसरा खंड"  # two danda segments
     refs = [x["media_ref"] for x in s["spans"] if x["kind"] == "image"]
     assert len(refs) == 2 and refs[-1].endswith("/f/rajasthan10.jpg")
+
+
+def test_aapkikhabar_page_teaser_datestrings_and_body_sentinel(sim):
+    """aapkikhabar: the list's single news_desc teaser becomes EVERY
+    entry's abstract, machine-readable data-datestring attributes gate
+    entries directly, and the body loop stops at the trending-tweets
+    sentinel paragraph."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1023]}
+    d = docs["https://aapkikhabar.com/desh-khabar-1-0"]
+    assert d["abstract"] == "तीज़र desh पेज 1"  # page-level teaser
+    assert d["pub_time"] == "2021-05-30 12:00:00"  # ymd data-datestring
+    texts = [s["text"] for s in d["spans"] if s["kind"] == "text"]
+    assert texts == ["ak body desh 1-0"]  # sentinel + tail dropped
+    fixed = [x for x in docs.values()
+             if x["category1"] == "प्रदेश" and x["category2"]]
+    assert fixed  # the fixed-label sub-group
+
+
+def test_bandera_side_fetch_gate_and_breadcrumb(sim):
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[376]}
+    d = docs["https://bandera.inquirer.net/balita/balita-1-0"]
+    assert d["category1"] == "Balita"  # #m-bread2 breadcrumb
+    fetched = [u for _b, u in sim["crawl_log"]]
+    # balita survives to page 2 (gate 10 h), dies there (40 h); chika's
+    # page-1 last (42 h) stops immediately
+    assert any("balita/page/2" in u for u in fetched)
+    assert not any("balita/page/3" in u for u in fetched)
+    assert not any("chika/page/2" in u for u in fetched)
+    assert len(_docs_by_site(sim)[376]) == 8
+
+
+def test_centralindia_href_filter_dead_category_and_crumb(sim):
+    fetched = [u for _b, u in sim["crawl_log"]]
+    # only /category/ menu links crawled; the dead one yields nothing
+    assert not any("centralindia.news/video" in u for u in fetched)
+    assert any(u.endswith("/category/dead/") for u in fetched)
+    docs = _docs_by_site(sim)[952]
+    assert all("dead" not in d["request_url"] for d in docs)
+    d = {x["request_url"]: x for x in docs}[
+        "https://www.centralindia.news/bhopal-khabar-1-0/"
+    ]
+    assert d["category1"] == "भोपाल"  # crumbs span[-2]
+    assert d["pub_time"] == "2021-05-30 12:00:00"  # isoT datetime attr
+
+
+def test_manilatimes_last_entry_category_and_fbroot_body(sim):
+    d = {x["request_url"]: x for x in _docs_by_site(sim)[186]}[
+        "https://www.manilatimes.net/news/article-1-0"
+    ]
+    assert d["category2"] == "News"  # .tdb-entry-category[-1]
+    assert d["category1"] == "News"  # menu label in meta
+    texts = [s["text"] for s in d["spans"] if s["kind"] == "text"]
+    assert texts == ["mt lead news 1-0", "mt more"]  # #fb-root ~ p
+
+
+def test_abante_url_category_and_page_gate(sim):
+    docs = _docs_by_site(sim)[486]
+    assert {d["category1"] for d in docs} == {"showbiz", "balita"}
+    fetched = [u for _b, u in sim["crawl_log"]]
+    assert not any("abante" in u and "page/3" in u for u in fetched)
+    assert len(docs) == 8  # ungated entries, both pages, both cats
+
+
+def test_janadesh_href_filter_dateless_and_const_cat2(sim):
+    docs = _docs_by_site(sim)[1067]
+    assert all(d["category2"] == "News Details" for d in docs)
+    assert all(d["pub_time"] == "2021-06-01 00:00:00" for d in docs)
+    fetched = [u for _b, u in sim["crawl_log"]]
+    assert not any("/relative" in u or "tail" in u for u in fetched)
+    d = {x["request_url"]: x for x in docs}[
+        "http://www.janadesh.in/desh/samachar-0"
+    ]
+    assert d["spans"][0]["kind"] == "image"  # list-scraped lead img
+
+
+def test_kickerdaily_li_join_abstract_and_self_title(sim):
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[496]}
+    with_li = docs["https://kickerdaily.com/tagalog-post-1-0/"]
+    assert with_li["abstract"] == "KD point one.KD point two."
+    without = docs["https://kickerdaily.com/tagalog-post-1-1/"]
+    assert without["abstract"] == "kd body tagalog 1-1"  # first p
+    assert with_li["category1"] == "Tagalog Posts"  # cat1_self
+
+
+def test_yugatech_and_techpinas_list_seeds(sim):
+    yt = _docs_by_site(sim)[444]
+    assert all(d["category1"] == "mobile" for d in yt)  # URL segment
+    fetched = [u for _b, u in sim["crawl_log"]]
+    # yugatech page 2's byline (45 h) stops page 3
+    assert not any("yugatech.com/page/3" in u for u in fetched)
+    tp = _docs_by_site(sim)[492]
+    d = {x["request_url"]: x for x in tp}[
+        "https://www.techpinas.com/tp-gadget-1-0.html"
+    ]
+    assert d["pub_time"] == "2021-05-30 12:00:00"  # mdy_slash_hms
+    texts = [s["text"] for s in d["spans"] if s["kind"] == "text"]
+    assert texts == ["tp intro 1-0", "Specs", "tp verdict"]
+    # techpinas page 2's FIRST teaser (40 h) stops page 3
+    assert not any("techpinas.com/search?page=3" in u for u in fetched)
+    assert len(tp) == 4  # page-2 entries still stored (ungated)
+
+
+def test_politics_breadcrumb_title_style_image_and_para_skip(sim):
+    d = {x["request_url"]: x for x in _docs_by_site(sim)[1206]}[
+        "https://politics.com.ph/national-balita-1-0/"
+    ]
+    assert d["title"] == "POL national 1-0"  # span[itemprop=name][2]
+    assert d["category1"] == "National"  # span[1]
+    texts = [s["text"] for s in d["spans"] if s["kind"] == "text"]
+    assert texts == ["pol body national 1-0", "pol two"]  # teaser dropped
+    refs = [s["media_ref"] for s in d["spans"] if s["kind"] == "image"]
+    assert refs == ["https://politics.com.ph/bg/national10.jpg"]  # style
+
+
+def test_sunstar_three_hop_menu_and_digit_guard(sim):
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[443]}
+    assert len(docs) == 8  # 2 subs × 2 pages × 2, collision-free URLs
+    alpha = docs["https://www.sunstar.com.ph/article/cebu-news/cebu/"
+                 "local-news/1001/story/"]
+    assert (alpha["category1"], alpha["category2"]) == (
+        "cebu", "local-news")
+    num = docs["https://www.sunstar.com.ph/article/cebu-news/cebu/"
+               "88/1101/story/"]
+    assert num["category2"] is None  # digits guard, meta suppressed
+    texts = [s["text"] for s in alpha["spans"] if s["kind"] == "text"]
+    assert texts == ["ss only para cebu-news 1-0"]  # para_slice [0,1]
+    fetched = [u for _b, u in sim["crawl_log"]]
+    assert not any("/skip/me" in u for u in fetched)  # [1:8] slice
+
+
+def test_emalwa_no_break_gate_and_side_expanded_menu(sim):
+    docs = _docs_by_site(sim)[1050]
+    urls = {d["request_url"] for d in docs}
+    # the unsorted grid: entry 0 (40 h) skipped, entry 1 (6 h) STILL
+    # stored because the gate does not break
+    assert "https://emalwa.com/malwa-khabar-1-0/" not in urls
+    assert "https://emalwa.com/malwa-khabar-1-1/" in urls
+    fetched = [u for _b, u in sim["crawl_log"]]
+    # ...but pagination died with the gate
+    assert not any("category/malwa/page" in u for u in fetched)
+    # the side-fetched second page contributed two more sections
+    cats = {d["category1"] for d in docs}
+    assert {"रतलाम", "उज्जैन"} <= cats
+    d = {x["request_url"]: x for x in docs}[
+        "https://emalwa.com/ratlam-khabar-1-0/"
+    ]
+    assert d["title"] == "EM ratlam 1-0"  # list-scraped (meta wins)
+    assert d["abstract"] == "em सार ratlam 1-0"  # td-excerpt
+
+
+def test_ptvnews_url_categories_and_page_guard(sim):
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[445]}
+    nat = docs["https://ptvnews.ph/national-ulat-1-0/"]
+    assert (nat["category1"], nat["category2"]) == ("news", "national")
+    biz = docs["https://ptvnews.ph/business-ulat-1-0/"]
+    assert biz["category1"] == "business" and biz["category2"] is None
+    # page-2 lists keep their categories (the 'page' segment is guarded)
+    nat2 = docs["https://ptvnews.ph/national-ulat-2-0/"]
+    assert nat2["category2"] == "national"
+    nss = {d["request_url"]: d for d in _docs_by_site(sim)[1048]}
+    n = nss["http://navsancharsamachar.com/desh-khabar-1-0"]
+    assert n["title"] == "NSS desh 1-0"  # list h2 (meta wins)
+    assert n["abstract"] == "nss सार desh 1-0"  # div.exceprt
+    assert not [s for s in n["spans"] if s["kind"] == "image"]
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,

@@ -29,7 +29,7 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
     "menu_parse": (
         r"def parse\(",
         "menu kind + `category` rule (regex or selector; groups/skip)",
-        "all 18 fixture sites",
+        "all 51 fixture sites",
     ),
     "two_level_menu": (
         r"parse_category2|parse_second|menu2|category2'?\]\s*=\s*(?!None|''|\"\")",
@@ -58,20 +58,21 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
     "offset_pagination": (
         r"start=\'?\s*\+|offset=|start=%d|start=\{",
         "OFFSET_PARAM rule / API_OFFSET (templated API, total-count bound)",
-        "shangbao, raftaar (offset starts at 20, bounded by the response's total-count)",
+        "shangbao, raftaar (offset bounded by the response's total-count), udaybulletin (UNBOUNDED offset closed only by the gate)",
     ),
     "api_json": (
         r"json\.loads|response\.json\(\)",
         "api kind + api_format/json_html envelopes + API_TEMPLATE + api_map field-path schema mapping",
-        "manila, yehey, bworldonline (HTML under a site-named JSON key), raftaar + piagov (real nested schemas walked by api_map field paths)",
+        "manila, yehey, bworldonline (HTML under a site-named JSON key), raftaar + piagov (api_map field paths), udaybulletin (gate-time vs stored-time), spin/spot/topgear (root-list responses, path fallbacks), unbox (double-JSON HTML envelope)",
     ),
     "form_post": (
         r"FormRequest|method=['\"]POST",
         "FORM_PAGE rule + form_params bootstrap + method/body frontier"
         " columns",
-        "yehey, bworldonline (scraped category_id mapped onto"
-        " theme-named body fields, probe-driven page bump), piagov"
-        " (URL-derived .json endpoint, query+body page counters)",
+        "yehey, bworldonline (scraped category_id on theme-named body"
+        " fields), piagov (URL-derived .json endpoint), apkaakhbar"
+        " (scraped max_num_pages bound riding in the body), unbox"
+        " (seedless POST feed)",
     ),
     "dont_filter_probe": (
         r"dont_filter\s*=\s*True",
@@ -99,7 +100,7 @@ MECHANICS: dict[str, tuple[str, str, str]] = {
     "month_switch_dates": (
         r"== ?['\"](?:Jan|January)['\"]|month ?== ?|if.*['\"]Feb['\"]",
         "date_style month_switch (12-branch switch as MONTHS data)",
-        "philboxing",
+        "philboxing, ambala, dfa, doh, dainiksandhyaprakash, tourism (each hand-rolled switch ported as its own date_style)",
     ),
     "strptime_dates": (
         r"strptime",
