@@ -69,12 +69,16 @@ FIXTURE_KW = dict(
 # markup through the driver's gate; boholchronicle certifies multi-group
 # menus with fixed labels and sibling-combinator selectors; latestnews1
 # certifies soft-404 skip, list-page-derived category1, menu skip-slice,
-# and the body fallback.
+# and the body fallback; apkaakhbar certifies the round-4 SIDE-FETCH
+# seam (judge_pub_time entry gates) plus the scraped-max-pages POST
+# chain; udaybulletin certifies parent-suppressed nested menus,
+# label-conditional slug composition, and the unbounded offset API with
+# gate-time ≠ stored-time fields.
 REAL_FIXTURE_SITES = [
     "aajtak", "maharashtratimes", "interaksyon", "boholchronicle",
-    "latestnews1",
+    "latestnews1", "apkaakhbar", "udaybulletin",
 ]
-_FIXTURE_VERSION = 7  # bump when fixture composition/output shape changes
+_FIXTURE_VERSION = 8  # bump when fixture composition/output shape changes
 
 # The recrawl pass (crawl_recrawl_* rows): after pass 1 the first
 # RECRAWL_EVICT_N stored request_urls (sorted) are evicted, then a second
