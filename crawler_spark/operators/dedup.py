@@ -861,16 +861,17 @@ def near_dup_components(
     {a~b, b~c} into one cluster so exactly one representative survives.
 
     Two phases. (1) Min-label propagation: every doc starts labeled with
-    its own id; each round a doc takes the min of its own label and its
-    neighbors' labels. One equi-join + one partial-aggregated groupBy per
-    round; the convergence count is FOLDED into the same pass (a `chg`
-    flag summed over the freshly checkpointed result) instead of a second
-    join-and-count job, so each round costs exactly one shuffle job plus
-    one cheap cached-scan agg. Dup clusters are dense and shallow, so this
-    converges in 1-3 rounds on real corpora. (2) If still changing after
-    `star_after` rounds the graph has real depth: contract the remaining
-    label graph with alternating large-star/small-star (O(log n) rounds on
-    adversarial chains) and compose the star roots back onto the labels.
+    its own id; each hop a doc takes the min of its own label and its
+    neighbors' labels (one equi-join + one partial-aggregated groupBy).
+    TWO hops are fused into every materialization, and the convergence
+    count is FOLDED into that same pass (a `chg` flag summed over the
+    freshly checkpointed result) — so each driver cycle costs exactly one
+    shuffle job plus one cheap cached-scan agg and advances two rounds.
+    Dup clusters are dense and shallow, so this converges in 1-2 cycles
+    on real corpora. (2) If still changing after `star_after` hops the
+    graph has real depth: contract the remaining label graph with
+    alternating large-star/small-star (O(log n) rounds on adversarial
+    chains) and compose the star roots back onto the labels.
 
     Deterministic: labels are pure min() over ids, no partitioning
     dependence. Lineage is cut with localCheckpoint each round so the
@@ -883,30 +884,50 @@ def near_dup_components(
     edges = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().localCheckpoint(eager=True)
+    # the initial labels are one narrow select off the source — no
+    # checkpoint needed (the driver loop below re-roots lineage anyway)
     labels = docs.select(
         F.col(id_col).alias("doc"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
-    rounds = 0
-    converged = False
-    for _ in range(min(star_after, max_iters)):
+    )
+
+    def _hop(lab: DataFrame) -> DataFrame:
         neigh = (
-            edges.join(labels, edges["b"] == labels["doc"])
+            edges.join(lab.select("doc", "label"),
+                       edges["b"] == F.col("doc"))
             .groupBy("a").agg(F.min("label").alias("nl"))
         )
-        new_labels = (
-            labels.join(neigh, labels["doc"] == neigh["a"], "left")
+        keep = [F.col("_prev")] if "_prev" in lab.columns else []
+        return (
+            lab.join(neigh, lab["doc"] == neigh["a"], "left")
             .select(
-                "doc",
-                F.least(F.col("label"), F.coalesce("nl", "label"))
-                .alias("new_label"),
-                (F.least(F.col("label"), F.coalesce("nl", "label"))
-                 != F.col("label")).cast("int").alias("chg"),
+                lab["doc"].alias("doc"),
+                F.least(lab["label"], F.coalesce("nl", lab["label"]))
+                .alias("label"),
+                *keep,
+            )
+        )
+
+    rounds = 0
+    converged = False
+    # TWO label hops are fused into each materialization: one
+    # localCheckpoint job + one cached-scan agg per PAIR of rounds —
+    # driver round-trips halve vs checkpoint-per-round, and dup cliques
+    # (which converge in 1-3 hops) finish in one or two driver cycles.
+    for _ in range((min(star_after, max_iters) + 1) // 2):
+        stamped = labels.select(
+            "doc", "label", F.col("label").alias("_prev")
+        )
+        new_labels = (
+            _hop(_hop(stamped))
+            .select(
+                "doc", "label",
+                (F.col("label") != F.col("_prev")).cast("int").alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        rounds += 1
+        rounds += 2
         changed = new_labels.agg(F.sum("chg")).first()[0] or 0
-        labels = new_labels.select("doc", F.col("new_label").alias("label"))
+        labels = new_labels.select("doc", "label")
         if changed == 0:
             converged = True
             break
