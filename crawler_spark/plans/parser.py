@@ -669,6 +669,13 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                     nodes = nodes[slice(*spec["slice"])]
                 stopped = False
                 for n in nodes[spec.get("skip", 0):]:
+                    # ``exclude_if_sel``: a container matching this
+                    # sub-select is NOT a section — agniban.py:36-40 keeps
+                    # only li's WITHOUT a nested <ul>.
+                    if spec.get("exclude_if_sel") and htmlsel.select(
+                        n, spec["exclude_if_sel"]
+                    ):
+                        continue
                     # ``link_sel``: the matched node is a CONTAINER (e.g. a
                     # nav <li>) and its link is a relative sub-select —
                     # raftaar.py:34-35's li → select_one('a').
@@ -714,6 +721,11 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                     # group to the given kind — sunstar.py:30-38's three-
                     # hop menu chain (menu → section page → one more hop)
                     lbl = text
+                    # ``label_re``: group 1 trims the link text —
+                    # awesome.py:33-36's '.(.*)?' drops the leading '#'
+                    if spec.get("label_re") and text is not None:
+                        lm = re.match(spec["label_re"], text)
+                        lbl = text = lm.group(1) if lm else text
                     ck = spec.get("child_kind")
                     sep = spec.get("menu2_label_sep")
                     if sep and text is not None and sep in text:
@@ -856,6 +868,11 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
             out["page_time_raw"] = scalar("page_time")
         if rules.get("cat1_self"):
             out["cat1_self"] = scalar("cat1_self")
+        if rules.get("cat2_self"):
+            # category2 likewise off the list page itself — agniban.py:
+            # 50-51's breadcrumb trail-items (a 'Page N' crumb means a
+            # one-level category, handled by the spec's regex)
+            out["cat2_self"] = scalar("cat2_self")
         if rules.get("page_abstract"):
             # ONE page-level teaser rides into every entry's meta —
             # aapkikhabar.py:63 sets meta['abstract'] from the list's
@@ -938,8 +955,15 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                     stopped_paras = True
                     continue
                 paras.append(t)
-            elif id(n) in img_ids and n.attr(src_attr) is not None:
+            elif id(n) in img_ids:
+                # ``img_attr2``: secondary attribute when the primary is
+                # absent — technobaboy.py:72-77 collects the featured
+                # ANCHOR's href alongside content <img> srcs
                 src = n.attr(src_attr)
+                if src is None and block.get("img_attr2"):
+                    src = n.attr(block["img_attr2"])
+                if src is None:
+                    continue
                 if skip_re and re.search(skip_re, src):
                     # placeholder filter — dainiksandhyaprakash.py:88-90
                     # drops data:image/gif lazy-load stubs
@@ -1397,6 +1421,8 @@ def parse_page(
                     # both categories from the list page's own header —
                     # newstracklive.py:86-89 sets category2 = category1
                     entry_meta["category2"] = cat1_self
+            if payload.get("cat2_self") is not None:
+                entry_meta["category2"] = payload["cat2_self"]
             entry_meta.update(
                 {
                     "title": entry.get("title"),
@@ -1552,12 +1578,15 @@ def parse_page(
         pgf = site.get("page_gate_fetch_last")
         if pgf is not None and side_fetch is not None and entries:
             # ambala.py:54-64 / newstracklive.py:93-99: pagination decided
-            # by side-fetching the LAST entry's article (raw requests.get,
+            # by side-fetching an entry's article (raw requests.get,
             # invisible to the scheduler) and reading its date off the
             # given rule — entries themselves were already yielded ungated
-            # above.
+            # above. ``page_gate_fetch_index`` picks WHICH entry: -1 (the
+            # default, ambala's article_hrefs[-1]) or 0 (mattscradle.py:
+            # 50-54 probes the first headline).
+            idx = int(site.get("page_gate_fetch_index", -1))
             raw = _page_scalar(
-                side_fetch(urljoin(url, entries[-1]["href"])), pgf
+                side_fetch(urljoin(url, entries[idx]["href"])), pgf
             )
             if cutoff_epoch is not None:
                 flag = flag and (
@@ -1640,6 +1669,18 @@ def parse_page(
                     form_page_param=site.get("form_page_param", "page"),
                     form_max_pages_key=site.get("form_max_pages_key"),
                 )
+                # ``next_url_gate_re``: the gate date is EMBEDDED in the
+                # next link itself — coolbuster.py:52-59 regexes the
+                # blogger updated-max=ISO parameter out of the older-link
+                # URL and compares it; the matched groups join with a
+                # space into a 'Y-m-d H:M:S' stamp.
+                ng = site.get("next_url_gate_re")
+                if nxt and ng and cutoff_epoch is not None:
+                    gm = re.search(ng, nxt[0])
+                    if gm is None or _epoch(
+                        None, as_of, " ".join(gm.groups()), "ymd"
+                    ) < cutoff_epoch:
+                        nxt = None
                 if nxt:
                     n_url, n_method, n_body = nxt
                     page_meta = dict(meta)

@@ -59,6 +59,16 @@ generic extractor (plans/parser.extract_payload) and the shared dataflow
 | emalwa           | 1050 | seed menu PLUS a side-fetched second page harvesting two more link groups (labels from text), NO-BREAK entry gates over unsorted grids, list-scraped title/abstract/date | 已部署/emalwa.py:28-41,46-66,68-84 |
 | navsancharsamachar | 1048 | pre-fetched one-level menu, list-scraped title/abstract/date riding into imageless articles | 已部署/navsancharsamachar.py:30-63,65-80 |
 | ptvnews          |  445 | sliced sub-menu plus two hardcoded category lists, both categories from the LIST URL with a 'page'-segment guard; the execjs cookie challenge is out of scope — the crawl dataflow is the port | 已部署/ptvnews.py:31-39,52-67,69-92 |
+| agniban          | 1108 | menu li's WITH a nested <ul> excluded (exclude_if_sel), BOTH categories from the list's breadcrumb trail with a 'Page N' third-crumb guard, danda abstracts | 已部署/agniban.py:36-60,62-87 |
+| coolbuster       | 1238 | gate date EMBEDDED in the blogger older-link URL (updated-max=ISO regexed out of the next href), separator-anchor HREF images, nth-of-type(3) body div, list-snippet abstracts | 已部署/coolbuster.py:29-60,62-90 |
+| yashbharat       | 1073 | [1:-1] menu slice + ई-पेपर exclusion + suppressed parents over sub-menus, last-entry time page gate, colormag featured images | 已部署/yashbharat.py:31-72,74-90 |
+| puridunia        | 1142 | FIRST-.date page gate, p+h3 multi-tag bodies, paragraph + featured-box image groups | 已部署/puridunia.py:28-59,61-93 |
+| starmometer      | 1239 | FIRST loop-meta gate with the date regexed off a '//' separator, span.updated article dates | 已部署/starmometer.py:28-59,61-85 |
+| technobaboy      | 1246 | featured-anchor HREF + content-img SRC image collection in one document-order walk (img_attr2 fallback), label-next pagination | 已部署/technobaboy.py:30-53,55-92 |
+| pinoyparazzi     | 1241 | two menu hops (header menu → pulldown category filter links), FIRST-time page gate, wp-caption images | 已部署/pinoyparazzi.py:30-69,71-92 |
+| tehelkahindi     | 1099 | [1:-2] menu slice with suppressed parents over sub-menus, td-image-wrap entries, per-entry duplicate next-link yields collapsing under the dupefilter | 已部署/tehelkahindi.py:31-60,62-84 |
+| mattscradle      | 1232 | page gate by side-fetching the FIRST headline's article (page_gate_fetch_index=0), whole-container bodies with first-paragraph abstracts | 已部署/mattscradle.py:30-63,66-90 |
+| awesome          | 1243 | menu labels minus their first character (label_re on '#Restaurants'), per-entry list teaser abstracts, FIRST-datetime isoT page gate, and the reference's BROKEN image selector ported faithfully as no-images | 已部署/awesome.py:27-64,66-90 |
 
 The mock pages here are deterministic miniatures of each site's real
 markup (class names, attribute shapes, and nesting mirror the spiders'
@@ -5599,6 +5609,682 @@ def _build_ptvnews(g: _G) -> None:
                    + "".join(rows) + f"</div>{nxt}</html>", host)
 
 
+# ---------------------------------------------------------------------------
+# Tranche D: ten next-link/WordPress-family spiders. Shared fixture
+# helper: one category chain of standard list pages whose page-2 gate
+# value is stale, entries ungated unless noted (已部署/<site>.py each).
+# ---------------------------------------------------------------------------
+
+AGNIBAN_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "abstract_split": {"sep": "।"},  # agniban.py:79's body danda split
+    "extract": {
+        # only li's WITHOUT a sub-<ul> are sections (agniban.py:36-40)
+        "category": {"sel": "ul.menu > li", "slice": [0, -1],
+                     "link_sel": "a", "exclude_if_sel": "ul"},
+        "entry": {"sel": "div.twp-row a.post-thumbnail"},
+        # both categories read off the LIST's breadcrumb trail (py:49-51);
+        # a 'Page N' third crumb means a one-level category → no cat2
+        "cat1_self": {"sel": "li.trail-item", "index": 1},
+        "cat2_self": {"sel": "li.trail-item", "index": 2,
+                      "re": r"^(?!Page\b)(.+)$"},
+        "page_time": {"sel": "div.twp-row span.item-metadata.posts-date",
+                      "index": -1},
+        "next": {"sel": "a.next.page-numbers", "attr": "href"},
+        "title": {"sel": "h1.entry-title.twp-secondary-title"},
+        "pub": {"sel": "article span.item-metadata.posts-date"},
+        "block": {"para_sel": "article p", "img_sel": "article p > img"},
+    },
+}
+
+COOLBUSTER_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    # the gate date is EMBEDDED in the blogger older-link URL
+    # (coolbuster.py:52-59's updated-max=ISO parameter)
+    "next_url_gate_re": r"updated-max=([\d-]+)T([\d:]+)%",
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "#nav-ceebee > ul > li > a"},
+        "entry": {"sel": "div.post.hentry",
+                  "fields": {
+                      "href": {"sel": "h2.post-title.entry-title a",
+                               "attr": "href"},
+                      "abstract": {"sel": "div.post-snippet"},
+                  }},
+        "next": {"sel": "a.blog-pager-older-link", "attr": "href"},
+        "title": {"sel": "h1.post-title.entry-title"},
+        "pub": {"sel": "span.updated"},
+        # body: the THIRD direct div of the post body (py:74); images are
+        # the separator's anchor HREFS, not img srcs (py:77-82)
+        "block": {"para_sel": ".post-body.entry-content"
+                              " > div:nth-of-type(3)",
+                  "img_sel": "div.separator a", "img_attr": "href"},
+    },
+}
+
+YASHBHARAT_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "abstract_split": {"sep": "।"},
+    "extract": {
+        # [1:-1], ई-पेपर excluded; tops with a sub-<ul> contribute only
+        # their children (yashbharat.py:36-57)
+        "category": {"sel": "div.menu-primary-container ul > li",
+                     "slice": [1, -1], "link_sel": "a",
+                     "children_sel": "ul > li > a",
+                     "children_suppress_parent": True},
+        "excluded_labels": ["ई-पेपर"],
+        "entry": {"sel": "div.article-container article",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "page_time": {"sel": ".article-container > article time",
+                      "index": -1},
+        "next": {"sel": "li.previous a", "attr": "href"},
+        "title": {"sel": "h1.entry-title"},
+        "pub": {"sel": "time.entry-date.published.updated"},
+        "block": {"para_sel": ".entry-content.clearfix p",
+                  "img_sel": "img.attachment-colormag-featured-image"},
+    },
+}
+
+PURIDUNIA_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "#main-nav-menu li > a"},
+        "entry": {"sel": ".main-content .post-title > a"},
+        # the gate reads the FIRST .date on the page (puridunia.py:47-51)
+        "page_time": {"sel": ".date", "index": 0},
+        "next": {"sel": "li.the-next-page a", "attr": "href"},
+        "title": {"sel": "h1.post-title.entry-title"},
+        "pub": {"sel": "span.date.meta-item.tie-icon"},
+        # p AND h3 bodies, images from paragraphs and the featured box
+        # (py:70-83)
+        "block": {"para_sel": [".entry-content p", ".entry-content h3"],
+                  "img_sel": [".entry-content p > img",
+                              ".single-featured-image > img"]},
+    },
+}
+
+STARMOMETER_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "#menu-main-menu-1 a"},
+        "entry": {"sel": ".loop-data > .loop-title > a"},
+        # FIRST loop meta, date before the '//' separator
+        # (starmometer.py:45-51)
+        "page_time": {"sel": ".loop-data > .meta", "index": 0,
+                      "re": r"^\s*(.*?)\s*//"},
+        "next": {"sel": "a.next.page-numbers", "attr": "href"},
+        "title": {"sel": "h1.entry-title"},
+        "pub": {"sel": "span.updated"},
+        "block": {"para_sel": ".entry.clearfix p",
+                  "img_sel": ".entry.clearfix p > img"},
+    },
+}
+
+TECHNOBABOY_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "ul.menu li > a"},
+        "entry": {"sel": ".col-12 .content h2 a"},
+        "page_time": {"sel": ".posts-wrap time", "index": -1},
+        "next": {"sel": "span.page-numbers.label-next a", "attr": "href"},
+        "title": {"sel": "h1.post-title"},
+        "pub": {"sel": "time.post-date"},
+        # featured anchor HREFS first, then content img SRCS — one walk,
+        # the secondary attribute covers the <a> nodes
+        # (technobaboy.py:72-86)
+        "block": {"para_sel": ".post-content.entry-content p",
+                  "img_sel": [".featured > a",
+                              ".post-content.entry-content img"],
+                  "img_attr": "src", "img_attr2": "href"},
+    },
+}
+
+PINOYPARAZZI_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "menu_child_kind": "menu2",  # two menu hops (pinoyparazzi.py:40-46)
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "#menu-header-1 > li > a"},
+        "category2": {"sel": "a.td-pulldown-category-filter-link"},
+        "entry": {"sel": ".td-ss-main-content .entry-title > a"},
+        "page_time": {"sel": ".td-ss-main-content time", "index": 0},
+        "next": {"sel": ".page-nav > a", "index": -1, "attr": "href"},
+        "title": {"sel": "h1.entry-title"},
+        "pub": {"sel": "time.entry-date.updated.td-module-date"},
+        "block": {"para_sel": ".td-post-content.tagdiv-type p",
+                  "img_sel": ".wp-caption > img"},
+    },
+}
+
+TEHELKAHINDI_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "abstract_split": {"sep": "।"},
+    "extract": {
+        "category": {"sel": "#menu-main-menu-1 > li.menu-item",
+                     "slice": [1, -2], "link_sel": "a",
+                     "children_sel": "ul.sub-menu a",
+                     "children_suppress_parent": True},
+        "entry": {"sel": "a.td-image-wrap"},
+        "page_time": {"sel": "time.entry-date.updated.td-module-date",
+                      "index": -1},
+        "next": {"sel": ".page-nav.td-pb-padding-side a", "index": -1,
+                 "attr": "href"},
+        "title": {"sel": "h1.entry-title"},
+        "pub": {"sel": "time.entry-date.updated.td-module-date"},
+        "block": {"para_sel": ".td-post-content p",
+                  "img_sel": "img.entry-thumb.td-modal-image"},
+    },
+}
+
+MATTSCRADLE_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    # pagination decided by side-fetching the FIRST headline's article
+    # date (mattscradle.py:50-54's requests.get)
+    "page_gate_fetch_last": {"sel": "span.post_date.date_modified"},
+    "page_gate_fetch_index": 0,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "#menu-home li > a"},
+        "entry": {"sel": "h2.headline",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "next": {"sel": "span.previous_posts a", "attr": "href"},
+        "title": {"sel": "h1.headline"},
+        "pub": {"sel": "span.post_date.date_modified"},
+        # whole-container body with a first-paragraph abstract
+        # (py:75-80)
+        "abstract": {"sel": ".post_content > p"},
+        "body_fallback": {"sel": ".post_content"},
+        "block": {"img_sel": ".post_content img"},
+    },
+}
+
+AWESOME_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        # link text minus its first character — awesome.py:33-36's
+        # re.findall('.(.*)?') drops the leading '#'
+        "category": {"sel": "ul.sub-menu li a", "label_re": r".(.*)"},
+        "entry": {"sel": "main#main article",
+                  "fields": {
+                      "href": {"sel": "header.entry-header h2 a",
+                               "attr": "href"},
+                      "abstract": {"sel": "div.entry-content p"},
+                  }},
+        # FIRST entry-date datetime attribute, isoT (py:49-53)
+        "page_time": {"sel": "time.entry-date.published", "index": 0,
+                      "attr": "datetime"},
+        "next": {"sel": "div.nav-links div.nav-previous a",
+                 "attr": "href"},
+        "title": {"sel": "h1.entry-title"},
+        "pub": {"sel": "div.posted-on time"},
+        # the reference's image selector is broken ('size-large' parsed
+        # as a TAG name) and never matches — bug-faithful: no images
+        # (awesome.py:81-85)
+        "block": {"para_sel": "div.entry-content p"},
+    },
+    "page_time_style": "isoT",
+}
+
+
+def _wp_chain(g, wid, lang, host, base, rules, cats, *, menu_html,
+              list_url, list_html, art_html, date_fn,
+              page_ages=((0.0, 12.0), (24.0, 44.0)), scheme="https"):
+    """One standard two-page next-link chain per category: page 1 fresh,
+    page 2's gate value stale — closing every tranche-D fixture the same
+    way the 36 h cursor closes the real sites."""
+    g.registry[wid] = dict(rules)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": lang})
+    g.page(base + "/", "menu", menu_html, host)
+    for cslug in cats:
+        for p, ages in enumerate(page_ages, 1):
+            arts = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{base}/{cslug}-story-{p}-{e}/"
+                g.page(aurl, "article", art_html(cslug, p, e, dt), host)
+                arts.append((aurl, dt))
+            nxt_url = f"{base}/{cslug}/page/{p + 1}/"
+            lurl = (f"{base}/{cslug}/" if p == 1
+                    else f"{base}/{cslug}/page/{p}/")
+            g.page(list_url(cslug, p, lurl), "list",
+                   list_html(cslug, p, arts, nxt_url), host)
+
+
+def _build_agniban(g: _G) -> None:
+    host, base = "news.agniban.com", "https://news.agniban.com"
+
+    def menu():
+        return ('<html><ul class="menu">'
+                f'<li><a href="{base}/desh/">देश</a></li>'
+                f'<li><a href="{base}/tv/">TV</a><ul><li>sub</li></ul></li>'
+                f'<li><a href="{base}/videsh/">विदेश</a></li>'
+                f'<li><a href="{base}/last/">Last</a></li></ul></html>')
+
+    def art(c, p, e, dt):
+        return (f'<html><article><h1 class="entry-title '
+                f'twp-secondary-title">AG {c} {p}-{e}</h1>'
+                f'<span class="item-metadata posts-date">'
+                f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}</span>"
+                f"<p>ag पहला {c} {p}-{e}। ag दूसरा।</p>"
+                f'<p><img src="{base}/i/{c}{p}{e}.jpg"></p>'
+                f"</article></html>")
+
+    def lst(c, p, arts, nxt):
+        rows = "".join(
+            f'<a class="post-thumbnail" href="{u}">t</a>'
+            f'<span class="item-metadata posts-date">'
+            f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}</span>"
+            for u, dt in arts
+        )
+        crumbs = (f'<li class="trail-item">होम</li>'
+                  f'<li class="trail-item">{c.title()}</li>'
+                  + (f'<li class="trail-item">Page {p}</li>' if p > 1
+                     else f'<li class="trail-item">उप</li>'))
+        return (f'<html>{crumbs}<div class="twp-row">{rows}</div>'
+                f'<a class="next page-numbers" href="{nxt}">»</a></html>')
+
+    _wp_chain(g, 1108, 1930, host, base, AGNIBAN_RULES,
+              ("desh", "videsh"), menu_html=menu(),
+              list_url=lambda c, p, lurl: lurl,
+              list_html=lst, art_html=art, date_fn=None)
+
+
+def _build_coolbuster(g: _G) -> None:
+    host, base = "www.coolbuster.net", "https://www.coolbuster.net"
+    wid = 1238
+    g.registry[wid] = dict(COOLBUSTER_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1866})
+    g.page(base + "/", "menu",
+           f'<html><div id="nav-ceebee"><ul><li>'
+           f'<a href="{base}/search/label/news">News</a></li></ul></div>'
+           "</html>", host)
+    ages = [(0.0, 12.0), (24.0, 44.0)]
+    for p, pair in enumerate(ages, 1):
+        rows = []
+        for e, age in enumerate(pair):
+            dt = BASE_DT - timedelta(hours=age)
+            aurl = f"{base}/cb-{p}-{e}.html"
+            rows.append(
+                f'<div class="post hentry">'
+                f'<h2 class="post-title entry-title"><a href="{aurl}">t'
+                f'</a></h2><div class="post-snippet">cb snip {p}-{e}'
+                f"</div></div>"
+            )
+            g.page(
+                aurl, "article",
+                f'<html><h1 class="post-title entry-title">CB {p}-{e}'
+                f'</h1><span class="updated">{_MON_FULL[dt.month - 1]} '
+                f"{dt.day}, {dt.year}</span>"
+                f'<div class="separator"><a href="{base}/big/{p}{e}.jpg">'
+                f'<img src="{base}/th/{p}{e}.jpg"></a></div>'
+                f'<div class="post-body entry-content"><div>ad</div>'
+                f"<div>share</div><div>cb body {p}-{e} text</div></div>"
+                f"</html>",
+                host,
+            )
+        # the older-link embeds the NEXT page's gate date: page 1's link
+        # carries a fresh stamp, page 2's a stale one
+        gate_dt = BASE_DT - timedelta(hours=ages[p][0] if p < 2 else 60.0)
+        iso = gate_dt.strftime("%Y-%m-%dT%H:%M:%S")
+        nxt = (f'<a class="blog-pager-older-link" href="{base}/search/'
+               f'label/news?updated-max={iso}%2B08:00&start={p * 20}">'
+               "Older</a>")
+        lurl = (f"{base}/search/label/news" if p == 1
+                else f"{base}/search/label/news?updated-max="
+                     f"{(BASE_DT - timedelta(hours=24.0)).strftime('%Y-%m-%dT%H:%M:%S')}"
+                     f"%2B08:00&start=20")
+        g.page(lurl, "list",
+               "<html>" + "".join(rows) + nxt + "</html>", host)
+
+
+def _build_yashbharat(g: _G) -> None:
+    host, base = "yashbharat.com", "https://yashbharat.com"
+
+    menu = ('<html><div class="menu-primary-container"><ul>'
+            f'<li><a href="{base}/">Home</a></li>'
+            f'<li><a href="{base}/katni/">कटनी</a></li>'
+            f'<li><a href="{base}/mp/">मप्र</a><ul>'
+            f'<li><a href="{base}/mp/jabalpur/">जबलपुर</a></li></ul></li>'
+            f'<li><a href="{base}/epaper/">ई-पेपर</a></li>'
+            f'<li><a href="{base}/about/">About</a></li></ul></div></html>')
+
+    def art(c, p, e, dt):
+        return (f'<html><h1 class="entry-title">YB {c} {p}-{e}</h1>'
+                f'<time class="entry-date published updated">'
+                f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}</time>"
+                f'<img class="attachment-colormag-featured-image '
+                f'size-colormag-featured-image wp-post-image" '
+                f'src="{base}/f/{c}{p}{e}.jpg">'
+                f'<div class="entry-content clearfix">'
+                f"<p>yb पहला {c} {p}-{e}। yb दूसरा।</p></div></html>")
+
+    def lst(c, p, arts, nxt):
+        rows = "".join(
+            f'<article><a href="{u}">t</a>'
+            f"<time>{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}</time>"
+            f"</article>"
+            for u, dt in arts
+        )
+        return (f'<html><div class="article-container">{rows}</div>'
+                f'<li class="previous"><a href="{nxt}">पिछला</a></li>'
+                f"</html>")
+
+    _wp_chain(g, 1073, 1930, host, base, YASHBHARAT_RULES,
+              ("katni", "mp/jabalpur"), menu_html=menu,
+              list_url=lambda c, p, lurl: lurl,
+              list_html=lst, art_html=art, date_fn=None)
+
+
+def _build_puridunia(g: _G) -> None:
+    host, base = "puridunia.com", "https://puridunia.com"
+
+    menu = ('<html><ul id="main-nav-menu">'
+            f'<li><a href="{base}/lucknow/">लखनऊ</a></li>'
+            f'<li><a href="{base}/up/">यूपी</a></li></ul></html>')
+
+    def art(c, p, e, dt):
+        return (f'<html><h1 class="post-title entry-title">PD {c} {p}-{e}'
+                f'</h1><span class="date meta-item tie-icon">'
+                f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}</span>"
+                f'<div class="single-featured-image">'
+                f'<img src="{base}/f/{c}{p}{e}.jpg"></div>'
+                f'<div class="entry-content"><p>pd पहला {c} {p}-{e}</p>'
+                f"<h3>उपशीर्षक</h3>"
+                f'<p><img src="{base}/in/{c}{p}{e}.jpg"></p></div></html>')
+
+    def lst(c, p, arts, nxt):
+        rows = "".join(
+            f'<div class="main-content"><h2 class="post-title">'
+            f'<a href="{u}">t</a></h2></div>'
+            for u, _dt in arts
+        )
+        dates = "".join(
+            f'<span class="date">{_MON_FULL[dt.month - 1]} {dt.day}, '
+            f"{dt.year}</span>"
+            for _u, dt in arts
+        )
+        return (f"<html>{rows}{dates}"
+                f'<li class="the-next-page"><a href="{nxt}">»</a></li>'
+                f"</html>")
+
+    # puridunia gates on the FIRST date — make page 2's first entry stale
+    _wp_chain(g, 1142, 1740, host, base, PURIDUNIA_RULES,
+              ("lucknow", "up"), menu_html=menu,
+              list_url=lambda c, p, lurl: lurl, list_html=lst,
+              art_html=art, date_fn=None,
+              page_ages=((0.0, 12.0), (44.0, 24.0)))
+
+
+def _build_starmometer(g: _G) -> None:
+    host, base = "starmometer.com", "https://starmometer.com"
+
+    menu = ('<html><div id="menu-main-menu-1">'
+            f'<a href="{base}/showbiz/">Showbiz</a>'
+            f'<a href="{base}/music/">Music</a></div></html>')
+
+    def art(c, p, e, dt):
+        return (f'<html><h1 class="entry-title">SM {c} {p}-{e}</h1>'
+                f'<span class="updated">{_MON_FULL[dt.month - 1]} '
+                f"{dt.day}, {dt.year}</span>"
+                f'<div class="entry clearfix"><p>sm body {c} {p}-{e}</p>'
+                f'<p><img src="{base}/i/{c}{p}{e}.jpg"></p></div></html>')
+
+    def lst(c, p, arts, nxt):
+        rows = "".join(
+            f'<div class="loop-data"><div class="loop-title">'
+            f'<a href="{u}">t</a></div><div class="meta">'
+            f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year} // by Staff"
+            f"</div></div>"
+            for u, dt in arts
+        )
+        return (f"<html>{rows}"
+                f'<a class="next page-numbers" href="{nxt}">»</a></html>')
+
+    # gate reads the FIRST meta — page 2 leads with the stale entry
+    _wp_chain(g, 1239, 1866, host, base, STARMOMETER_RULES,
+              ("showbiz", "music"), menu_html=menu,
+              list_url=lambda c, p, lurl: lurl, list_html=lst,
+              art_html=art, date_fn=None,
+              page_ages=((0.0, 12.0), (44.0, 24.0)))
+
+
+def _build_technobaboy(g: _G) -> None:
+    host, base = "technobaboy.com", "https://technobaboy.com"
+
+    menu = ('<html><ul class="menu">'
+            f'<li><a href="{base}/phones/">Phones</a></li>'
+            f'<li><a href="{base}/apps/">Apps</a></li></ul></html>')
+
+    def art(c, p, e, dt):
+        return (f'<html><h1 class="post-title">TB {c} {p}-{e}</h1>'
+                f'<time class="post-date">{_MON_FULL[dt.month - 1]} '
+                f"{dt.day}, {dt.year}</time>"
+                f'<div class="featured"><a href="{base}/hero/{c}{p}{e}'
+                f'.jpg"><img src="{base}/th/{c}{p}{e}.jpg"></a></div>'
+                f'<div class="post-content description cf entry-content '
+                f'content-spacious"><p>tb body {c} {p}-{e}</p>'
+                f'<img src="{base}/in/{c}{p}{e}.png"><p>tb more</p></div>'
+                f"</html>")
+
+    def lst(c, p, arts, nxt):
+        rows = "".join(
+            f'<div class="col-12"><div class="content"><h2>'
+            f'<a href="{u}">t</a></h2></div></div>'
+            for u, _dt in arts
+        )
+        times = "".join(
+            f'<div class="posts-wrap"><time>{_MON_FULL[dt.month - 1]} '
+            f"{dt.day}, {dt.year}</time></div>"
+            for _u, dt in arts
+        )
+        return (f"<html>{rows}{times}"
+                f'<span class="page-numbers label-next">'
+                f'<a href="{nxt}">Next</a></span></html>')
+
+    _wp_chain(g, 1246, 1866, host, base, TECHNOBABOY_RULES,
+              ("phones", "apps"), menu_html=menu,
+              list_url=lambda c, p, lurl: lurl,
+              list_html=lst, art_html=art, date_fn=None)
+
+
+def _build_pinoyparazzi(g: _G) -> None:
+    host, base = "www.pinoyparazzi.com", "https://www.pinoyparazzi.com"
+    wid = 1241
+    g.registry[wid] = dict(PINOYPARAZZI_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1880})
+    g.page(base + "/", "menu",
+           f'<html><ul id="menu-header-1"><li>'
+           f'<a href="{base}/showbiz/">Showbiz</a></li></ul></html>', host)
+    # the second menu hop: pulldown filter links
+    g.page(
+        base + "/showbiz/", "menu2",
+        f'<html><a class="td-pulldown-category-filter-link" '
+        f'href="{base}/showbiz/chika/">Chika</a>'
+        f'<a class="td-pulldown-category-filter-link" '
+        f'href="{base}/showbiz/balita/">Balita</a></html>',
+        host,
+    )
+    for cslug in ("chika", "balita"):
+        for p, ages in enumerate([(0.0, 12.0), (44.0, 24.0)], 1):
+            rows, times = [], []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{base}/{cslug}-tsismis-{p}-{e}/"
+                rows.append(f'<div class="td-ss-main-content">'
+                            f'<h3 class="entry-title"><a href="{aurl}">t'
+                            f"</a></h3>"
+                            f"<time>{_MON_FULL[dt.month - 1]} {dt.day}, "
+                            f"{dt.year}</time></div>")
+                g.page(
+                    aurl, "article",
+                    f'<html><h1 class="entry-title">PP {cslug} {p}-{e}'
+                    f'</h1><time class="entry-date updated '
+                    f'td-module-date">{_MON_FULL[dt.month - 1]} '
+                    f"{dt.day}, {dt.year}</time>"
+                    f'<div class="wp-caption">'
+                    f'<img src="{base}/c/{cslug}{p}{e}.jpg"></div>'
+                    f'<div class="td-post-content tagdiv-type">'
+                    f"<p>pp chika {cslug} {p}-{e}</p><p>pp pa more</p>"
+                    f"</div></html>",
+                    host,
+                )
+            nxt = (f'<div class="page-nav">'
+                   f'<a href="{base}/showbiz/{cslug}/page/{p + 1}/">»</a>'
+                   "</div>")
+            lurl = (f"{base}/showbiz/{cslug}/" if p == 1
+                    else f"{base}/showbiz/{cslug}/page/{p}/")
+            g.page(lurl, "list",
+                   "<html>" + "".join(rows) + nxt + "</html>", host)
+
+
+def _build_tehelkahindi(g: _G) -> None:
+    host, base = "tehelkahindi.com", "http://tehelkahindi.com"
+
+    menu = ('<html><ul id="menu-main-menu-1">'
+            f'<li class="menu-item"><a href="{base}/">Home</a></li>'
+            f'<li class="menu-item"><a href="{base}/rajya/">राज्य</a>'
+            f'<ul class="sub-menu"><li><a href="{base}/rajya/up/">यूपी'
+            f"</a></li></ul></li>"
+            f'<li class="menu-item"><a href="{base}/desh/">देश</a></li>'
+            f'<li class="menu-item"><a href="{base}/video/">Video</a></li>'
+            f'<li class="menu-item"><a href="{base}/epaper/">E-Paper</a>'
+            "</li></ul></html>")
+
+    def art(c, p, e, dt):
+        return (f'<html><h1 class="entry-title">TH {c} {p}-{e}</h1>'
+                f'<time class="entry-date updated td-module-date">'
+                f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}</time>"
+                f'<img class="entry-thumb td-modal-image" '
+                f'src="{base}/t/{c}{p}{e}.jpg">'
+                f'<div class="td-post-content"><p>th पहला {c} {p}-{e}। '
+                f"th दूसरा।</p></div></html>")
+
+    def lst(c, p, arts, nxt):
+        rows = "".join(
+            f'<a class="td-image-wrap" href="{u}">t</a>'
+            f'<time class="entry-date updated td-module-date">'
+            f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}</time>"
+            for u, dt in arts
+        )
+        return (f"<html>{rows}"
+                f'<div class="page-nav td-pb-padding-side">'
+                f'<a href="{nxt}">»</a></div></html>')
+
+    _wp_chain(g, 1099, 1930, host, base, TEHELKAHINDI_RULES,
+              ("rajya/up", "desh"), menu_html=menu,
+              list_url=lambda c, p, lurl: lurl,
+              list_html=lst, art_html=art, date_fn=None)
+
+
+def _build_mattscradle(g: _G) -> None:
+    host, base = "mattscradle.com", "https://mattscradle.com"
+
+    menu = ('<html><ul id="menu-home">'
+            f'<li><a href="{base}/promos/">Promos</a></li>'
+            f'<li><a href="{base}/guides/">Guides</a></li></ul></html>')
+
+    def art(c, p, e, dt):
+        return (f'<html><h1 class="headline">MC {c} {p}-{e}</h1>'
+                f'<span class="post_date date_modified">'
+                f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}</span>"
+                f'<div class="post_content"><p>mc body {c} {p}-{e}</p>'
+                f'<img src="{base}/s/{c}{p}{e}.png"><p>mc extra</p></div>'
+                f"</html>")
+
+    def lst(c, p, arts, nxt):
+        rows = "".join(
+            f'<h2 class="headline"><a href="{u}">t</a></h2>'
+            for u, _dt in arts
+        )
+        return (f"<html>{rows}"
+                f'<span class="previous_posts"><a href="{nxt}">Older'
+                f"</a></span></html>")
+
+    # the gate side-fetches the FIRST headline — page 2 leads stale
+    _wp_chain(g, 1232, 1866, host, base, MATTSCRADLE_RULES,
+              ("promos", "guides"), menu_html=menu,
+              list_url=lambda c, p, lurl: lurl, list_html=lst,
+              art_html=art, date_fn=None,
+              page_ages=((0.0, 12.0), (44.0, 24.0)))
+
+
+def _build_awesome(g: _G) -> None:
+    host, base = "awesome.com.ph", "https://awesome.com.ph"
+
+    menu = ('<html><ul class="sub-menu">'
+            f'<li><a href="{base}/restaurants/">#Restaurants</a></li>'
+            f'<li><a href="{base}/travel/">#Travel</a></li></ul></html>')
+
+    def art(c, p, e, dt):
+        return (f'<html><h1 class="entry-title">AW {c} {p}-{e}</h1>'
+                f'<div class="posted-on"><time>'
+                f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}</time>"
+                f"</div>"
+                f'<div class="entry-content"><p>aw body {c} {p}-{e}</p>'
+                f"<p>aw second</p></div></html>")
+
+    def lst(c, p, arts, nxt):
+        rows = "".join(
+            f'<main id="main"><article><header class="entry-header">'
+            f'<h2><a href="{u}">t</a></h2></header>'
+            f'<div class="entry-content"><p>aw teaser {c}-{du.day}</p>'
+            f"</div>"
+            f'<time class="entry-date published" datetime='
+            f'"{du.strftime("%Y-%m-%dT%H:%M:%S")}+08:00">d</time>'
+            f"</article></main>"
+            for u, du in arts
+        )
+        return (f"<html>{rows}"
+                f'<div class="nav-links"><div class="nav-previous">'
+                f'<a href="{nxt}">Older</a></div></div></html>')
+
+    # gate reads the FIRST datetime — page 2 leads stale
+    _wp_chain(g, 1243, 1866, host, base, AWESOME_RULES,
+              ("restaurants", "travel"), menu_html=menu,
+              list_url=lambda c, p, lurl: lurl, list_html=lst,
+              art_html=art, date_fn=None,
+              page_ages=((0.0, 12.0), (44.0, 24.0)))
+
+
 SITE_BUILDERS = {
     "zeenews": _build_zeenews,
     "aajtak": _build_aajtak,
@@ -5651,6 +6337,16 @@ SITE_BUILDERS = {
     "emalwa": _build_emalwa,
     "navsancharsamachar": _build_navsancharsamachar,
     "ptvnews": _build_ptvnews,
+    "agniban": _build_agniban,
+    "coolbuster": _build_coolbuster,
+    "yashbharat": _build_yashbharat,
+    "puridunia": _build_puridunia,
+    "starmometer": _build_starmometer,
+    "technobaboy": _build_technobaboy,
+    "pinoyparazzi": _build_pinoyparazzi,
+    "tehelkahindi": _build_tehelkahindi,
+    "mattscradle": _build_mattscradle,
+    "awesome": _build_awesome,
 }
 
 

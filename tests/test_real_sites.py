@@ -48,6 +48,7 @@ def test_all_sites_produce_documents(sim):
         1112, 999,
         1023, 376, 952, 186, 486, 1067, 496, 444, 1206, 443, 492, 1050,
         1048, 445,
+        1108, 1238, 1073, 1142, 1239, 1246, 1241, 1099, 1232, 1243,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -982,7 +983,8 @@ def test_bandera_side_fetch_gate_and_breadcrumb(sim):
     # page-1 last (42 h) stops immediately
     assert any("balita/page/2" in u for u in fetched)
     assert not any("balita/page/3" in u for u in fetched)
-    assert not any("chika/page/2" in u for u in fetched)
+    assert not any("bandera" in u and "chika/page/2" in u
+                   for u in fetched)
     assert len(_docs_by_site(sim)[376]) == 8
 
 
@@ -1119,6 +1121,72 @@ def test_ptvnews_url_categories_and_page_guard(sim):
     assert n["title"] == "NSS desh 1-0"  # list h2 (meta wins)
     assert n["abstract"] == "nss सार desh 1-0"  # div.exceprt
     assert not [s for s in n["spans"] if s["kind"] == "image"]
+
+
+def test_tranche_d_wordpress_family_contracts(sim):
+    """The ten tranche-D next-link/WP-family ports: per-site signature
+    behaviors over the shared two-page chains."""
+    # agniban: li's WITH a sub-<ul> are excluded; breadcrumb cat1/cat2
+    # with the 'Page N' guard; danda abstract
+    ag = {d["request_url"]: d for d in _docs_by_site(sim)[1108]}
+    d = ag["https://news.agniban.com/desh-story-1-0/"]
+    assert (d["category1"], d["category2"]) == ("Desh", "उप")
+    assert ag["https://news.agniban.com/desh-story-2-0/"][
+        "category2"] is None  # page-2 crumb is 'Page 2'
+    assert d["abstract"] == "ag पहला desh 1-0"
+    fetched = [u for _b, u in sim["crawl_log"]]
+    assert not any("agniban.com/tv" in u for u in fetched)
+    # coolbuster: gate date EMBEDDED in the older-link URL; anchor-href
+    # images; nth-of-type(3) body
+    cb = {d["request_url"]: d for d in _docs_by_site(sim)[1238]}
+    c = cb["https://www.coolbuster.net/cb-1-0.html"]
+    refs = [s["media_ref"] for s in c["spans"] if s["kind"] == "image"]
+    assert refs == ["https://www.coolbuster.net/big/10.jpg"]
+    texts = [s["text"] for s in c["spans"] if s["kind"] == "text"]
+    assert texts == ["cb body 1-0 text"]  # divs 1-2 (ad/share) skipped
+    assert c["abstract"] == "cb snip 1-0"  # list snippet in meta
+    assert sum("updated-max" in u for u in fetched) == 1  # page 2 only
+    # yashbharat/tehelkahindi: suppressed parents, children crawled
+    assert not any(u.endswith("/mp/") for u in fetched)
+    assert any("mp/jabalpur" in u for u in fetched)
+    assert not any(u.endswith("tehelkahindi.com/rajya/")
+                   for u in fetched)
+    # puridunia/starmometer/mattscradle/awesome gate on the FIRST entry:
+    # page 2 leads stale → no page 3 anywhere
+    for hostpart in ("puridunia", "starmometer", "mattscradle",
+                     "awesome.com.ph"):
+        assert not any(hostpart in u and "/page/3/" in u for u in fetched)
+    # but their page-2 entries are still stored (ungated)
+    assert "https://puridunia.com/lucknow-story-2-1/" in {
+        d["request_url"] for d in _docs_by_site(sim)[1142]}
+    # starmometer: the '//'-trimmed meta gate
+    sm = {d["request_url"]: d for d in _docs_by_site(sim)[1239]}
+    assert sm["https://starmometer.com/showbiz-story-1-0/"][
+        "pub_time"] == "2021-05-30 00:00:00"
+    # technobaboy: featured anchor HREF + content img SRC, in order
+    tb = {d["request_url"]: d for d in _docs_by_site(sim)[1246]}
+    refs = [s["media_ref"] for s in
+            tb["https://technobaboy.com/phones-story-1-0/"]["spans"]
+            if s["kind"] == "image"]
+    assert refs == ["https://technobaboy.com/hero/phones10.jpg",
+                    "https://technobaboy.com/in/phones10.png"]
+    # pinoyparazzi: two menu hops → pulldown categories
+    pp = {d["request_url"]: d for d in _docs_by_site(sim)[1241]}
+    p = pp["https://www.pinoyparazzi.com/chika-tsismis-1-0/"]
+    assert (p["category1"], p["category2"]) == ("Showbiz", "Chika")
+    # mattscradle: whole-container body + first-p abstract
+    mc = {d["request_url"]: d for d in _docs_by_site(sim)[1232]}
+    m = mc["https://mattscradle.com/promos-story-1-0/"]
+    assert m["abstract"] == "mc body promos 1-0"  # .post_content > p
+    texts = [s["text"] for s in m["spans"] if s["kind"] == "text"]
+    assert len(texts) == 1  # whole-container body_fallback, one block
+    # awesome: label minus its first char; per-entry teaser abstracts;
+    # the broken image selector ports as no images
+    aw = {d["request_url"]: d for d in _docs_by_site(sim)[1243]}
+    a = aw["https://awesome.com.ph/restaurants-story-1-0/"]
+    assert a["category1"] == "Restaurants"
+    assert a["abstract"].startswith("aw teaser")
+    assert not [s for s in a["spans"] if s["kind"] == "image"]
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,
