@@ -211,6 +211,15 @@ def parse_site_date(raw: str | None, style: str | None,
                 return datetime(int(t[4]), MONTHS[t[3]], int(t[2]), hh,
                                 int(t[6]), int(t[7]))
             return as_of.replace(microsecond=0)
+        if style == "fuzzy_devanagari":
+            # hindi.py:18-48 translate_all: Devanagari digits ०-९ mapped
+            # to ASCII before the fuzzy cascade.
+            t = raw.translate(str.maketrans("०१२३४५६७८९", "0123456789"))
+            return format_time2_py(t, as_of)
+        if style == "iso_date":
+            # dailyhindinews.py:68: the ISO datetime attribute's DATE part
+            # only, rendered midnight ('...T...'.split('T')[0] + 00:00:00).
+            return datetime.strptime(raw.split("T")[0], "%Y-%m-%d")
         if style == "mdy_slash_hms":
             # techpinas.py:52-56 timeformat: 'M/D/YYYY HH:MM:SS ...' —
             # the time-of-day token is pasted verbatim after the
@@ -661,14 +670,27 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                 # the node's attr (default 'href'), label = its normalized
                 # text (or the group's fixed label, link text as label2).
                 fixed = spec.get("label")
+                if spec.get("label_from"):
+                    # the group's fixed label read off the PAGE itself —
+                    # journal.py:36-40 labels its submenu with the page's
+                    # own archive title
+                    fixed = _sel_scalar(dom(), spec["label_from"])
                 nodes = htmlsel.select(dom(), spec["sel"])
+                # ``labels_from``: a PARALLEL selector zipped by position —
+                # dailyhindinews.py:35-41 pairs h4.widget-title texts with
+                # a.hm-viewall links index-for-index
+                zip_labels = None
+                if spec.get("labels_from"):
+                    lf = spec["labels_from"]
+                    zip_labels = [x.text() for x in htmlsel.select(
+                        dom(), lf["sel"])][lf.get("skip", 0):]
                 # ``slice``: positional [start, stop) selection — the
                 # reference's menu_url[2] single pick and cat1s[4:7] range
                 # (piagov.py:37,43-45); applied before ``skip``.
                 if spec.get("slice"):
                     nodes = nodes[slice(*spec["slice"])]
                 stopped = False
-                for n in nodes[spec.get("skip", 0):]:
+                for zi, n in enumerate(nodes[spec.get("skip", 0):]):
                     # ``exclude_if_sel``: a container matching this
                     # sub-select is NOT a section — agniban.py:36-40 keeps
                     # only li's WITHOUT a nested <ul>.
@@ -688,6 +710,9 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                         link = n
                     href = link.attr(spec.get("attr", "href"))
                     text = link.text()
+                    if zip_labels is not None:
+                        text = (zip_labels[zi] if zi < len(zip_labels)
+                                else text)
                     # ``stop_href``: a sentinel link ENDS the menu walk —
                     # haribhoomi.py:110-111 breaks at '/live-tv' and every
                     # later item is never crawled.
@@ -984,13 +1009,28 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                 if m:
                     out_imgs.append({**im, "src": m.group(1)})
             imgs = out_imgs
+        para_start = 0
         if block.get("para_skip"):
             # positional paragraph skip — politics.py:82's body_list[1:]
-            paras = paras[int(block["para_skip"]):]
+            para_start = int(block["para_skip"])
+            paras = paras[para_start:]
         if block.get("para_slice"):
             # positional paragraph slice — sunstar.py:59-60 stores ONLY
             # the first .col-sm-11 paragraph as both body and abstract
-            paras = paras[slice(*block["para_slice"])]
+            sl = slice(*block["para_slice"])
+            para_start += sl.start or 0
+            paras = paras[sl]
+        if para_start or block.get("para_slice"):
+            # re-anchor images onto the KEPT paragraph range (the
+            # reference stores images as a separate list, so position is
+            # a span-model concern only): shift by the dropped head,
+            # clamp tail-anchored images to the last kept paragraph
+            cap = len(paras) - 1
+            imgs = [
+                {**im, "after_para": max(-1, min(im["after_para"]
+                                                 - para_start, cap))}
+                for im in imgs
+            ]
     else:
         for m in re.finditer(block, html):
             d = m.groupdict()
@@ -1803,8 +1843,13 @@ def parse_page(
             or payload.get("cat2")
             or (None if site.get("cat2_meta_off")
                 else meta.get("category2")),
-            "pub_time": parse_site_date(pub_raw, date_style, as_of)
-            .strftime("%Y-%m-%d %H:%M:%S"),
+            # ``article_pub_style``: the stored pub time may speak a
+            # different dialect than the list gates — dailyhindinews.py:68
+            # keeps only the ISO DATE at midnight while its entries gate
+            # on the full timestamp.
+            "pub_time": parse_site_date(
+                pub_raw, site.get("article_pub_style", date_style), as_of
+            ).strftime("%Y-%m-%d %H:%M:%S"),
             "spans": spans,
             "request_url": url,
             "response_url": response_url,

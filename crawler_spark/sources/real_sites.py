@@ -69,6 +69,10 @@ generic extractor (plans/parser.extract_payload) and the shared dataflow
 | tehelkahindi     | 1099 | [1:-2] menu slice with suppressed parents over sub-menus, td-image-wrap entries, per-entry duplicate next-link yields collapsing under the dupefilter | 已部署/tehelkahindi.py:31-60,62-84 |
 | mattscradle      | 1232 | page gate by side-fetching the FIRST headline's article (page_gate_fetch_index=0), whole-container bodies with first-paragraph abstracts | 已部署/mattscradle.py:30-63,66-90 |
 | awesome          | 1243 | menu labels minus their first character (label_re on '#Restaurants'), per-entry list teaser abstracts, FIRST-datetime isoT page gate, and the reference's BROKEN image selector ported faithfully as no-images | 已部署/awesome.py:27-64,66-90 |
+| hindi            | 1071 | DEVANAGARI-DIGIT dates (०-९ translated before the fuzzy cascade), trailing-token-trimmed item dates, intro-paragraph body skip with re-anchored images; the reference's SECOND spider over parstoday.com — fixture host disambiguated | 已部署/hindi.py:18-48,68-98,100-129 |
+| dailyhindinews   | 1130 | menu links and labels from two PARALLEL selectors zipped by position, full-ISO entry gates vs DATE-ONLY midnight article stamps (article_pub_style), trailing share-paragraph slice | 已部署/dailyhindinews.py:32-60,62-75 |
+| journal          |  196 | submenu labeled by the PAGE'S OWN archive title (label_from), h2-deck abstracts with first-paragraph fallback | 已部署/journal.py:32-54,56-80 |
+| remate           |  533 | breadcrumb cat1/cat2 with one-level sections lacking the third crumb, H4-BODIED articles falling back to paragraphs, first-vs-last meta-date split (article pub = first, page gate = last) | 已部署/remate.py:33-61,64-86 |
 
 The mock pages here are deterministic miniatures of each site's real
 markup (class names, attribute shapes, and nesting mirror the spiders'
@@ -6285,6 +6289,331 @@ def _build_awesome(g: _G) -> None:
               page_ages=((0.0, 12.0), (44.0, 24.0)))
 
 
+# ---------------------------------------------------------------------------
+# Tranche E — hindi (Devanagari-digit dates), dailyhindinews (zipped
+# label/link menu selectors, ISO-date-only article stamps), journal
+# (page-title-labeled submenu), remate (h4-body fallback, conditional
+# breadcrumb category2).
+# ---------------------------------------------------------------------------
+
+HINDI_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    # ०-९ translated to ASCII before the fuzzy cascade (hindi.py:18-48)
+    "date_style": "fuzzy_devanagari",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "div.col-xs-12 li > a", "slice": [0, -1]},
+        "entry": {"sel": "a.img"},
+        # the page's single date block, FIRST (hindi.py:94)
+        "page_time": {"sel": "div.date", "index": 0},
+        "next": {"sel": "a.btn.btn-default", "attr": "href"},
+        "title": {"sel": "h2.item-title"},
+        # item-date minus its trailing token (py:109's rsplit(' ', 1)[0])
+        "pub": {"sel": "div.item-date", "re": r"^(.*) \S+$"},
+        "abstract": {"sel": "p.introtext"},
+        # body skips the FIRST item-text paragraph (py:122's [1:])
+        "block": {"para_sel": ".item-text > p", "para_skip": 1,
+                  "img_sel": ["li.photo figure > img",
+                              ".item-text > figure > img"]},
+    },
+}
+
+DAILYHINDINEWS_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "date_style": "isoT",  # entry gates on the datetime attribute
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        # links and their labels come from two PARALLEL selectors zipped
+        # by position (dailyhindinews.py:35-41)
+        "category": {"sel": "a.hm-viewall", "skip": 1,
+                     "labels_from": {"sel": "h4.widget-title",
+                                     "skip": 1}},
+        "entry": {"sel": "article",
+                  "fields": {
+                      "href": {"sel": "a", "attr": "href"},
+                      "abstract": {"sel": ".entry-summary p"},
+                      "time": {"sel": "time.updated",
+                               "attr": "datetime"},
+                  }},
+        "next": {"sel": "a.next.page-numbers", "attr": "href"},
+        "title": {"sel": "h1.entry-title"},
+        # the article stores only the DATE part at midnight (py:68)
+        "pub": {"sel": "time.entry-date.published.updated",
+                "attr": "datetime"},
+        # body drops the trailing share paragraph (py:71's [:-1])
+        "block": {"para_sel": "div.entry-content > p",
+                  "para_slice": [0, -1],
+                  "img_sel": "div.entry-content img"},
+    },
+    # the stored time keeps only the ISO date at midnight (py:68)
+    "article_pub_style": "iso_date",
+}
+
+JOURNAL_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        # the submenu of the li whose label equals the page's own archive
+        # title; category1 = that title, category2 = sub-link text
+        # (journal.py:33-40)
+        "category": {"sel": "#site-navigation ul li ul > li a",
+                     "label_from": {"sel": ".page-title.mt-archive-title"}},
+        "entry": {"sel": "h2.entry-title",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "page_time": {"sel": ".posted-on > a > time", "index": -1},
+        "next": {"sel": ".nav-links > a", "index": -1, "attr": "href"},
+        "title": {"sel": "h1.entry-title"},
+        "pub": {"sel": ".posted-on > a > time"},
+        "abstract": {"sel": ".entry-content h2"},
+        "block": {"para_sel": ".entry-content p",
+                  "img_sel": [".single-post-image img",
+                              ".entry-content img"]},
+    },
+}
+
+REMATE_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "div.vc_btn3-container.vc_btn3-center",
+                     "link_sel": "a"},
+        # both categories from the LIST page's breadcrumb; one-level
+        # sections simply have no third crumb (remate.py:46-51)
+        "cat1_self": {"sel": ".breadcrumb > li", "index": 1},
+        "cat2_self": {"sel": ".breadcrumb > li", "index": 2},
+        "entry": {"sel": "h2.entry-title",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "page_time": {"sel": "article .meta-date", "index": -1},
+        "next": {"sel": "a.next.page-numbers", "attr": "href"},
+        "title": {"sel": "#content > article > h1"},
+        "pub": {"sel": "article .meta-date", "index": 0},
+        # h4-bodied articles (abstract = first h4); paragraph fallback
+        # when an article carries no h4s (remate.py:75-83)
+        "block": {"para_sel": "#content > article h4",
+                  "para_sel_fallback": "#content > article p",
+                  "img_sel": "#content > article img"},
+    },
+}
+
+
+def _build_hindi(g: _G) -> None:
+    # the reference runs TWO spiders against parstoday.com ('parstoday'
+    # and 'hindi' — separate Scrapy processes, so no cross-spider dedup);
+    # this combined single-crawl fixture disambiguates the host so both
+    # rule-sets stay exercised side by side.
+    host, base = "hi.parstoday.com", "https://hi.parstoday.com"
+    wid = 1071
+    g.registry[wid] = dict(HINDI_RULES)
+    g.seeds.append({"url": base + "/hi", "website_id": wid,
+                    "language_id": 1930})
+    _DEV = str.maketrans("0123456789", "०१२३४५६७८९")
+    menu = ('<div class="col-xs-12"><ul>'
+            f'<li><a href="{base}/hi/india">भारत</a></li>'
+            f'<li><a href="{base}/hi/world">विश्व</a></li>'
+            f'<li><a href="{base}/hi/about">परिचय</a></li></ul></div>')
+    g.page(base + "/hi", "menu", f"<html>{menu}</html>", host)
+    for cslug in ("india", "world"):
+        for p, ages in enumerate([(0.0, 12.0), (44.0, 24.0)], 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{base}/hi/{cslug}/samachar-{p}-{e}"
+                rows.append(f'<a class="img" href="{aurl}">t</a>')
+                raw = (f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+                       .translate(_DEV))
+                g.page(
+                    aurl, "article",
+                    f'<html><h2 class="item-title">HI {cslug} {p}-{e}'
+                    f'</h2><div class="item-date">{raw} IST</div>'
+                    f'<li class="photo"><figure>'
+                    f'<img src="{base}/ph/{cslug}{p}{e}.jpg"></figure>'
+                    f"</li>"
+                    f'<div class="item-text">'
+                    f'<p class="introtext">सार {cslug} {p}-{e}</p>'
+                    f"<p>hi मुख्य {cslug} {p}-{e}</p>"
+                    f'<figure><img src="{base}/in/{cslug}{p}{e}.jpg">'
+                    f"</figure></div></html>",
+                    host,
+                )
+            gate = (f"{_MON_FULL[dt.month - 1]} {dt.day}, "
+                    f"{dt.year}").translate(_DEV)
+            dt0 = BASE_DT - timedelta(hours=ages[0])
+            gate = (f"{_MON_FULL[dt0.month - 1]} {dt0.day}, "
+                    f"{dt0.year}").translate(_DEV)
+            nxt = (f'<a class="btn btn-default" '
+                   f'href="{base}/hi/{cslug}?p={p + 1}">और</a>')
+            lurl = (f"{base}/hi/{cslug}" if p == 1
+                    else f"{base}/hi/{cslug}?p={p}")
+            g.page(lurl, "list",
+                   f'<html><div class="date">{gate}</div>'
+                   + "".join(rows) + nxt + "</html>", host)
+
+
+def _build_dailyhindinews(g: _G) -> None:
+    host, base = "www.dailyhindinews.com", "https://www.dailyhindinews.com"
+    wid = 1130
+    g.registry[wid] = dict(DAILYHINDINEWS_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    menu = ('<h4 class="widget-title">विज्ञापन</h4>'
+            '<h4 class="widget-title">देश</h4>'
+            '<h4 class="widget-title">खेल</h4>'
+            f'<a class="hm-viewall" href="{base}/promo">View</a>'
+            f'<a class="hm-viewall" href="{base}/desh">View</a>'
+            f'<a class="hm-viewall" href="{base}/khel">View</a>')
+    g.page(base + "/", "menu", f"<html>{menu}</html>", host)
+    for cslug in ("desh", "khel"):
+        for p, ages in enumerate([(0.0, 12.0), (24.0, 44.0)], 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                iso = dt.strftime("%Y-%m-%dT%H:%M:%S") + "+05:30"
+                aurl = f"{base}/{cslug}-khabar-{p}-{e}"
+                rows.append(
+                    f'<article><a href="{aurl}">t</a>'
+                    f'<div class="entry-summary"><p>dhn सार {cslug} '
+                    f"{p}-{e}</p></div>"
+                    f'<time class="updated" datetime="{iso}">d</time>'
+                    f"</article>"
+                )
+                g.page(
+                    aurl, "article",
+                    f'<html><h1 class="entry-title">DHN {cslug} {p}-{e}'
+                    f'</h1><time class="entry-date published updated" '
+                    f'datetime="{iso}">d</time>'
+                    f'<div class="entry-content">'
+                    f"<p>dhn body {cslug} {p}-{e}</p>"
+                    f'<img src="{base}/i/{cslug}{p}{e}.jpg">'
+                    f"<p>share buttons — dropped</p></div></html>",
+                    host,
+                )
+            nxt = (f'<a class="next page-numbers" '
+                   f'href="{base}/{cslug}?page={p + 1}">»</a>')
+            lurl = (f"{base}/{cslug}" if p == 1
+                    else f"{base}/{cslug}?page={p}")
+            g.page(lurl, "list",
+                   "<html>" + "".join(rows) + nxt + "</html>", host)
+
+
+def _build_journal(g: _G) -> None:
+    host, base = "journal.com.ph", "https://journal.com.ph"
+    wid = 196
+    g.registry[wid] = dict(JOURNAL_RULES)
+    g.seeds.append({"url": base + "/news/", "website_id": wid,
+                    "language_id": 1866})
+    g.page(
+        base + "/news/", "menu",
+        f'<html><h1 class="page-title mt-archive-title">News</h1>'
+        f'<nav id="site-navigation"><div><ul>'
+        f'<li><a href="{base}/news/">News</a><ul>'
+        f'<li><a href="{base}/news/national/">National</a></li>'
+        f'<li><a href="{base}/news/metro/">Metro</a></li>'
+        f"</ul></li></ul></div></nav></html>",
+        host,
+    )
+    for cslug in ("national", "metro"):
+        for p, ages in enumerate([(0.0, 12.0), (24.0, 44.0)], 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{base}/news/{cslug}/story-{p}-{e}/"
+                rows.append(
+                    f'<h2 class="entry-title"><a href="{aurl}">t</a></h2>'
+                    f'<span class="posted-on"><a href="#"><time>'
+                    f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+                    f"</time></a></span>"
+                )
+                h2 = ("<h2>Journal deck {0}-{1}</h2>".format(p, e)
+                      if e == 0 else "")
+                g.page(
+                    aurl, "article",
+                    f'<html><h1 class="entry-title">JN {cslug} {p}-{e}'
+                    f'</h1><span class="posted-on"><a href="#"><time>'
+                    f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+                    f"</time></a></span>"
+                    f'<div class="single-post-image">'
+                    f'<img src="{base}/f/{cslug}{p}{e}.jpg"></div>'
+                    f'<div class="entry-content">{h2}'
+                    f"<p>jn body {cslug} {p}-{e}</p><p>jn two</p></div>"
+                    f"</html>",
+                    host,
+                )
+            nxt = (f'<div class="nav-links">'
+                   f'<a href="{base}/news/{cslug}/page/{p + 1}/">»</a>'
+                   "</div>")
+            lurl = (f"{base}/news/{cslug}/" if p == 1
+                    else f"{base}/news/{cslug}/page/{p}/")
+            g.page(lurl, "list",
+                   "<html>" + "".join(rows) + nxt + "</html>", host)
+
+
+def _build_remate(g: _G) -> None:
+    host, base = "www.remate.ph", "https://www.remate.ph"
+    wid = 533
+    g.registry[wid] = dict(REMATE_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1880})
+    menu = "".join(
+        f'<div class="vc_btn3-container vc_btn3-center">'
+        f'<a href="/{c}/">{c.title()}</a></div>'
+        for c in ("balita", "sports")
+    )
+    g.page(base + "/", "menu", f"<html>{menu}</html>", host)
+    crumbs = {
+        "balita": ('<ul class="breadcrumb"><li>Home</li><li>BALITA</li>'
+                   "<li>Metro</li></ul>"),
+        # SPORTS is a one-level section: no third crumb (remate.py:46-48)
+        "sports": ('<ul class="breadcrumb"><li>Home</li><li>SPORTS</li>'
+                   "</ul>"),
+    }
+    for cslug in ("balita", "sports"):
+        for p, ages in enumerate([(0.0, 12.0), (24.0, 44.0)], 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{base}/{cslug}-ulat-{p}-{e}/"
+                rows.append(
+                    f'<article><h2 class="entry-title">'
+                    f'<a href="{aurl}">t</a></h2>'
+                    f'<span class="meta-date">{_MON_FULL[dt.month - 1]} '
+                    f"{dt.day}, {dt.year}</span></article>"
+                )
+                # sports articles are h4-bodied; balita ones plain p's
+                body = (
+                    f"<h4>rm h4 lead {cslug} {p}-{e}</h4>"
+                    f"<h4>rm h4 two</h4>" if cslug == "sports" else
+                    f"<p>rm p lead {cslug} {p}-{e}</p><p>rm p two</p>"
+                )
+                g.page(
+                    aurl, "article",
+                    f'<html><div id="content"><article>'
+                    f"<h1>RM {cslug} {p}-{e}</h1>"
+                    f'<span class="meta-date">{_MON_FULL[dt.month - 1]} '
+                    f"{dt.day}, {dt.year}</span>"
+                    f'<img src="{base}/i/{cslug}{p}{e}.jpg">'
+                    f"{body}</article></div></html>",
+                    host,
+                )
+            nxt = (f'<a class="next page-numbers" '
+                   f'href="{base}/{cslug}/page/{p + 1}/">»</a>')
+            lurl = (f"{base}/{cslug}/" if p == 1
+                    else f"{base}/{cslug}/page/{p}/")
+            g.page(lurl, "list",
+                   f"<html>{crumbs[cslug]}" + "".join(rows) + nxt
+                   + "</html>", host)
+
+
 SITE_BUILDERS = {
     "zeenews": _build_zeenews,
     "aajtak": _build_aajtak,
@@ -6347,6 +6676,10 @@ SITE_BUILDERS = {
     "tehelkahindi": _build_tehelkahindi,
     "mattscradle": _build_mattscradle,
     "awesome": _build_awesome,
+    "hindi": _build_hindi,
+    "dailyhindinews": _build_dailyhindinews,
+    "journal": _build_journal,
+    "remate": _build_remate,
 }
 
 

@@ -49,6 +49,7 @@ def test_all_sites_produce_documents(sim):
         1023, 376, 952, 186, 486, 1067, 496, 444, 1206, 443, 492, 1050,
         1048, 445,
         1108, 1238, 1073, 1142, 1239, 1246, 1241, 1099, 1232, 1243,
+        1071, 1130, 196, 533,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -1187,6 +1188,42 @@ def test_tranche_d_wordpress_family_contracts(sim):
     assert a["category1"] == "Restaurants"
     assert a["abstract"].startswith("aw teaser")
     assert not [s for s in a["spans"] if s["kind"] == "image"]
+
+
+def test_tranche_e_contracts(sim):
+    """hindi/dailyhindinews/journal/remate: Devanagari-digit dates,
+    zipped label/link menus with date-only article stamps, page-title-
+    labeled submenus, and h4-body fallbacks."""
+    hi = {d["request_url"]: d for d in _docs_by_site(sim)[1071]}
+    h = hi["https://hi.parstoday.com/hi/india/samachar-1-0"]
+    # 'मई ३०, २०२१' digits translated before the fuzzy cascade
+    assert h["pub_time"] == "2021-05-30 00:00:00"
+    assert h["abstract"] == "सार india 1-0"  # introtext
+    kinds = [s["kind"] for s in h["spans"]]
+    assert kinds == ["image", "text", "image"]  # intro para skipped,
+    # both image groups kept (re-anchored after para_skip)
+    dhn = {d["request_url"]: d for d in _docs_by_site(sim)[1130]}
+    d = dhn["https://www.dailyhindinews.com/desh-khabar-1-0"]
+    assert d["category1"] == "देश"  # zipped h4 label, not 'View'
+    assert d["pub_time"] == "2021-05-30 00:00:00"  # iso_date midnight
+    texts = [s["text"] for s in d["spans"] if s["kind"] == "text"]
+    assert texts == ["dhn body desh 1-0"]  # [:-1] share para dropped
+    fetched = [u for _b, u in sim["crawl_log"]]
+    assert not any("dailyhindinews.com/promo" in u for u in fetched)
+    jn = {d["request_url"]: d for d in _docs_by_site(sim)[196]}
+    j = jn["https://journal.com.ph/news/metro/story-1-0/"]
+    assert (j["category1"], j["category2"]) == ("News", "Metro")
+    assert j["abstract"].startswith("Journal deck")  # h2 beats first p
+    j1 = jn["https://journal.com.ph/news/metro/story-1-1/"]
+    assert j1["abstract"] == "jn body metro 1-1"  # no h2 → first p
+    rm = {d["request_url"]: d for d in _docs_by_site(sim)[533]}
+    sp = rm["https://www.remate.ph/sports-ulat-1-0/"]
+    assert (sp["category1"], sp["category2"]) == ("SPORTS", None)
+    texts = [s["text"] for s in sp["spans"] if s["kind"] == "text"]
+    assert texts == ["rm h4 lead sports 1-0", "rm h4 two"]  # h4 body
+    ba = rm["https://www.remate.ph/balita-ulat-1-0/"]
+    assert (ba["category1"], ba["category2"]) == ("BALITA", "Metro")
+    assert ba["abstract"] == "rm p lead balita 1-0"  # p fallback
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,
