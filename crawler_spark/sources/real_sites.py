@@ -73,6 +73,8 @@ generic extractor (plans/parser.extract_payload) and the shared dataflow
 | dailyhindinews   | 1130 | menu links and labels from two PARALLEL selectors zipped by position, full-ISO entry gates vs DATE-ONLY midnight article stamps (article_pub_style), trailing share-paragraph slice | 已部署/dailyhindinews.py:32-60,62-75 |
 | journal          |  196 | submenu labeled by the PAGE'S OWN archive title (label_from), h2-deck abstracts with first-paragraph fallback | 已部署/journal.py:32-54,56-80 |
 | remate           |  533 | breadcrumb cat1/cat2 with one-level sections lacking the third crumb, H4-BODIED articles falling back to paragraphs, first-vs-last meta-date split (article pub = first, page gate = last) | 已部署/remate.py:33-61,64-86 |
+| cnnphilippines   |  449 | sliced nav, TWO ungated entry groups (grid + carousel), URL categories with a digits guard, fixed-id body container, single-page sections | 已部署/cnnphilippines.py:24-35,37-57 |
+| philnews         |  488 | menu filtered by href prefix AND a two-segment regex, 'page'-guarded URL categories, optional h2-deck abstracts, previous_posts pagination | 已部署/philnews.py:25-44,46-63 |
 
 The mock pages here are deterministic miniatures of each site's real
 markup (class names, attribute shapes, and nesting mirror the spiders'
@@ -6614,6 +6616,164 @@ def _build_remate(g: _G) -> None:
                    + "</html>", host)
 
 
+# ---------------------------------------------------------------------------
+# cnnphilippines — sliced nav, TWO ungated entry groups, categories from
+# the article URL with a digits guard, fixed-id body container
+# (已部署/cnnphilippines.py)
+# ---------------------------------------------------------------------------
+
+CNN_BASE = "https://www.cnnphilippines.com"
+
+CNNPHILIPPINES_RULES = {
+    "rule": NEXT_LINK,  # no pagination at all (single list pages)
+    "format": "html",
+    "cat1_from_url_re": r"^https?://[^/]+/([^/]+)/",
+    # numeric second segment leaves category2 unset (py:42-43)
+    "cat2_from_url_re": r"^https?://[^/]+/[^/]+/([^/\d]+)/",
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "#topNavbar > ul > li > a", "slice": [1, 7]},
+        # grid links AND carousel headers, spec order (py:31-35)
+        "entry": [
+            {"sel": "section.row.container-padding-10 a"},
+            {"sel": ".row.carousel-body .cpmedium-header a"},
+        ],
+        "title": {"sel": ".title"},
+        # the reference falls back .dateLine > p → .dateString; the
+        # fixture pins the primary form
+        "pub": {"sel": ".dateLine > p"},
+        "block": {"para_sel": "#content-body-244757-498257 > p",
+                  "img_sel": ".margin-bottom-15 img"},
+    },
+}
+
+
+def _build_cnnphilippines(g: _G) -> None:
+    host = "www.cnnphilippines.com"
+    wid = 449
+    g.registry[wid] = dict(CNNPHILIPPINES_RULES)
+    g.seeds.append({"url": CNN_BASE + "/", "website_id": wid,
+                    "language_id": 1866})
+    menu = ('<div id="topNavbar"><ul>'
+            + "".join(f'<li><a href="/{c}/">{c.title()}</a></li>'
+                      for c in ("home", "national", "world", "x1", "x2",
+                                "x3", "x4", "beyond"))
+            + "</ul></div>")
+    g.page(CNN_BASE + "/", "menu", f"<html>{menu}</html>", host)
+    step = [0]
+    for cslug in ("national", "world"):
+        rows = []
+        for e in range(3):
+            dt = _t(step[0], 5.0)
+            step[0] += 1
+            seg2 = "metro" if e % 2 == 0 else "2021"  # digits guard probe
+            aurl = f"{CNN_BASE}/{cslug}/{seg2}/story-{e}/"
+            grp = ('<section class="row container-padding-10">'
+                   f'<a href="/{cslug}/{seg2}/story-{e}/">t</a></section>'
+                   if e < 2 else
+                   f'<div class="row carousel-body">'
+                   f'<div class="cpmedium-header">'
+                   f'<a href="/{cslug}/{seg2}/story-{e}/">t</a></div></div>')
+            rows.append(grp)
+            g.page(
+                aurl, "article",
+                f'<html><h1 class="title">CNN {cslug} {e}</h1>'
+                f'<div class="dateLine"><p>{_MON_FULL[dt.month - 1]} '
+                f"{dt.day}, {dt.year}</p></div>"
+                f'<div class="margin-bottom-15">'
+                f'<img src="/i/{cslug}{e}.jpg"></div>'
+                f'<div id="content-body-244757-498257">'
+                f"<p>cnn body {cslug} {e}</p><p>cnn two</p></div></html>",
+                host,
+            )
+        g.page(f"{CNN_BASE}/{cslug}/", "list",
+               "<html>" + "".join(rows) + "</html>", host)
+
+
+# ---------------------------------------------------------------------------
+# philnews — href-prefix + two-segment regex menu filter, URL categories
+# with the 'page' guard, optional h2 abstract, previous_posts pagination
+# (已部署/philnews.py)
+# ---------------------------------------------------------------------------
+
+PHILNEWS_BASE = "https://philnews.ph"
+
+PHILNEWS_RULES = {
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "cat1_url_re": r"^https?://[^/]+/category/([^/]+)",
+    "cat2_url_re": r"^https?://[^/]+/category/[^/]+/(?!page)([^/]+)",
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        # only two-segment /category/x/y links are sections (py:27-29)
+        "category": {"sel": '#ubermenu-nav-main-89265 '
+                            f'a[href^="{PHILNEWS_BASE}/category/"]',
+                     "href_re": r"https://philnews\.ph/category/"
+                                r"\S+?/\S+?$"},
+        "entry": {"sel": 'div[class="default-post-category-content'
+                         ' post_box"] .default-category-image > a'},
+        "page_time": {"sel": 'div[class="default-post-category-content'
+                             ' post_box"] .post_date', "index": -1},
+        "next": {"sel": ".previous_posts > a", "attr": "href"},
+        "title": {"sel": "h1.headline"},
+        "pub": {"sel": ".post_date_intro > .published"},
+        "abstract": {"sel": ".post_content > h2"},
+        "block": {"para_sel": ".post_content > p",
+                  "img_sel": ".post_content > figure img"},
+    },
+}
+
+
+def _build_philnews(g: _G) -> None:
+    host = "philnews.ph"
+    wid = 488
+    g.registry[wid] = dict(PHILNEWS_RULES)
+    g.seeds.append({"url": PHILNEWS_BASE + "/", "website_id": wid,
+                    "language_id": 1866})
+    menu = ('<nav id="ubermenu-nav-main-89265">'
+            f'<a href="{PHILNEWS_BASE}/category/news/">One-segment</a>'
+            f'<a href="{PHILNEWS_BASE}/category/news/peso">Peso</a>'
+            f'<a href="{PHILNEWS_BASE}/category/news/viral">Viral</a>'
+            "</nav>")
+    g.page(PHILNEWS_BASE + "/", "menu", f"<html>{menu}</html>", host)
+    for cslug in ("peso", "viral"):
+        for p, ages in enumerate([(0.0, 12.0), (24.0, 44.0)], 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{PHILNEWS_BASE}/{cslug}-balita-{p}-{e}/"
+                rows.append(
+                    f'<div class="default-post-category-content post_box">'
+                    f'<div class="default-category-image">'
+                    f'<a href="{aurl}">t</a></div>'
+                    f'<span class="post_date">{_MON_FULL[dt.month - 1]} '
+                    f"{dt.day}, {dt.year}</span></div>"
+                )
+                h2 = "<h2>PN deck</h2>" if e == 0 else ""
+                g.page(
+                    aurl, "article",
+                    f'<html><h1 class="headline">PHN {cslug} {p}-{e}</h1>'
+                    f'<div class="post_date_intro">'
+                    f'<span class="published">{_MON_FULL[dt.month - 1]} '
+                    f"{dt.day}, {dt.year}</span></div>"
+                    f'<div class="post_content">{h2}'
+                    f"<p>phn body {cslug} {p}-{e}</p>"
+                    f'<figure><img src="{PHILNEWS_BASE}/f/{cslug}{p}{e}'
+                    f'.jpg"></figure></div></html>',
+                    host,
+                )
+            nxt = (f'<div class="previous_posts">'
+                   f'<a href="{PHILNEWS_BASE}/category/news/{cslug}/page/'
+                   f'{p + 1}/">Older</a></div>')
+            lurl = (f"{PHILNEWS_BASE}/category/news/{cslug}" if p == 1
+                    else f"{PHILNEWS_BASE}/category/news/{cslug}/page/{p}/")
+            g.page(lurl, "list",
+                   "<html>" + "".join(rows) + nxt + "</html>", host)
+
+
 SITE_BUILDERS = {
     "zeenews": _build_zeenews,
     "aajtak": _build_aajtak,
@@ -6680,6 +6840,8 @@ SITE_BUILDERS = {
     "dailyhindinews": _build_dailyhindinews,
     "journal": _build_journal,
     "remate": _build_remate,
+    "cnnphilippines": _build_cnnphilippines,
+    "philnews": _build_philnews,
 }
 
 

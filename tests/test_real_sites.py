@@ -49,7 +49,7 @@ def test_all_sites_produce_documents(sim):
         1023, 376, 952, 186, 486, 1067, 496, 444, 1206, 443, 492, 1050,
         1048, 445,
         1108, 1238, 1073, 1142, 1239, 1246, 1241, 1099, 1232, 1243,
-        1071, 1130, 196, 533,
+        1071, 1130, 196, 533, 449, 488,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -1224,6 +1224,28 @@ def test_tranche_e_contracts(sim):
     ba = rm["https://www.remate.ph/balita-ulat-1-0/"]
     assert (ba["category1"], ba["category2"]) == ("BALITA", "Metro")
     assert ba["abstract"] == "rm p lead balita 1-0"  # p fallback
+
+
+def test_tranche_f_contracts(sim):
+    """cnnphilippines: two ungated entry groups, URL categories with the
+    digits guard, single-page sections. philnews: two-segment menu href
+    regex, 'page'-guarded URL categories, optional h2 abstracts."""
+    cnn = {d["request_url"]: d for d in _docs_by_site(sim)[449]}
+    a = cnn["https://www.cnnphilippines.com/national/metro/story-0/"]
+    assert (a["category1"], a["category2"]) == ("national", "metro")
+    num = cnn["https://www.cnnphilippines.com/national/2021/story-1/"]
+    assert num["category2"] is None  # digits guard
+    phn = {d["request_url"]: d for d in _docs_by_site(sim)[488]}
+    p = phn["https://philnews.ph/peso-balita-1-0/"]
+    assert (p["category1"], p["category2"]) == ("news", "peso")
+    assert p["abstract"] == "PN deck"  # h2 beats first paragraph
+    p1 = phn["https://philnews.ph/peso-balita-1-1/"]
+    assert p1["abstract"] == "phn body peso 1-1"  # no h2 → first p
+    fetched = [u for _b, u in sim["crawl_log"]]
+    # the one-segment /category/news/ menu link is filtered by href_re
+    assert not any(u.rstrip("/").endswith("philnews.ph/category/news")
+                   for u in fetched)
+    assert not any("philnews" in u and "page/3" in u for u in fetched)
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,
