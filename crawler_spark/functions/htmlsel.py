@@ -70,6 +70,21 @@ class Node:
                 stack.extend(reversed(n.children))
         return " ".join("".join(parts).split())
 
+    def raw_text(self) -> str:
+        """Descendant text WITHOUT whitespace normalization — for rules
+        that split on a specific whitespace character the normalizer would
+        collapse (agrasamachar.py:54-56 replaces '\\xa0' with newlines to
+        find the body's first line; bs4's ``.text`` keeps it verbatim)."""
+        parts: list[str] = []
+        stack: list[Node | str] = [self]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, str):
+                parts.append(n)
+            else:
+                stack.extend(reversed(n.children))
+        return "".join(parts)
+
     def __repr__(self) -> str:  # debugging aid only
         return f"<{self.tag} {self.attrs}>"
 

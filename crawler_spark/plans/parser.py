@@ -42,6 +42,16 @@ from crawler_spark.functions.dates import (
     format_time2_py,
 )
 
+# agrasamachar.py:23-24 — yet another per-spider Hindi month table, with
+# month NUMBERS and its own October/February spellings ('अक्तूबर',
+# 'फ़रवरी'); kept separate from the zeenews/aajtak tables like the
+# reference keeps each spider's own dict.
+AGRA_HINDI_MONTHS = {
+    "जनवरी": 1, "फ़रवरी": 2, "मार्च": 3, "अप्रैल": 4, "मई": 5, "जून": 6,
+    "जुलाई": 7, "अगस्त": 8, "सितंबर": 9, "अक्तूबर": 10, "नवंबर": 11,
+    "दिसंबर": 12,
+}
+
 # Pagination rule names (the 6 corpus types).
 NEXT_LINK = "next_link"  # payload carries an explicit next href
 PAGE_PARAM = "page_param"  # ?page=N increment while has_more
@@ -112,6 +122,50 @@ def parse_site_date(raw: str | None, style: str | None,
                 f"20{toks[4]}-{toks[3]}-{toks[2]} {toks[0]}:{toks[1]}:00",
                 "%Y-%m-%d %H:%M:%S",
             )
+        if style == "md_hm_nowyear":
+            # abs-cbn.py:61-63 time_format: 'Month D, H:MM' tokens with
+            # the CURRENT year assumed (datetime(datetime.now().year, ...))
+            # — anchored to as_of here for determinism.
+            t = [x for x in re.split(r"/| |,|:|\n|\r|\f|\t|\v", raw)
+                 if x != ""]
+            if t[0] in MONTHS:
+                return datetime(as_of.year, MONTHS[t[0]], int(t[1]),
+                                int(t[2]), int(t[3]))
+            return as_of.replace(microsecond=0)
+        if style == "mdy_slash":
+            # cebudailynews.py:90-92 time_format: 'M/D/YYYY' numeric
+            # tokens → midnight (datetime(int(list[2]), int(list[0]),
+            # int(list[1]))).
+            t = [x for x in re.split(r"/| |,|:|\n|\r|\f|\t|\v", raw)
+                 if x != ""]
+            return datetime(int(t[2]), int(t[0]), int(t[1]))
+        if style == "hindi_dmy_agra":
+            # agrasamachar.py:23-24,37-38: 'D <Hindi month> YYYY' through
+            # the spider's OWN month table (note 'अक्तूबर' — a different
+            # October spelling than zeenews'/aajtak's tables) → midnight.
+            t = raw.split()
+            if t[1] in AGRA_HINDI_MONTHS:
+                return datetime(int(t[2]), AGRA_HINDI_MONTHS[t[1]],
+                                int(t[0]))
+            return as_of.replace(microsecond=0)
+        if style == "posted_on":
+            # bharatkhabar.py:101-159 time_adjustment: 'Posted On Month D,
+            # YYYY at H:MM am/pm' — am & h==12 → 0, pm & h!=12 → h+12
+            # (both bug-faithful: the am-12 branch renders hour 0 through
+            # str(12-12)), seconds fixed at 00.
+            s = raw.replace("Posted On ", "")
+            te = s.split(", ")
+            md = te[0].split(" ")
+            t2 = te[1].split(" ")
+            hm = t2[2].split(":")
+            hh = int(hm[0])
+            if t2[3] == "am":
+                if hh == 12:
+                    hh = 0
+            elif hh != 12:
+                hh += 12
+            return datetime(int(t2[0]), MONTHS[md[0]], int(md[1]), hh,
+                            int(hm[1]))
         if style == "mdy_switch":
             # ambala.py:88-124 / dainiksandhyaprakash.py:110-147
             # time_adjustment: 'Month D, YYYY' through a hand-rolled month
@@ -365,7 +419,9 @@ def _sel_scalar(tree, spec: dict) -> str | None:
     then ``attr`` (attribute value) or normalized text, then an optional
     ``re`` whose group 1 trims the result. ``join: True`` concatenates
     EVERY match's text instead (apkaakhbar.py:158-160's strong-tag
-    abstract accumulation)."""
+    abstract accumulation). ``raw: True`` skips whitespace normalization —
+    rules that split the value on a specific whitespace character
+    (agrasamachar.py:54's '\\xa0' body-line separator) need it verbatim."""
     nodes = htmlsel.select(tree, spec["sel"])
     if not nodes:
         return None
@@ -375,7 +431,12 @@ def _sel_scalar(tree, spec: dict) -> str | None:
         n = nodes[spec.get("index", 0)]
     except IndexError:
         return None
-    val = n.attr(spec["attr"]) if spec.get("attr") else n.text()
+    if spec.get("attr"):
+        val = n.attr(spec["attr"])
+    elif spec.get("raw"):
+        val = n.raw_text()
+    else:
+        val = n.text()
     if val is not None and spec.get("re"):
         m = re.search(spec["re"], val)
         val = m.group(1) if m else None
@@ -841,7 +902,21 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                 # evaluated within the match — interaksyon.py:27's
                 # '.td-ss-main-content .td-module-thumb > a' loop.
                 fields = espec.get("fields")
-                for node in htmlsel.select(dom(), espec["sel"]):
+                # ``scope``: entries come from ONE positional pick among
+                # the scope selector's matches — apnlive.py:55-56 reads
+                # find_all('div', class_='td_block_inner...')[-1] so only
+                # the LAST block's items are articles (earlier matches are
+                # sidebar widgets).
+                roots = [dom()]
+                if espec.get("scope"):
+                    sc = espec["scope"]
+                    scn = htmlsel.select(dom(), sc["sel"])
+                    try:
+                        roots = [scn[sc.get("index", 0)]]
+                    except IndexError:
+                        roots = []
+                for node in [n for r in roots
+                             for n in htmlsel.select(r, espec["sel"])]:
                     if fields:
                         vals = {k: _sel_scalar(node, sp)
                                 for k, sp in fields.items()}
@@ -891,6 +966,11 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
         )
         if rules.get("page_time"):
             out["page_time_raw"] = scalar("page_time")
+        if rules.get("page_max"):
+            # total page count read off the page itself ('Page 1 of N' —
+            # apnlive.py:59's span.pages last token); parse_page compares
+            # it against the CURRENT page number to bound /page/N chains.
+            out["page_max"] = scalar("page_max")
         if rules.get("cat1_self"):
             out["cat1_self"] = scalar("cat1_self")
         if rules.get("cat2_self"):
@@ -1052,7 +1132,17 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
         # (latestnews1.py:90-96) — one value serving as body AND abstract.
         fb = first("body_fallback")
         if fb:
-            paras = [fb]
+            fbr = rules["body_fallback"]
+            if isinstance(fbr, dict) and fbr.get("split"):
+                # the container text is LINE-structured on a separator
+                # character: agrasamachar.py:54-56 replaces '\xa0' with
+                # newlines, strips the whole, and the first line becomes
+                # the abstract — each line is a paragraph here (pair the
+                # spec with ``raw: True`` so the normalizer doesn't eat
+                # the separator).
+                paras = fb.replace(fbr["split"], "\n").strip().split("\n")
+            else:
+                paras = [fb]
     # Composite date: a site may publish the date and time-of-day in two
     # separate elements joined before parsing (clickthecity.py:138-155:
     # the --type-date span + the regex-trimmed --type-time span; no time
@@ -1632,6 +1722,18 @@ def parse_page(
                 flag = flag and (
                     _epoch(None, as_of, raw, gate_style) >= cutoff_epoch
                 )
+        if "page_max" in payload:
+            # apnlive.py:59-61: the /page/N chain advances only while the
+            # CURRENT page number is under the page's own total ('Page 1
+            # of N', span.pages' last token); a page without the span
+            # never paginates. The current number comes off the URL — the
+            # stateless twin of the reference's meta page counter.
+            m = re.match(r"^(.*?)/page/(\d+)/?$", url)
+            cur = int(m.group(2)) if m else 1
+            try:
+                payload["has_more"] = cur < int(payload["page_max"])
+            except (TypeError, ValueError):
+                payload["has_more"] = False
         if flag and not probe_last:
             if rule == API_TEMPLATE:
                 # manila.py:80-82: page+1 while (page-1)*10 ≤ totItems.

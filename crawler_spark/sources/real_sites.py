@@ -6774,6 +6774,582 @@ def _build_philnews(g: _G) -> None:
                    "<html>" + "".join(rows) + nxt + "</html>", host)
 
 
+# ---------------------------------------------------------------------------
+# tranche G — aajka, abs-cbn, agrasamachar, apnlive, balita, balita1
+# (已部署/{aajka,abs-cbn,agrasamachar,apnlive,balita,balita1}.py)
+# ---------------------------------------------------------------------------
+
+def _mdy_hm(dt: datetime) -> str:
+    """'May 30, 2021, 11:00' — the Month-D-Y-H-M branch of format_time2."""
+    return (f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year},"
+            f" {dt.hour:02d}:{dt.minute:02d}")
+
+
+AAJKA_RULES = {
+    # aajka.py: one-level #categories-6 menu; the list's .jeg_meta_date
+    # anchor IS the entry (href = article, text = fuzzy date, py:36-41);
+    # entry-gated next-link pagination (.page_nav.next, py:44-48); article
+    # categories from the breadcrumb's last two links (py:55-57); the
+    # list-scraped date rides down in meta and the article never re-reads
+    # it (py:41,63 — meta priority, the zeenews shape).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "extract": {
+        "category": {"sel": "#categories-6 a"},
+        "entry": {"sel": ".jeg_inner_content article .jeg_meta_date",
+                  "fields": {"href": {"sel": "a", "attr": "href"},
+                             "time": {"sel": "a"}}},
+        "next": {"sel": ".page_nav.next", "attr": "href"},
+        "title": {"sel": ".jeg_post_title"},
+        # categorylist[-2]/[-1] (aajka.py:55-57)
+        "cat1": {"sel": "#breadcrumbs > span a", "index": -2},
+        "cat2": {"sel": "#breadcrumbs > span a", "index": -1},
+        # lead image = the featured anchor's HREF (py:64-65); body
+        # paragraphs .content-inner > p with the first as abstract
+        # (py:58-62)
+        "block": {"para_sel": ".content-inner > p",
+                  "img_sel": ".jeg_featured.featured_image a",
+                  "img_attr": "href"},
+    },
+}
+
+ABSCBN_BASE = "https://news.abs-cbn.com"
+
+ABSCBN_RULES = {
+    # abs-cbn.py: menu = sibling-combinator nav sliced [1:9] (py:28-29)
+    # plus one hardcoded tag list (py:31); entries are NEVER individually
+    # gated — pagination alone is gated on the LAST .datetime through the
+    # spider's own current-year 'Month D, H:MM' time_format (py:58-63);
+    # article categories come off the URL path: segment 3 always, segment
+    # 4 only when it carries no digit (py:37-40).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "page_time_style": "md_hm_nowyear",
+    "cat1_from_url_re": r"^https?://[^/]+/([^/]+)/",
+    "cat2_from_url_re": r"^https?://[^/]+/[^/]+/([^/0-9]+)(?:/|$)",
+    "extra_lists": ({"url": ABSCBN_BASE + "/list/tag/tv-patrol"},),
+    "extract": {
+        "category": {"sel": ".search-container ~ ul > li > a",
+                     "slice": [1, 9]},
+        "entry": {"sel": ".articles > article > a"},
+        "page_time": {"sel": ".articles > article .datetime",
+                      "index": -1},
+        "next": {"sel": '.easyPaginateNav > a[title=Next]',
+                 "attr": "href"},
+        "title": {"sel": ".news-title"},
+        # fuzzy byline, fallback-now when absent (py:46-50)
+        "pub": {"sel": ".timestamp-entry > .date-posted"},
+        # only the FIRST embed-wrap image is stored (py:51-52)
+        "block": {"para_sel": ".article-content > p",
+                  "img_sel": ".article-content > .embed-wrap img",
+                  "img_slice": [0, 1]},
+    },
+}
+
+AGRA_BASE = "https://www.agrasamachar.com"
+
+AGRASAMACHAR_RULES = {
+    # agrasamachar.py: the start URL IS the Blogger list (no menu,
+    # py:29-33); entries ungated, pagination gated on the LAST
+    # .date-header span through the spider's OWN Hindi month table
+    # (py:34-41 — note 'अक्तूबर', a different October spelling than
+    # zeenews'/aajtak's); the article body is the whole post-body
+    # container's text with '\xa0' as the line separator and the first
+    # line as abstract (py:54-56); categories are always None (py:57-58).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "seed_kind": "list",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "date_style": "hindi_dmy_agra",
+    "page_time_style": "hindi_dmy_agra",
+    "extract": {
+        "entry": {"sel": ".post-title.entry-title",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "next": {"sel": "a.blog-pager-older-link", "attr": "href"},
+        "page_time": {"sel": ".date-header span", "index": -1},
+        "title": {"sel": ".post-title.entry-title"},
+        "pub": {"sel": ".date-header span", "index": 0},
+        # ALL caption images (py:50); body = raw container text split on
+        # '\xa0' into lines (py:54-56)
+        "body_fallback": {"sel": ".post-body.entry-content",
+                          "raw": True, "split": " "},
+        "block": {"img_sel": ".tr-caption-container img"},
+    },
+}
+
+APNLIVE_BASE = "https://hindi.apnlive.com"
+
+APNLIVE_RULES = {
+    # apnlive.py: two-level tdb menu sliced [1:] — items WITH a sub-menu
+    # yield only their children (py:33-48); entries come from the LAST
+    # td_block_inner block only (py:55-56's find_all(...)[-1]) with the
+    # title scraped off the list anchor's @title (py:59 — the article page
+    # never carries one); /page/N pagination bounded by span.pages' total
+    # AND gated on the last entry's isoT datetime (py:62-72); article pub
+    # re-read off the page's own time@datetime (py:79-82).
+    "rule": PAGE_PATH,
+    "format": "html",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "date_style": "isoT",
+    "page_time_style": "isoT",
+    "extract": {
+        "category": {"sel": "ul#menu-menu-1 > li", "skip": 1,
+                     "link_sel": "a",
+                     "children_sel": "ul.sub-menu > li > a",
+                     "children_suppress_parent": True},
+        "entry": {"scope": {"sel": "div.td_block_inner.tdb-block-inner"
+                                   ".td-fix-index", "index": -1},
+                  "sel": "div.td-module-meta-info",
+                  "fields": {"href": {"sel": "h3 > a", "attr": "href"},
+                             "title": {"sel": "h3 > a",
+                                       "attr": "title"}}},
+        "page_time": {"sel": "div.td-module-meta-info time", "index": -1,
+                      "attr": "datetime"},
+        # 'Page 1 of N' (py:59-61)
+        "page_max": {"sel": "span.pages", "re": r"(\d+)$"},
+        "pub": {"sel": "time.entry-date.updated.td-module-date",
+                "attr": "datetime"},
+        # featured anchor href (py:88-92); body falls back to the
+        # td-ss-main-content paragraphs when td-fix-index has none
+        # (py:95-101)
+        "block": {"para_sel": "div.td-fix-index > p",
+                  "para_sel_fallback": "div.td-ss-main-content p",
+                  "img_sel": "div.td-post-featured-image a",
+                  "img_attr": "href"},
+    },
+}
+
+BALITA_BASE = "http://balita.net.ph"
+
+BALITA_RULES = {
+    # balita.py: one callback URL-dispatched on ^…/$ (menu) vs
+    # ^…/category/ (list, py:30-38); entry-gated fuzzy .meta_date dates
+    # with the span.current~a next link (py:39-50); article categories
+    # from span.post_cat's first link split on '/' (py:55-61 — the
+    # len==1 branch assigns the raw LIST, a reference bug this fixture
+    # never exercises: every post_cat here carries two segments);
+    # images always None (py:65); abstract = the page's FIRST <p>, body =
+    # every <p> (py:66-69, joined with a literal backslash-n — a body-
+    # string artifact the span model does not store).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "ul.sub-menu > li > a"},
+        "entry": {"sel": "div.tablediv ~ div",
+                  "fields": {"href": {"sel": "a", "attr": "href"},
+                             "time": {"sel": ".meta_date"}}},
+        "next": {"sel": "span.current ~ a", "attr": "href"},
+        "title": {"sel": "h1.entry_title"},
+        "pub": {"sel": "span.post_date"},
+        "cat1": {"sel": "span.post_cat > a", "re": r"^([^/]+)/"},
+        "cat2": {"sel": "span.post_cat > a", "re": r"^[^/]+/([^/]*)"},
+        "block": {"para_sel": "p"},
+    },
+}
+
+BALITA1_BASE = "https://balita.ph"
+
+BALITA1_RULES = {
+    # balita1.py: the 8 start_urls are category pages mined ONLY for their
+    # pulldown-filter sub-links (py:35-41 — the seed page's own articles
+    # are never parsed); each sub-list re-reads category1 off its own h1
+    # and category2 off the pulldown display option (py:47-52); entries
+    # ungated, pagination gated on the LAST fuzzy entry-date with the
+    # page-nav's LAST link as next (py:55-63 — the reference's
+    # current==last stop compares a string to a Tag and is never true,
+    # so only the gate or a missing nav ends the chain, bug-faithful);
+    # a missing article time falls back to '0000-00-00 00:00:00' through
+    # format_time2 (py:70 — the fallback-now path here).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "li.td-pulldown-filter-item a"},
+        "entry": {"sel": "h3.entry-title.td-module-title",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "cat1_self": {"sel": "#td-outer-wrap > div > div > div > div"
+                             " > h1"},
+        "cat2_self": {"sel": "div.td-pulldown-filter-display-option div"},
+        "page_time": {"sel": ".entry-date.updated.td-module-date",
+                      "index": -1},
+        "next": {"sel": ".page-nav.td-pb-padding-side a", "index": -1,
+                 "attr": "href"},
+        "title": {"sel": "h1.entry-title"},
+        "pub": {"sel": "time.entry-date.updated.td-module-date"},
+        # all content images + p body with first-p abstract (py:74-78;
+        # the empty-first-p h4 fallback branch, py:79-82, is not
+        # exercised: these fixtures always carry real paragraphs)
+        "block": {"para_sel": "div.td-post-content p",
+                  "img_sel": "div.td-post-content img"},
+    },
+}
+
+
+def _build_aajka(g: _G) -> None:
+    host, base = "aajka-samachar.in", "https://aajka-samachar.in"
+    wid = 966
+    g.registry[wid] = dict(AAJKA_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><div id="categories-6"><ul>'
+           f'<li><a href="{base}/desh/">देश</a></li>'
+           f'<li><a href="{base}/videsh/">विदेश</a></li>'
+           f"</ul></div></html>", host)
+    for cslug in ("desh", "videsh"):
+        for p, ages in enumerate([(0.0, 12.0), (24.0, 44.0)], 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{base}/{cslug}-khabar-{p}-{e}/"
+                rows.append(
+                    f'<article><div class="jeg_meta_date">'
+                    f'<a href="{aurl}">{_mdy_hm(dt)}</a></div></article>'
+                )
+                g.page(
+                    aurl, "article",
+                    f'<html><h1 class="jeg_post_title">AJK {cslug} {p}-{e}'
+                    f'</h1><div id="breadcrumbs">'
+                    f'<span><a href="{base}/">होम</a></span>'
+                    f'<span><a href="{base}/{cslug}/">{cslug.title()}'
+                    f"</a></span>"
+                    f'<span><a href="{base}/{cslug}/zila/">ज़िला</a></span>'
+                    f'</div><div class="jeg_featured featured_image">'
+                    f'<a href="{base}/img/{cslug}{p}{e}.jpg">'
+                    f'<img src="{base}/th/{cslug}{p}{e}.jpg"></a></div>'
+                    f'<div class="content-inner">'
+                    f"<p>ajk पहला {cslug} {p}-{e}।</p><p>ajk दूसरा।</p>"
+                    f"</div></html>",
+                    host,
+                )
+            nxt = (f'<a class="page_nav next" '
+                   f'href="{base}/{cslug}/page/{p + 1}/">अगला</a>')
+            lurl = (f"{base}/{cslug}/" if p == 1
+                    else f"{base}/{cslug}/page/{p}/")
+            g.page(lurl, "list",
+                   f'<html><div class="jeg_inner_content">'
+                   + "".join(rows) + f"</div>{nxt}</html>", host)
+
+
+def _build_abscbn(g: _G) -> None:
+    host, base = "news.abs-cbn.com", ABSCBN_BASE
+    wid = 378
+    g.registry[wid] = dict(ABSCBN_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1866})
+    g.page(base + "/", "menu",
+           f'<html><div class="search-container"></div><ul>'
+           f'<li><a href="/">Home</a></li>'
+           f'<li><a href="/news">News</a></li>'
+           f'<li><a href="/entertainment">Entertainment</a></li>'
+           f"</ul></html>", host)
+
+    def art(path: str, tag: str, dt: datetime | None,
+            n_embeds: int = 1) -> str:
+        ts = ('<div class="timestamp-entry"><span class="date-posted">'
+              f"{_mdy_hm(dt)}</span></div>" if dt is not None else "")
+        embeds = "".join(
+            f'<div class="embed-wrap"><img src="{base}/i/{tag}-{k}.jpg">'
+            "</div>" for k in range(n_embeds)
+        )
+        return (f'<html><h1 class="news-title">ABS {tag}</h1>{ts}'
+                f'<div class="article-content"><p>abs lead {tag}</p>'
+                f"{embeds}<p>abs tail {tag}</p></div></html>")
+
+    def lst(rows: list[tuple[str, datetime]], nxt: str | None) -> str:
+        arts = "".join(
+            f'<article><a href="{u}">t</a>'
+            f'<span class="datetime">{_MON_FULL[dt.month - 1]} {dt.day},'
+            f" {dt.hour:02d}:{dt.minute:02d}</span></article>"
+            for u, dt in rows
+        )
+        nav = (f'<div class="easyPaginateNav">'
+               f'<a title="Next" href="{nxt}">Next</a></div>' if nxt
+               else "")
+        return f'<html><div class="articles">{arts}</div>{nav}</html>'
+
+    # /news: two-page chain, page-gated on the LAST .datetime; article
+    # URLs carry date segments so the digit guard blanks category2
+    for p, ages in enumerate([(0.0, 12.0), (24.0, 44.0)], 1):
+        rows = []
+        for e, age in enumerate(ages):
+            dt = BASE_DT - timedelta(hours=age)
+            aurl = f"/news/{dt.month:02d}/{dt.day:02d}/21/abs-{p}-{e}"
+            # one article exercises the first-embed-only slice; another
+            # the missing-byline fallback-now path (abs-cbn.py:46-50)
+            g.page(base + aurl, "article",
+                   art(aurl, f"n{p}{e}",
+                       None if (p, e) == (1, 1) else dt,
+                       n_embeds=2 if (p, e) == (1, 0) else 1),
+                   host)
+            rows.append((aurl, dt))
+        nxt = f"/news/p{p + 1}"
+        lurl = base + ("/news" if p == 1 else f"/news/p{p}")
+        g.page(lurl, "list", lst(rows, nxt), host)
+    # /entertainment: one page, two-segment article paths → category2
+    dt = BASE_DT
+    g.page(base + "/entertainment/life/abs-ent-0", "article",
+           art("/entertainment/life/abs-ent-0", "ent0", dt), host)
+    g.page(base + "/entertainment", "list",
+           lst([("/entertainment/life/abs-ent-0", dt)], None), host)
+    # the hardcoded tag list (abs-cbn.py:31)
+    g.page(base + "/news/05/30/21/abs-tvp-0", "article",
+           art("/news/05/30/21/abs-tvp-0", "tvp0", dt), host)
+    g.page(base + "/list/tag/tv-patrol", "list",
+           lst([("/news/05/30/21/abs-tvp-0", dt)], None), host)
+
+
+def _build_agrasamachar(g: _G) -> None:
+    host, base = "www.agrasamachar.com", AGRA_BASE
+    wid = 1150
+    g.registry[wid] = dict(AGRASAMACHAR_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    hin = ["मई"]  # fixture dates all sit in May
+
+    def dstr(dt: datetime) -> str:
+        return f"{dt.day} {hin[0]} {dt.year}"
+
+    days = [(30, 29), (28, 25)]  # page 1 fresh, page 2's last stale
+    for p, (d1, d2) in enumerate(days, 1):
+        rows = []
+        for e, day in enumerate((d1, d2)):
+            dt = datetime(2021, 5, day)
+            aurl = f"{base}/2021/05/agra-{p}-{e}.html"
+            rows.append(
+                f'<h3 class="post-title entry-title">'
+                f'<a href="{aurl}">शीर्षक {p}-{e}</a></h3>'
+                f'<h2 class="date-header"><span>{dstr(dt)}</span></h2>'
+            )
+            g.page(
+                aurl, "article",
+                f'<html><h3 class="post-title entry-title">आगरा {p}-{e}'
+                f'</h3><h2 class="date-header"><span>{dstr(dt)}</span>'
+                f'</h2><div class="post-body entry-content">'
+                f'<div class="tr-caption-container">'
+                f'<img src="{base}/i/{p}{e}.jpg"></div>'
+                f"पहली पंक्ति {p}-{e}। दूसरी पंक्ति।</div></html>",
+                host,
+            )
+        nxt = (f'<a class="blog-pager-older-link" '
+               f'href="{base}/search?updated-max=p{p + 1}">पुराने</a>')
+        lurl = (base + "/" if p == 1
+                else f"{base}/search?updated-max=p{p}")
+        g.page(lurl, "list",
+               "<html>" + "".join(rows) + nxt + "</html>", host)
+
+
+def _build_apnlive(g: _G) -> None:
+    host, base = "hindi.apnlive.com", APNLIVE_BASE
+    wid = 1140
+    g.registry[wid] = dict(APNLIVE_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><ul id="menu-menu-1">'
+           f'<li><a href="{base}/"><div class="tdb-menu-item-text">होम'
+           f"</div></a></li>"
+           f'<li><a href="{base}/state/"><div class="tdb-menu-item-text">'
+           f'राज्य</div></a><ul class="sub-menu">'
+           f'<li><a href="{base}/state/up/">'
+           f'<div class="tdb-menu-item-text">यूपी</div></a></li>'
+           f'<li><a href="{base}/state/bihar/">'
+           f'<div class="tdb-menu-item-text">बिहार</div></a></li>'
+           f"</ul></li>"
+           f'<li><a href="{base}/national/">'
+           f'<div class="tdb-menu-item-text">देश</div></a></li>'
+           f"</ul></html>", host)
+
+    def iso(dt: datetime) -> str:
+        return dt.strftime("%Y-%m-%dT%H:%M:%S") + "+05:30"
+
+    def art(tag: str, dt: datetime, fallback_body: bool = False) -> str:
+        body = ('<div class="td-fix-index"></div>'
+                f'<div class="td-ss-main-content"><p>apn fallback {tag}'
+                "</p></div>" if fallback_body else
+                f'<div class="td-fix-index"><p>apn पहला {tag}।</p>'
+                f"<p>apn दूसरा।</p></div>")
+        return (f'<html><time class="entry-date updated td-module-date" '
+                f'datetime="{iso(dt)}">d</time>'
+                f'<div class="td-post-featured-image">'
+                f'<a href="{base}/f/{tag}.jpg"><img src="{base}/t/{tag}'
+                f'.jpg"></a></div>{body}</html>')
+
+    def lst(slug: str, p: int, rows: list[tuple[str, str, datetime]],
+            total: int) -> str:
+        block = "".join(
+            f'<div class="td-module-meta-info"><h3>'
+            f'<a href="{u}" title="{t}">x</a></h3>'
+            f'<time datetime="{iso(dt)}">d</time></div>'
+            for u, t, dt in rows
+        )
+        decoy = (f'<div class="td_block_inner tdb-block-inner '
+                 f'td-fix-index"><div class="td-module-meta-info"><h3>'
+                 f'<a href="{base}/decoy-{slug}-{p}/" title="DECOY">x'
+                 f'</a></h3><time datetime="{iso(BASE_DT)}">d</time>'
+                 f"</div></div>")
+        return (f"<html>{decoy}"
+                f'<div class="td_block_inner tdb-block-inner '
+                f'td-fix-index">{block}</div>'
+                f'<span class="pages">Page {p} of {total}</span></html>')
+
+    # /state/up/: bound allows page 3 but page 2's last isoT is stale —
+    # the GATE stops the chain (apnlive.py:62-70)
+    for p, ages in enumerate([(0.0, 12.0), (24.0, 44.0)], 1):
+        rows = []
+        for e, age in enumerate(ages):
+            dt = BASE_DT - timedelta(hours=age)
+            aurl = f"{base}/up-khabar-{p}-{e}/"
+            g.page(aurl, "article",
+                   art(f"up{p}{e}", dt,
+                       fallback_body=(p, e) == (1, 1)), host)
+            rows.append((aurl, f"UP {p}-{e}", dt))
+        lurl = f"{base}/state/up/" if p == 1 else f"{base}/state/up/page/{p}"
+        g.page(lurl, "list", lst("up", p, rows, total=3), host)
+    # /national/: every date fresh but 'Page 2 of 2' — the BOUND stops
+    # the chain (apnlive.py:59-61)
+    for p in (1, 2):
+        rows = []
+        for e in range(2):
+            dt = BASE_DT - timedelta(hours=(p - 1) * 6 + e * 3)
+            aurl = f"{base}/desh-khabar-{p}-{e}/"
+            g.page(aurl, "article", art(f"ds{p}{e}", dt), host)
+            rows.append((aurl, f"Desh {p}-{e}", dt))
+        lurl = (f"{base}/national/" if p == 1
+                else f"{base}/national/page/{p}")
+        g.page(lurl, "list", lst("ds", p, rows, total=2), host)
+    # /state/bihar/: single page, 'Page 1 of 1'
+    dt = BASE_DT
+    aurl = f"{base}/bihar-khabar-1-0/"
+    g.page(aurl, "article", art("bh10", dt), host)
+    g.page(f"{base}/state/bihar/", "list",
+           lst("bh", 1, [(aurl, "Bihar 1-0", dt)], total=1), host)
+
+
+def _build_balita(g: _G) -> None:
+    host, base = "balita.net.ph", BALITA_BASE
+    wid = 195
+    g.registry[wid] = dict(BALITA_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 2117})
+    g.page(base + "/", "menu",
+           f'<html><ul class="sub-menu">'
+           f'<li><a href="{base}/category/news/">News</a></li>'
+           f'<li><a href="{base}/category/sports/">Sports</a></li>'
+           f"</ul></html>", host)
+    cats = {"news": "Luzon/Metro Manila", "sports": "Palaro/Boxing"}
+    for cslug, pcat in cats.items():
+        for p, ages in enumerate([(0.0, 12.0), (24.0, 44.0)], 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{base}/{cslug}-balita-{p}-{e}/"
+                rows.append(
+                    f'<div><a href="{aurl}">t</a>'
+                    f'<span class="meta_date">{_mdy_hm(dt)}</span></div>'
+                )
+                g.page(
+                    aurl, "article",
+                    f'<html><h1 class="entry_title">BLT {cslug} {p}-{e}'
+                    f'</h1><span class="post_date">{_mdy_hm(dt)}</span>'
+                    f'<span class="post_cat"><a href="{base}/c/">{pcat}'
+                    f"</a></span><p>blt una {cslug} {p}-{e}.</p>"
+                    f"<p>blt pangalawa.</p></html>",
+                    host,
+                )
+            nxt = (f'<span class="current">{p}</span>'
+                   f'<a href="{base}/category/{cslug}/page/{p + 1}/">'
+                   f"{p + 1}</a>")
+            lurl = (f"{base}/category/{cslug}/" if p == 1
+                    else f"{base}/category/{cslug}/page/{p}/")
+            g.page(lurl, "list",
+                   f'<html><div class="tablediv">h</div>'
+                   + "".join(rows) + nxt + "</html>", host)
+
+
+def _build_balita1(g: _G) -> None:
+    host, base = "balita.ph", BALITA1_BASE
+    wid = 498
+    g.registry[wid] = dict(BALITA1_RULES)
+    top = ["news", "world", "economy", "entertainment", "sports",
+           "lifestyle", "technology", "opinion"]
+    for t in top:
+        g.seeds.append({"url": f"{base}/category/{t}/", "website_id": wid,
+                        "language_id": 1866})
+
+    def lst(cat1: str, cat2: str, rows: list[tuple[str, datetime]],
+            nxt: str | None, p: int) -> str:
+        arts = "".join(
+            f'<h3 class="entry-title td-module-title"><a href="{u}">t'
+            f"</a></h3>"
+            f'<time class="entry-date updated td-module-date">'
+            f"{_mdy_hm(dt)}</time>"
+            for u, dt in rows
+        )
+        nav = (f'<div class="page-nav td-pb-padding-side">'
+               f'<span class="current">{p}</span>'
+               f'<a href="{nxt}">{p + 1}</a>'
+               f'<a class="last" href="{nxt}">{p + 1}</a></div>'
+               if nxt else "")
+        return (f'<html><div id="td-outer-wrap"><div><div><div><div>'
+                f"<h1>{cat1}</h1></div></div></div></div></div>"
+                f'<div class="td-pulldown-filter-display-option">'
+                f"<div>{cat2}</div></div>{arts}{nav}</html>")
+
+    def art(tag: str, dt: datetime) -> str:
+        return (f'<html><h1 class="entry-title">B1 {tag}</h1>'
+                f'<time class="entry-date updated td-module-date">'
+                f"{_mdy_hm(dt)}</time>"
+                f'<div class="td-post-content tagdiv-type">'
+                f"<p>b1 una {tag}.</p>"
+                f'<img src="{base}/i/{tag}.jpg"><p>b1 dalawa.</p>'
+                f"</div></html>")
+
+    # news: two sub-lists — national runs the two-page gated chain,
+    # metro a single page; the other seven categories one sub-list each
+    g.page(f"{base}/category/news/", "menu",
+           f'<html><ul><li class="td-pulldown-filter-item">'
+           f'<a href="{base}/category/news/national/">National</a></li>'
+           f'<li class="td-pulldown-filter-item">'
+           f'<a href="{base}/category/news/metro/">Metro</a></li>'
+           f"</ul></html>", host)
+    for p, ages in enumerate([(0.0, 12.0), (24.0, 44.0)], 1):
+        rows = []
+        for e, age in enumerate(ages):
+            dt = BASE_DT - timedelta(hours=age)
+            aurl = f"{base}/b1-national-{p}-{e}/"
+            g.page(aurl, "article", art(f"nat{p}{e}", dt), host)
+            rows.append((aurl, dt))
+        nxt = f"{base}/category/news/national/page/{p + 1}/"
+        lurl = (f"{base}/category/news/national/" if p == 1
+                else f"{base}/category/news/national/page/{p}/")
+        g.page(lurl, "list", lst("News", "National", rows, nxt, p), host)
+    dt = BASE_DT
+    aurl = f"{base}/b1-metro-1-0/"
+    g.page(aurl, "article", art("met10", dt), host)
+    g.page(f"{base}/category/news/metro/", "list",
+           lst("News", "Metro", [(aurl, dt)], None, 1), host)
+    for t in top[1:]:
+        g.page(f"{base}/category/{t}/", "menu",
+               f'<html><ul><li class="td-pulldown-filter-item">'
+               f'<a href="{base}/category/{t}/top/">Top</a></li></ul>'
+               f"</html>", host)
+        aurl = f"{base}/b1-{t}-1-0/"
+        g.page(aurl, "article", art(f"{t}10", dt), host)
+        g.page(f"{base}/category/{t}/top/", "list",
+               lst(t.title(), "Top", [(aurl, dt)], None, 1), host)
+
+
 SITE_BUILDERS = {
     "zeenews": _build_zeenews,
     "aajtak": _build_aajtak,
@@ -6842,6 +7418,12 @@ SITE_BUILDERS = {
     "remate": _build_remate,
     "cnnphilippines": _build_cnnphilippines,
     "philnews": _build_philnews,
+    "aajka": _build_aajka,
+    "abs-cbn": _build_abscbn,
+    "agrasamachar": _build_agrasamachar,
+    "apnlive": _build_apnlive,
+    "balita": _build_balita,
+    "balita1": _build_balita1,
 }
 
 

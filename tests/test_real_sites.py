@@ -50,6 +50,7 @@ def test_all_sites_produce_documents(sim):
         1048, 445,
         1108, 1238, 1073, 1142, 1239, 1246, 1241, 1099, 1232, 1243,
         1071, 1130, 196, 533, 449, 488,
+        966, 378, 1150, 1140, 195, 498,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -1146,7 +1147,8 @@ def test_tranche_d_wordpress_family_contracts(sim):
     texts = [s["text"] for s in c["spans"] if s["kind"] == "text"]
     assert texts == ["cb body 1-0 text"]  # divs 1-2 (ad/share) skipped
     assert c["abstract"] == "cb snip 1-0"  # list snippet in meta
-    assert sum("updated-max" in u for u in fetched) == 1  # page 2 only
+    assert sum("coolbuster" in u and "updated-max" in u
+               for u in fetched) == 1  # page 2 only
     # yashbharat/tehelkahindi: suppressed parents, children crawled
     assert not any(u.endswith("/mp/") for u in fetched)
     assert any("mp/jabalpur" in u for u in fetched)
@@ -1246,6 +1248,78 @@ def test_tranche_f_contracts(sim):
     assert not any(u.rstrip("/").endswith("philnews.ph/category/news")
                    for u in fetched)
     assert not any("philnews" in u and "page/3" in u for u in fetched)
+
+
+def test_tranche_g_contracts(sim):
+    """aajka: date-anchor entries with meta-priority dates, breadcrumb
+    [-2]/[-1] categories, featured-anchor lead image. abs-cbn: sliced
+    sibling menu + hardcoded tag list, ungated entries with the
+    current-year page gate, URL categories with the digits guard,
+    first-embed-only images, fallback-now bylines. agrasamachar: seedless
+    Blogger list, own Hindi month table, '\\xa0'-split container body.
+    apnlive: last-block entry scope, span.pages bound vs isoT gate,
+    list-scraped @title. balita: span.current~a pagination, post_cat
+    split categories. balita1: pulldown-mined seeds, list-page-self
+    categories, always-paginate nav bug closed only by the gate."""
+    fetched = [u for _b, u in sim["crawl_log"]]
+    # aajka — breadcrumbs override the menu label; lead = featured HREF
+    aj = {d["request_url"]: d for d in _docs_by_site(sim)[966]}
+    a = aj["https://aajka-samachar.in/desh-khabar-1-0/"]
+    assert (a["category1"], a["category2"]) == ("Desh", "ज़िला")
+    assert a["spans"][0]["media_ref"].endswith("/img/desh10.jpg")
+    assert a["pub_time"] == "2021-05-30 12:00:00"  # meta date (list)
+    assert not any("aajka" in u and "page/3" in u for u in fetched)
+    # abs-cbn — digits guard, embed slice, fallback-now byline, tag list
+    ab = {d["request_url"]: d for d in _docs_by_site(sim)[378]}
+    n10 = ab["https://news.abs-cbn.com/news/05/30/21/abs-1-0"]
+    assert (n10["category1"], n10["category2"]) == ("news", None)
+    assert len([s for s in n10["spans"] if s["kind"] == "image"]) == 1
+    ent = ab["https://news.abs-cbn.com/entertainment/life/abs-ent-0"]
+    assert (ent["category1"], ent["category2"]) == ("entertainment",
+                                                    "life")
+    assert ab["https://news.abs-cbn.com/news/05/30/21/abs-1-1"][
+        "pub_time"] == "2021-06-01 00:00:00"  # Util.format_time() now
+    assert "https://news.abs-cbn.com/news/05/30/21/abs-tvp-0" in ab
+    assert not any(u.endswith("news.abs-cbn.com/news/p3") for u in fetched)
+    assert len(ab) == 6  # page-2 entries stored despite the stale gate
+    # agrasamachar — nbsp-split body lines, first line as abstract
+    ag = {d["request_url"]: d for d in _docs_by_site(sim)[1150]}
+    g0 = ag["https://www.agrasamachar.com/2021/05/agra-1-0.html"]
+    texts = [s["text"] for s in g0["spans"] if s["kind"] == "text"]
+    assert texts == ["पहली पंक्ति 1-0।", "दूसरी पंक्ति।"]
+    assert g0["abstract"] == "पहली पंक्ति 1-0।"
+    assert g0["pub_time"] == "2021-05-30 00:00:00"  # own month table
+    assert (g0["category1"], g0["category2"]) == (None, None)
+    assert len(ag) == 4 and not any("updated-max=p3" in u for u in fetched)
+    # apnlive — decoy block skipped, bound vs gate, @title titles
+    ap = {d["request_url"]: d for d in _docs_by_site(sim)[1140]}
+    assert ap["https://hindi.apnlive.com/up-khabar-1-0/"]["title"] == "UP 1-0"
+    assert not any("/decoy-" in u for u in fetched)
+    # up: gate stops at page 2 though the bound says 3 pages
+    assert any(u.endswith("/state/up/page/2") for u in fetched)
+    assert not any("/state/up/page/3" in u for u in fetched)
+    # national: all dates fresh, the 'of 2' bound stops the chain
+    assert any(u.endswith("/national/page/2") for u in fetched)
+    assert not any("/national/page/3" in u for u in fetched)
+    fb = ap["https://hindi.apnlive.com/up-khabar-1-1/"]
+    assert [s["text"] for s in fb["spans"] if s["kind"] == "text"] == [
+        "apn fallback up11"]  # td-ss-main-content fallback
+    # balita — post_cat '/' split, whole-page <p> body, entry gate
+    bl = {d["request_url"]: d for d in _docs_by_site(sim)[195]}
+    b = bl["http://balita.net.ph/news-balita-1-0/"]
+    assert (b["category1"], b["category2"]) == ("Luzon", "Metro Manila")
+    assert b["abstract"] == "blt una news 1-0."
+    assert len(bl) == 6  # 2 cats × (2 + 1) — page-2 break after entry 1
+    assert not any("balita.net.ph" in u and "page/3" in u for u in fetched)
+    # balita1 — list-page-self categories, gate-closed pagination
+    b1 = {d["request_url"]: d for d in _docs_by_site(sim)[498]}
+    n = b1["https://balita.ph/b1-national-1-0/"]
+    assert (n["category1"], n["category2"]) == ("News", "National")
+    assert (b1["https://balita.ph/b1-sports-1-0/"]["category1"],
+            b1["https://balita.ph/b1-sports-1-0/"]["category2"]) == (
+        "Sports", "Top")
+    assert len(b1) == 12
+    assert not any("news/national/page/3" in u for u in fetched)
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,
