@@ -33,7 +33,7 @@ from __future__ import annotations
 import json
 import re
 from datetime import datetime, timedelta, timezone
-from urllib.parse import urljoin
+from urllib.parse import quote, urljoin
 
 from crawler_spark.functions import htmlsel
 from crawler_spark.functions.dates import (
@@ -166,6 +166,32 @@ def parse_site_date(raw: str | None, style: str | None,
                 hh += 12
             return datetime(int(t2[0]), MONTHS[md[0]], int(md[1]), hh,
                             int(hm[1]))
+        if style == "wdmy_hm_dnj":
+            # dainiknavajyoti.py:98-148 time_adjustment: 'Weekday, Month
+            # D, YYYY HH:MM' split on ', ' — elements[1] carries month+day,
+            # elements[2] year+time; seconds pinned to 00.
+            te = raw.split(", ")
+            md = te[1].split(" ")
+            yt = te[2].split(" ")
+            hh, mm = yt[1].split(":")
+            return datetime(int(yt[0]), MONTHS[md[0]], int(md[1]),
+                            int(hh), int(mm))
+        if style == "dmy_ord":
+            # dekhobhopal.py:104-121 time_adjustment: 'DDth Month YYYY' —
+            # the day token ALWAYS loses its last two chars (the ordinal
+            # suffix), month through the English table, midnight.
+            t = raw.split(" ")
+            return datetime(int(t[2]), MONTHS[t[1]],
+                            int(t[0].strip()[:-2]))
+        if style == "dmy_slash":
+            # emsindia.py:49-50 / emstv.py:69-72: the FIRST d+/d+/d+ run
+            # in the text, read D/M/YYYY → midnight (abs-cbn's mdy_slash
+            # twin with day and month swapped).
+            m = re.search(r"(\d+)/(\d+)/(\d+)", raw)
+            if m:
+                return datetime(int(m.group(3)), int(m.group(2)),
+                                int(m.group(1)))
+            return as_of.replace(microsecond=0)
         if style == "mdy_switch":
             # ambala.py:88-124 / dainiksandhyaprakash.py:110-147
             # time_adjustment: 'Month D, YYYY' through a hand-rolled month
@@ -329,7 +355,7 @@ def parse_site_date(raw: str | None, style: str | None,
             return datetime.strptime(
                 parts[0] + " " + parts[1], "%Y-%m-%d %H:%M:%S"
             )
-    except (IndexError, ValueError):
+    except (IndexError, KeyError, ValueError):
         return as_of.replace(microsecond=0)
     return format_time2_py(raw, as_of)
 
@@ -455,16 +481,26 @@ def _page_scalar(html_text: str | None, spec) -> str | None:
     return m.group(1) if m else None
 
 
-def _effective_rules(rules: dict, url: str) -> dict:
+def _effective_rules(rules: dict, url: str, meta: dict | None = None) -> dict:
     """URL-shape rule dispatch (P5 as data): a rules dict may carry
     ``variants`` = [{'match': regex-on-url, <rule overrides>}, ...]; the
     FIRST matching variant's keys override the base rules — the
     re.match(r'.*photo-gallery.*', response.url) branch cascade of
-    zeenews.py:57,72 and aajtak.py:129,140,147 expressed declaratively."""
+    zeenews.py:57,72 and aajtak.py:129,140,147 expressed declaratively.
+
+    A variant may instead carry ``match_cat1``: a regex on the request
+    lineage's category1 — cebudailynews.py:53,68 renders its 'life'
+    section's articles through a different template and dispatches on
+    response.meta['category1'], not the URL."""
+    cat1 = (meta or {}).get("category1") or ""
     for v in rules.get("variants", ()):
-        if re.search(v["match"], url):
+        hit = ("match" in v and re.search(v["match"], url)) or (
+            "match_cat1" in v and re.search(v["match_cat1"], cat1)
+        )
+        if hit:
             merged = dict(rules)
-            merged.update({k: val for k, val in v.items() if k != "match"})
+            merged.update({k: val for k, val in v.items()
+                           if k not in ("match", "match_cat1")})
             return merged
     return rules
 
@@ -600,7 +636,8 @@ def _map_api_json(js: dict, amap: dict) -> dict:
     return out
 
 
-def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
+def extract_payload(kind: str, html: str, rules: dict, url: str = "",
+                    meta: dict | None = None) -> dict:
     """Raw-HTML extraction driven by per-site rules-as-data — the
     reference's BeautifulSoup selector surface (demo/已部署/zeenews.py:47,
     109-148; philboxing.py:104-158) re-expressed as regex rules stored in
@@ -682,7 +719,7 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
     ``api_params``/``form_params`` stay regex-only (they read script text
     and onclick attributes, where regex is the right tool).
     """
-    rules = _effective_rules(rules, url)
+    rules = _effective_rules(rules, url, meta)
     # Selector rules parse the page into a DOM once, lazily — only pages
     # whose rule-set actually uses selectors pay for tree building.
     _tree = []
@@ -777,7 +814,11 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                     # ``stop_href``: a sentinel link ENDS the menu walk —
                     # haribhoomi.py:110-111 breaks at '/live-tv' and every
                     # later item is never crawled.
-                    if href == spec.get("stop_href"):
+                    # (guard the sentinel against href-less links: an <a>
+                    # with no href must be SKIPPED, not treated as a
+                    # None == None sentinel match — bhadas4media.py:38-41)
+                    if spec.get("stop_href") is not None \
+                            and href == spec["stop_href"]:
                         stopped = True
                         break
                     # ``exclude_hrefs``: bare-href skips (dfa.py:38's
@@ -894,7 +935,9 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
         erule = rules.get("entry")
         especs = (erule if isinstance(erule, list)
                   else [erule] if erule is not None else [])
+        probe_entry = None
         for espec in especs:
+            n_before = len(entries)
             if _is_sel(espec):
                 # Selector form: ``sel`` matches each entry (container or
                 # the <a> itself), IN PAGE ORDER; optional ``fields``
@@ -932,6 +975,9 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                             "pub_time_raw": vals.get("time"),
                             "img": vals.get("img") or None,
                             "abstract": vals.get("abstract") or None,
+                            # per-entry category2 scraped off the list row
+                            # (businessmirror.py:44-46)
+                            "cat2": vals.get("cat2"),
                         }
                     )
             else:
@@ -944,9 +990,20 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                             "pub_time_raw": d.get("time"),
                             "img": d.get("img") or None,
                             "abstract": d.get("abstract") or None,
+                            "cat2": d.get("cat2"),
                         }
                     )
+            # ``probe_last_member``: THIS spec's last match is not a
+            # normal entry — it becomes the pagination probe, even when
+            # later entry groups follow it in the payload
+            # (bhadas4media.py:41-44,53: url_list[:-1] articles, then the
+            # latest-100 widget links, then the [-1] probe).
+            if isinstance(espec, dict) and espec.get("probe_last_member") \
+                    and len(entries) > n_before:
+                probe_entry = entries.pop()
         out: dict = {"entries": entries}
+        if probe_entry is not None:
+            out["probe_entry"] = probe_entry
 
         def scalar(key):
             r = rules.get(key)
@@ -971,6 +1028,17 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
             # apnlive.py:59's span.pages last token); parse_page compares
             # it against the CURRENT page number to bound /page/N chains.
             out["page_max"] = scalar("page_max")
+        if rules.get("page_entry_time"):
+            # ONE page-level date stamped onto every entry the page
+            # emits — bhopalsamachar.py:52-53 reads select_one (the
+            # page's FIRST .post-author~span) inside its entry loop, so
+            # all entries carry the newest stamp, bug-faithful.
+            out["page_entry_time"] = scalar("page_entry_time")
+        if rules.get("next_value"):
+            # the value the templated next URL embeds (bicolstandard.py:
+            # 45-51's parse.quote of the last timeago @title;
+            # bhopalsamachar.py:62-64's %3A/%2B-escaped last datetime)
+            out["next_value"] = scalar("next_value")
         if rules.get("cat1_self"):
             out["cat1_self"] = scalar("cat1_self")
         if rules.get("cat2_self"):
@@ -1127,6 +1195,13 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
                 # (after_para=-1 — yehey.py:128-130 appends the
                 # primary-header img before the in-paragraph ones).
                 imgs.append({"after_para": len(paras) - 1, "src": img_src})
+    fb_abstract = None
+    if not paras and rules.get("abstract_fallback"):
+        # A page with no structured paragraphs may source its abstract
+        # from a DIFFERENT element than its fallback body —
+        # bharatkhabar.py:86-88 stores the h1 as abstract and the LAST h2
+        # as body when post_header has no <p>.
+        fb_abstract = first("abstract_fallback")
     if not paras and rules.get("body_fallback"):
         # No structured paragraphs: the whole-container fallback
         # (latestnews1.py:90-96) — one value serving as body AND abstract.
@@ -1156,6 +1231,7 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "") -> dict:
     return {
         "title": first("title"),
         "abstract": first("abstract"),
+        "fb_abstract": fb_abstract,
         "pub_time_raw": pub_raw,
         "cat1": first("cat1"),
         "cat2": first("cat2"),
@@ -1213,7 +1289,7 @@ def parse_page(
     if fmt == "html":
         payload = extract_payload(
             "article" if eff_kind == "probe" else eff_kind,
-            payload_json, extract or {}, url,
+            payload_json, extract or {}, url, meta,
         )
     elif fmt == "json_html":
         # The envelope key is site data: manila wraps its HTML in 'data'
@@ -1227,7 +1303,7 @@ def parse_page(
         payload = extract_payload(
             "api",
             outer.get(site.get("json_html_key", "data")) or "",
-            extract or {}, url,
+            extract or {}, url, meta,
         )
     else:
         payload = json.loads(payload_json)
@@ -1318,6 +1394,16 @@ def parse_page(
             cmeta = {"category1": cat["label"],
                      "category2": cat.get("label2")}
             curl = cat["href"]
+            if site.get("menu_carry_list_url"):
+                # the category URL itself rides down in meta as the base
+                # every later page's templated next URL is built from
+                # (bicolstandard.py:35's meta['url'] + its 'p' counter)
+                cmeta["list_url"] = urljoin(url, curl)
+                cmeta["page"] = "1"
+            if site.get("menu_carry_slug"):
+                # the href's last path segment rides down for templated
+                # pagination (bhopalsamachar.py:33's split('/')[-1])
+                cmeta["cat_slug"] = cat["href"].split("/")[-1]
             if site.get("menu_list_url_fmt"):
                 # The menu link is only a BASE — the spider bolts a page
                 # counter onto it before the first fetch (jb.py:37-40's
@@ -1429,6 +1515,11 @@ def parse_page(
                 nmeta["page"] = str(page)
                 fmt_url = site.get("page_url_fmt", "{base}?curpg={page}")
                 emit(fmt_url.format(base=base, page=page), "list", nmeta)
+            elif meta.get("next_url"):
+                # the next-page URL was scraped on the LIST page and
+                # carried down into the probe's meta
+                # (bhadas4media.py:53-58,66-68)
+                emit(meta["next_url"], "list", dict(meta))
         if not site.get("probe_keep_last"):
             # ``probe_keep_last``: the last entry was ALREADY yielded as a
             # normal article in the list loop (jb.py:47-55 yields every
@@ -1544,6 +1635,11 @@ def parse_page(
             if probe_last and i == len(entries) - 1 \
                     and not site.get("probe_keep_last"):
                 break  # the last entry becomes the pagination probe below
+            if entry.get("pub_time_raw") is None \
+                    and payload.get("page_entry_time") is not None:
+                # bhopalsamachar.py:52-53: every entry is stamped with the
+                # page's one select_one date
+                entry = {**entry, "pub_time_raw": payload["page_entry_time"]}
             entry_meta = dict(meta)
             if cat1_self is not None:
                 entry_meta["category1"] = cat1_self
@@ -1553,6 +1649,13 @@ def parse_page(
                     entry_meta["category2"] = cat1_self
             if payload.get("cat2_self") is not None:
                 entry_meta["category2"] = payload["cat2_self"]
+            if site.get("entry_cat2_from_list"):
+                # category2 scraped off each list row, collapsed to None
+                # when it just repeats category1 (businessmirror.py:44-47)
+                c2 = entry.get("cat2")
+                if c2 == entry_meta.get("category1"):
+                    c2 = None
+                entry_meta["category2"] = c2
             entry_meta.update(
                 {
                     "title": entry.get("title"),
@@ -1683,6 +1786,22 @@ def parse_page(
                 pmeta["list_url"] = url
                 pmeta["list_body"] = body
             emit(last["href"], "probe", pmeta, dont_filter=True)
+        # Carried-next-link probe (bhadas4media.py:53-58): the probe is
+        # the FIRST entry group's last member (split out of ``entries``
+        # by the spec's probe_last_member) and fires ONLY when the page
+        # has a next link — on a last page that member is dropped
+        # entirely (neither probed nor stored, the reference's [:-1]
+        # slice never yields it).
+        if payload.get("probe_entry") and payload.get("next"):
+            pe = payload["probe_entry"]
+            pmeta = dict(meta)
+            pmeta.update(
+                {"title": pe.get("title"),
+                 "pub_time_raw": pe.get("pub_time_raw"),
+                 "lead_img": pe.get("img"),
+                 "next_url": urljoin(url, payload["next"])}
+            )
+            emit(pe["href"], "probe", pmeta, dont_filter=True)
         # Page-level time gate (philboxing.py:67-95, yehey.py:92-101):
         # pagination is decided by a page-level date, not per entry; no
         # parseable page date → no next page (philboxing's `if time and`).
@@ -1734,7 +1853,7 @@ def parse_page(
                 payload["has_more"] = cur < int(payload["page_max"])
             except (TypeError, ValueError):
                 payload["has_more"] = False
-        if flag and not probe_last:
+        if flag and not probe_last and not site.get("probe_next_url"):
             if rule == API_TEMPLATE:
                 # manila.py:80-82: page+1 while (page-1)*10 ≤ totItems.
                 page = int(meta.get("page", "1"))
@@ -1804,6 +1923,29 @@ def parse_page(
                             page=page,
                         ),
                         "api", nmeta,
+                    )
+            elif site.get("next_value_tpl"):
+                # Templated next URL embedding a value read off the page
+                # (Blogger updated-max chains): bicolstandard.py:45-51
+                # formats meta['url'] + quote(last timeago @title) + a
+                # meta page counter; bhopalsamachar.py:62-64 formats its
+                # class-level api_url with the menu slug + the last
+                # datetime (its ':'→%3A/'+'→%2B replaces ≡ quote here).
+                # No value on the page → no next page (both references'
+                # guards).
+                nv = payload.get("next_value")
+                if nv is not None:
+                    page = int(meta.get("page", "1")) + 1
+                    nmeta = dict(meta)
+                    nmeta["page"] = str(page)
+                    emit(
+                        site["next_value_tpl"].format(
+                            base=meta.get("list_url", ""),
+                            slug=meta.get("cat_slug", ""),
+                            value=quote(str(nv)),
+                            page=page,
+                        ),
+                        kind, nmeta,
                     )
             else:
                 nxt = next_page_request(
@@ -1931,6 +2073,7 @@ def parse_page(
             # article-extracted (zeenews.py:123 fallback) > first paragraph
             # (items.py:8 default).
             "abstract": meta.get("abstract") or payload.get("abstract")
+            or payload.get("fb_abstract")
             or split_abstract or (paras[0] if paras else None),
             # Breadcrumb categories off the article page override the meta
             # lineage (maharashtratimes.py:79-81, shangbao.py:67-71).

@@ -7350,6 +7350,596 @@ def _build_balita1(g: _G) -> None:
                lst(t.title(), "Top", [(aurl, dt)], None, 1), host)
 
 
+# ---------------------------------------------------------------------------
+# tranche H — bhadas4media, bharatkhabar, bhopalsamachar, bicolstandard,
+# businessmirror, cebudailynews
+# ---------------------------------------------------------------------------
+
+BHADAS_RULES = {
+    # bhadas4media.py: entries = the grid's [:-1] links PLUS the
+    # latest-100 widget (py:41-48); the grid's LAST link becomes a
+    # dont_filter pagination probe carrying the scraped next URL — no
+    # next link, no probe, and that member is dropped entirely
+    # (py:53-58); the probe gates on the ARTICLE's own fuzzy date then
+    # re-yields itself normally (py:60-71).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "probe_next_url": True,
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": ".collapse a.menu-item"},
+        "entry": [{"sel": ".row .col-md-9 > a", "probe_last_member": True},
+                  {"sel": ".widget_recent_entries li > a"}],
+        "next": {"sel": ".wp-pagenavi a.nextpostslink", "attr": "href"},
+        "title": {"sel": "h1.entry-title"},
+        "pub": {"sel": "time.entry-date.published"},
+        "block": {"para_sel": ".entry-content p",
+                  "img_sel": ".entry-content .wp-block-image > figure"
+                             " > img"},
+    },
+}
+
+BHARAT_RULES = {
+    # bharatkhabar.py: main_menu minus its LAST link (py:38 del
+    # categories[-1]); ungated entries; pagination gated on the LAST
+    # 'Posted On …' stamp through time_adjustment (py:55-60 — the
+    # posted_on style); category1 re-read off the article breadcrumb's
+    # last link (py:89); pages with no <p> store the h1 as abstract and
+    # the LAST h2 as body (py:86-88); data:image/gif lazy stubs dropped
+    # (py:71-74).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "date_style": "posted_on",
+    "page_time_style": "posted_on",
+    "extract": {
+        "category": {"sel": "ul#main_menu li a", "slice": [0, -1]},
+        "entry": {"sel": "div.post_header_title h5 a"},
+        "page_time": {"sel": "span.post_info_date", "index": -1},
+        "next": {"sel": "a.prev_button", "attr": "href"},
+        "title": {"sel": "div.post_header_title h1"},
+        "pub": {"sel": "span.post_info_date"},
+        "cat1": {"sel": "div.breadcrumb a", "index": -1},
+        "abstract_fallback": {"sel": "div.post_header.single h1"},
+        "body_fallback": {"sel": "div.post_header.single h2",
+                          "index": -1},
+        "block": {"para_sel": "div.post_header.single p",
+                  "img_sel": "div.post_img.static img",
+                  "img_skip_re": r"data:image/gif"},
+    },
+}
+
+BHOPAL_RULES = {
+    # bhopalsamachar.py: menu keeps only 'label' hrefs, their slug rides
+    # down for the templated Blogger chain (py:31-35); the page gate (the
+    # LAST .post-author~span isoT datetime) runs BEFORE the entry loop,
+    # so a stale page stores nothing (py:44-49 — and a page missing the
+    # span dies on NameError there: dropped here too); every entry is
+    # stamped with the page's FIRST datetime + the single .post-snippet
+    # (py:52-55, select_one on the soup, bug-faithful); pagination
+    # re-formats the class-level api_url with the slug + the escaped
+    # last datetime (py:62-64); the article reads only the justify-
+    # styled blocks (py:73-76).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "page_gate_drops_entries": True,
+    "menu_carry_slug": True,
+    "date_style": "isoT",
+    "page_time_style": "isoT",
+    "next_value_tpl": "https://www.bhopalsamachar.com/search/label/"
+                      "{slug}?updated-max={value}",
+    "extract": {
+        "category": {"sel": "#main-menu-nav a", "href_re": r".*label"},
+        "entry": {"sel": ".blog-post.hentry.index-post",
+                  "fields": {"href": {"sel": ".post-title > a",
+                                      "attr": "href"},
+                             "title": {"sel": ".post-title"},
+                             "img": {"sel": "img", "attr": "src"}}},
+        "page_time": {"sel": ".post-author ~ span", "index": -1,
+                      "attr": "datetime"},
+        "page_entry_time": {"sel": ".post-author ~ span", "index": 0,
+                            "attr": "datetime"},
+        "next_value": {"sel": ".post-author ~ span", "index": -1,
+                       "attr": "datetime"},
+        "page_abstract": {"sel": ".post-snippet"},
+        "block": {"para_sel": '[style="text-align: justify;"]'},
+    },
+}
+
+BICOL_RULES = {
+    # bicolstandard.py: menu li links minus 'Advertise' (py:31-36); a
+    # list page without .post-outer yields nothing (py:40); ungated
+    # entries; pagination = meta url + '?updated-max=' + quote(the LAST
+    # timeago's @title) + a meta page counter, gated on that element's
+    # fuzzy TEXT (py:44-53); body = the content's dir=ltr blocks, whole
+    # container text when none (py:66-71), abstract = the first line.
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "menu_carry_list_url": True,
+    "next_value_tpl": "{base}?updated-max={value}&max-results=8"
+                      "#PageNo={page}",
+    "extract": {
+        "category": {"sel": "#menu-main-nav > li", "link_sel": "a"},
+        "excluded_labels": ["Advertise"],
+        "require_marker": {"sel": ".post-outer"},
+        "entry": {"sel": ".post-title.entry-title",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "page_time": {"sel": ".published.timeago", "index": -1},
+        "next_value": {"sel": ".published.timeago", "index": -1,
+                       "attr": "title"},
+        "title": {"sel": ".post-title.entry-title"},
+        "pub": {"sel": ".published.timeago"},
+        "body_fallback": {"sel": ".post-body.entry-content"},
+        "block": {"para_sel": ".post-body.entry-content [dir=ltr]",
+                  "img_sel": ".post-body.entry-content img"},
+    },
+}
+
+BMIRROR_RULES = {
+    # businessmirror.py: 9 category start_urls ARE lists; category1 is
+    # each list page's own .tdb-title-text (py:38-39); category2 is
+    # scraped PER ROW and collapsed to None when it repeats category1
+    # (py:44-47); pagination gated on the last fuzzy module date with
+    # the page-nav's LAST link (py:50-54); the article re-reads title +
+    # date off its own page, prepends the featured caption to the body,
+    # and keeps the featured img + every wp-block image (py:60-77 — a
+    # missing featured block would crash the append there; these
+    # fixtures always carry it).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "seed_kind": "list",
+    "entry_gate": False,
+    "entry_cat2_from_list": True,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "cat1_self": {"sel": ".tdb-title-text"},
+        "entry": {"sel": ".td-module-container.td-category-pos-above",
+                  "fields": {"href": {"sel": ".entry-title"
+                                             ".td-module-title a",
+                                      "attr": "href"},
+                             "cat2": {"sel": ".td-module-meta-info a"}}},
+        "page_time": {"sel": ".entry-date.updated.td-module-date",
+                      "index": -1},
+        "next": {"sel": "div.page-nav.td-pb-padding-side a",
+                 "index": -1, "attr": "href"},
+        "title": {"sel": ".tdb-title-text"},
+        "pub": {"sel": ".entry-date.updated.td-module-date"},
+        "abstract": {"sel": "div.wpb_wrapper > div > div > p"},
+        "block": {"para_sel": ["div.tdb-caption-text",
+                               "div.wpb_wrapper > div > div > p"],
+                  "img_sel": ["div.tdb-block-inner.td-fix-index img",
+                              "div.wp-block-image img"]},
+    },
+}
+
+CDN_BASE = "https://cebudailynews.inquirer.net"
+
+CDN_RULES = {
+    # cebudailynews.py: 8 category start_urls; category1 = the list
+    # URL's /category/ segment (py:38); TWO list layouts — the landing
+    # (#cdn-cat-list) advances through #list-readmore UNGATED while
+    # paginated pages (#cdn-pages-left) gate on the last
+    # span:nth-of-type(2) through the M/D/YYYY time_format (py:36-46;
+    # the reference dispatches on page content, these fixtures put the
+    # paginated layout under /page/ so the URL variant is equivalent);
+    # 'life' articles render a different template, dispatched on
+    # meta['category1'] (py:53,68 — the match_cat1 variant).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "seed_kind": "list",
+    "entry_gate": False,
+    "cat1_url_re": r"/category/([^/?#]+)",
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "page_time_style": "mdy_slash",
+    "extract": {
+        "entry": {"sel": "#cdn-cat-list > div > a"},
+        "next": {"sel": "#list-readmore > a", "index": -1,
+                 "attr": "href"},
+        "title": {"sel": "#landing-headline > h1"},
+        "pub": {"sel": "#m-pd2 > span", "index": -1},
+        "block": {"para_sel": "#article-content > p",
+                  "img_sel": "#article-content img"},
+        "variants": [
+            {"match": r"/page/",
+             "entry": {"sel": "#cdn-pages-left div#pages-box > a"},
+             "next": {"sel": "#pages-nav > a", "attr": "href"},
+             "page_time": {"sel": "#cdn-pages-left div "
+                                  "#postdate-byline > span:nth-of-type(2)",
+                           "index": -1}},
+            {"match_cat1": r"^life$",
+             "title": {"sel": "#art-hgroup > h1"},
+             "pub": {"sel": ".art-byline > span", "index": -1}},
+        ],
+    },
+}
+
+
+def _build_bhadas4media(g: _G) -> None:
+    host, base = "bhadas4media.com", "http://bhadas4media.com"
+    wid = 1061
+    g.registry[wid] = dict(BHADAS_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><div class="collapse">'
+           f'<a class="menu-item" href="{base}/media/">मीडिया</a>'
+           f'<a class="menu-item">ख़बर</a>'  # href-less: skipped (py:38-41)
+           f'<a class="menu-item" href="{base}/blog/">ब्लॉग</a>'
+           f"</div></html>", host)
+
+    def art(tag: str, dt: datetime) -> str:
+        return (f'<html><h1 class="entry-title">B4M {tag}</h1>'
+                f'<time class="entry-date published">'
+                f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}</time>"
+                f'<div class="entry-content"><p>b4m पहला {tag}।</p>'
+                f'<div class="wp-block-image"><figure>'
+                f'<img src="{base}/i/{tag}.jpg"></figure></div>'
+                f"<p>b4m दूसरा।</p></div></html>")
+
+    def lst(slug: str, cols: list[str], latest: list[str],
+            nxt: str | None) -> str:
+        grid = "".join(f'<div class="col-md-9"><a href="{u}">t</a></div>'
+                       for u in cols)
+        rec = "".join(f'<li><a href="{u}">r</a></li>' for u in latest)
+        nav = (f'<div class="wp-pagenavi">'
+               f'<a class="nextpostslink" href="{nxt}">»</a></div>'
+               if nxt else "")
+        return (f'<html><div class="row">{grid}</div>'
+                f'<div class="widget_recent_entries"><ul>{rec}</ul></div>'
+                f"{nav}</html>")
+
+    # media: two pages; page 1's probe is fresh (→ page 2), page 2's
+    # probe is stale (→ no page 3, but the probe article itself stores)
+    m = f"{base}/media"
+    for aurl, age in ((f"{m}-a0/", 0.0), (f"{m}-a1/", 6.0),
+                      (f"{m}-ap/", 12.0), (f"{m}-l0/", 3.0),
+                      (f"{m}-b0/", 24.0), (f"{m}-bp/", 44.0)):
+        g.page(aurl, "article",
+               art(aurl.rsplit("-", 1)[-1].rstrip("/"),
+                   BASE_DT - timedelta(hours=age)), host)
+    g.page(f"{base}/media/", "list",
+           lst("media", [f"{m}-a0/", f"{m}-a1/", f"{m}-ap/"],
+               [f"{m}-l0/"], f"{base}/media/page/2/"), host)
+    g.page(f"{base}/media/page/2/", "list",
+           lst("media", [f"{m}-b0/", f"{m}-bp/"], [],
+               f"{base}/media/page/3/"), host)
+    # blog: single page, NO next link — the grid's last member is
+    # neither probed nor stored (bhadas4media.py:53-58)
+    b = f"{base}/blog"
+    for aurl in (f"{b}-a0/", f"{b}-l0/"):
+        g.page(aurl, "article",
+               art(aurl.rsplit("-", 1)[-1].rstrip("/"), BASE_DT), host)
+    g.page(f"{b}-dropped/", "article", art("dropped", BASE_DT), host)
+    g.page(f"{base}/blog/", "list",
+           lst("blog", [f"{b}-a0/", f"{b}-dropped/"], [f"{b}-l0/"],
+               None), host)
+
+
+def _bharat_date(dt: datetime) -> str:
+    ampm = "am" if dt.hour < 12 else "pm"
+    h12 = dt.hour % 12 or 12
+    return (f"Posted On {_MON_FULL[dt.month - 1]} {dt.day}, {dt.year} at "
+            f"{h12}:{dt.minute:02d} {ampm}")
+
+
+def _build_bharatkhabar(g: _G) -> None:
+    host, base = "www.bharatkhabar.com", "http://www.bharatkhabar.com"
+    wid = 1011
+    g.registry[wid] = dict(BHARAT_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><ul id="main_menu">'
+           f'<li><a href="{base}/desh/">देश</a></li>'
+           f'<li><a href="{base}/duniya/">दुनिया</a></li>'
+           f'<li><a href="{base}/epaper/">ई-पेपर</a></li>'  # del [-1]
+           f"</ul></html>", host)
+
+    def art(c: str, tag: str, dt: datetime, no_p: bool = False) -> str:
+        body = (f'<div class="post_header single"><h1>bk fb-abs {tag}'
+                f"</h1><h2>bk skipped</h2><h2>bk fb-body {tag}</h2></div>"
+                if no_p else
+                f'<div class="post_header single"><h1>unused</h1>'
+                f"<p>bk पहला {tag}।</p><p>bk दूसरा।</p></div>")
+        return (f'<html><div class="post_header_title"><h1>BK {tag}</h1>'
+                f"</div>"
+                f'<span class="post_info_date">{_bharat_date(dt)}</span>'
+                f'<div class="post_img static">'
+                f'<img src="data:image/gif;base64,x">'
+                f'<img src="{base}/i/{tag}.jpg"></div>'
+                f"{body}"
+                f'<div class="breadcrumb"><a href="{base}/">होम</a>'
+                f'<a href="{base}/{c}/">{c.title()}</a></div></html>')
+
+    for cslug in ("desh", "duniya"):
+        for p, ages in enumerate([(0.0, 12.0), (24.0, 44.0)], 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{base}/{cslug}-khabar-{p}-{e}/"
+                rows.append(
+                    f'<div class="post_header_title"><h5>'
+                    f'<a href="{aurl}">t</a></h5></div>'
+                    f'<span class="post_info_date">{_bharat_date(dt)}'
+                    f"</span>"
+                )
+                g.page(aurl, "article",
+                       art(cslug, f"{cslug[0]}{p}{e}", dt,
+                           no_p=(cslug, p, e) == ("desh", 1, 1)), host)
+            nxt = (f'<a class="prev_button" '
+                   f'href="{base}/{cslug}/page/{p + 1}/">पुराने</a>')
+            lurl = (f"{base}/{cslug}/" if p == 1
+                    else f"{base}/{cslug}/page/{p}/")
+            g.page(lurl, "list",
+                   "<html>" + "".join(rows) + nxt + "</html>", host)
+
+
+def _build_bhopalsamachar(g: _G) -> None:
+    host, base = "www.bhopalsamachar.com", "https://www.bhopalsamachar.com"
+    wid = 1054
+    g.registry[wid] = dict(BHOPAL_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><div id="main-menu-nav">'
+           f'<a href="{base}/search/label/bhopal">भोपाल</a>'
+           f'<a href="{base}/p/about.html">About</a>'  # no 'label': skipped
+           f'<a href="{base}/search/label/vidisha">विदिशा</a>'
+           f"</div></html>", host)
+
+    def iso(dt: datetime) -> str:
+        return dt.strftime("%Y-%m-%dT%H:%M:%S") + "+05:30"
+
+    def art(tag: str) -> str:
+        return (f'<html><div style="text-align: justify;">bs न्याय {tag}।'
+                f'</div><div>bs ignored</div>'
+                f'<div style="text-align: justify;">bs दूसरा।</div></html>')
+
+    def lst(slug: str, rows: list[tuple[str, datetime]]) -> str:
+        posts = "".join(
+            f'<div class="blog-post hentry index-post">'
+            f'<img src="{base}/th/{u.rsplit("/", 1)[-1]}.jpg">'
+            f'<h3 class="post-title"><a href="{u}">शीर्षक {u[-8:]}</a>'
+            f"</h3></div>"
+            for u, _dt in rows
+        )
+        spans = "".join(
+            f'<span class="post-author">A</span>'
+            f'<span datetime="{iso(dt)}">d</span>'
+            for _u, dt in rows
+        )
+        return (f"<html>{posts}{spans}"
+                f'<div class="post-snippet">bs सार {slug}</div></html>')
+
+    for slug in ("bhopal", "vidisha"):
+        for p, ages in enumerate([(0.0, 12.0), (40.0, 44.0)], 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{base}/2021/05/{slug}-{p}-{e}.html"
+                g.page(aurl, "article", art(f"{slug}{p}{e}"), host)
+                rows.append((aurl, dt))
+            if p == 1:
+                lurl = f"{base}/search/label/{slug}"
+            else:
+                from urllib.parse import quote as _q
+                prev_last = BASE_DT - timedelta(hours=12.0)
+                lurl = (f"{base}/search/label/{slug}?updated-max="
+                        f"{_q(iso(prev_last))}")
+            g.page(lurl, "list", lst(slug, rows), host)
+
+
+def _build_bicolstandard(g: _G) -> None:
+    host, base = "www.bicolstandard.com", "http://www.bicolstandard.com"
+    wid = 491
+    g.registry[wid] = dict(BICOL_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1866})
+    g.page(base + "/", "menu",
+           f'<html><ul id="menu-main-nav">'
+           f'<li><a href="{base}/news/">News</a></li>'
+           f'<li><a href="{base}/ads/">Advertise</a></li>'
+           f'<li><a href="{base}/empty/">Opinion</a></li>'
+           f"</ul></html>", host)
+
+    def iso8(dt: datetime) -> str:
+        return dt.strftime("%Y-%m-%dT%H:%M:%S") + "+08:00"
+
+    def art(tag: str, dt: datetime, ltr: bool = True) -> str:
+        body = (f'<div dir="ltr">bcs first {tag}.</div>'
+                f'<div dir="ltr">bcs second.</div>' if ltr
+                else "bcs fallback body text")
+        return (f'<html><h3 class="post-title entry-title">BCS {tag}'
+                f"</h3>"
+                f'<span class="published timeago" title="{iso8(dt)}">'
+                f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}</span>"
+                f'<div class="post-body entry-content">{body}'
+                f'<img src="{base}/i/{tag}.jpg"></div></html>')
+
+    def lst(rows: list[tuple[str, datetime]]) -> str:
+        posts = "".join(
+            f'<div class="post-outer">'
+            f'<h3 class="post-title entry-title"><a href="{u}">t</a>'
+            f"</h3>"
+            f'<span class="published timeago" title="{iso8(dt)}">'
+            f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}</span></div>"
+            for u, dt in rows
+        )
+        return f"<html>{posts}</html>"
+
+    # news: page 1 fresh → templated updated-max page (PageNo=2); its
+    # last timeago is stale → no third page
+    for p, ages in enumerate([(0.0, 12.0), (24.0, 44.0)], 1):
+        rows = []
+        for e, age in enumerate(ages):
+            dt = BASE_DT - timedelta(hours=age)
+            aurl = f"{base}/2021/05/news-{p}-{e}.html"
+            g.page(aurl, "article",
+                   art(f"n{p}{e}", dt, ltr=(p, e) != (1, 1)), host)
+            rows.append((aurl, dt))
+        if p == 1:
+            lurl = f"{base}/news/"
+        else:
+            from urllib.parse import quote as _q
+            prev = iso8(BASE_DT - timedelta(hours=12.0))
+            lurl = (f"{base}/news/?updated-max={_q(prev)}"
+                    f"&max-results=8#PageNo=2")
+        g.page(lurl, "list", lst(rows), host)
+    # Opinion: a page WITHOUT .post-outer yields nothing (py:40)
+    g.page(f"{base}/empty/", "list", "<html><div>no posts</div></html>",
+           host)
+
+
+def _build_businessmirror(g: _G) -> None:
+    host = "businessmirror.com.ph"
+    base = "https://businessmirror.com.ph"
+    wid = 188
+    g.registry[wid] = dict(BMIRROR_RULES)
+    cats = ["news", "business", "sports", "opinion", "life", "features",
+            "bmplus", "covid-19", "the-broader-look"]
+    for c in cats:
+        g.seeds.append({"url": f"{base}/category/{c}/", "website_id": wid,
+                        "language_id": 1866})
+
+    def art(tag: str, dt: datetime) -> str:
+        return (f'<html><h1 class="tdb-title-text">BM {tag}</h1>'
+                f'<time class="entry-date updated td-module-date">'
+                f"{_mdy_hm(dt)}</time>"
+                f'<div class="tdb-block-inner td-fix-index">'
+                f'<img src="{base}/f/{tag}.jpg"></div>'
+                f'<div class="tdb-caption-text">BM caption {tag}</div>'
+                f'<div class="wpb_wrapper"><div><div>'
+                f"<p>bm lead {tag}.</p><p>bm tail.</p></div></div></div>"
+                f'<div class="wp-block-image"><img src="{base}/b/{tag}'
+                f'.jpg"></div></html>')
+
+    def lst(cat1: str, rows: list[tuple[str, str, datetime]],
+            nxt: str | None, p: int) -> str:
+        mods = "".join(
+            f'<div class="td-module-container td-category-pos-above">'
+            f'<div class="td-module-meta-info">'
+            f'<a href="{base}/category/x/">{c2}</a></div>'
+            f'<h3 class="entry-title td-module-title"><a href="{u}">t'
+            f"</a></h3>"
+            f'<time class="entry-date updated td-module-date">'
+            f"{_mdy_hm(dt)}</time></div>"
+            for u, c2, dt in rows
+        )
+        nav = (f'<div class="page-nav td-pb-padding-side">'
+               f'<a href="{nxt}">2</a><a class="last" href="{nxt}">'
+               f"Last</a></div>" if nxt else "")
+        return (f'<html><h1 class="tdb-title-text">{cat1}</h1>'
+                f"{mods}{nav}</html>")
+
+    # News: two pages; one row's category2 repeats category1 → None
+    for p, ages in enumerate([(0.0, 12.0), (24.0, 44.0)], 1):
+        rows = []
+        for e, age in enumerate(ages):
+            dt = BASE_DT - timedelta(hours=age)
+            aurl = f"{base}/2021/05/30/news-{p}-{e}/"
+            g.page(aurl, "article", art(f"n{p}{e}", dt), host)
+            rows.append((aurl, "News" if e == 0 else "Economy", dt))
+        nxt = f"{base}/category/news/page/{p + 1}/"
+        lurl = (f"{base}/category/news/" if p == 1
+                else f"{base}/category/news/page/{p}/")
+        g.page(lurl, "list", lst("News", rows, nxt, p), host)
+    # the other eight categories: single page each, no nav
+    for c in cats[1:]:
+        dt = BASE_DT
+        aurl = f"{base}/2021/05/30/{c}-1-0/"
+        g.page(aurl, "article", art(f"{c}10", dt), host)
+        g.page(f"{base}/category/{c}/", "list",
+               lst(c.title(), [(aurl, "Sub" + c.title(), dt)], None, 1),
+               host)
+
+
+def _build_cebudailynews(g: _G) -> None:
+    host, base = "cebudailynews.inquirer.net", CDN_BASE
+    wid = 446
+    g.registry[wid] = dict(CDN_RULES)
+    cats = ["breaking", "enterprise", "nation", "world", "opinion",
+            "sports", "life", "siloy"]
+    for c in cats:
+        g.seeds.append({"url": f"{base}/category/{c}", "website_id": wid,
+                        "language_id": 1866})
+
+    def mdy(dt: datetime) -> str:
+        return f"{dt.month}/{dt.day}/{dt.year}"
+
+    def art(tag: str, dt: datetime, life: bool = False) -> str:
+        if life:
+            head = (f'<div id="art-hgroup"><h1>CDN {tag}</h1></div>'
+                    f'<div class="art-byline"><span>By X</span>'
+                    f"<span>{_mdy_hm(dt)}</span></div>")
+        else:
+            head = (f'<div id="landing-headline"><h1>CDN {tag}</h1>'
+                    f"</div>"
+                    f'<div id="m-pd2"><span>By X</span>'
+                    f"<span>{_mdy_hm(dt)}</span></div>")
+        return (f"<html>{head}"
+                f'<div id="article-content"><p>cdn lead {tag}.</p>'
+                f'<img src="{base}/i/{tag}.jpg"><p>cdn tail.</p></div>'
+                f"</html>")
+
+    def landing(rows: list[str], more: str | None) -> str:
+        arts = "".join(f'<div><a href="{u}">t</a></div>' for u in rows)
+        rm = (f'<div id="list-readmore"><a href="{more}">More</a></div>'
+              if more else "")
+        return f'<html><div id="cdn-cat-list">{arts}</div>{rm}</html>'
+
+    def paged(rows: list[tuple[str, datetime]], nxt: str | None) -> str:
+        arts = "".join(
+            f'<div id="pages-box"><a href="{u}">t</a></div>'
+            f'<div><div id="postdate-byline"><span>By X</span>'
+            f"<span>{mdy(dt)}</span></div></div>"
+            for u, dt in rows
+        )
+        nav = (f'<div id="pages-nav"><a href="{nxt}">Next</a></div>'
+               if nxt else "")
+        return (f'<html><div id="cdn-pages-left">{arts}{nav}</div>'
+                f"</html>")
+
+    # breaking: landing (ungated readmore) → /page/2 (gated, stale →
+    # no /page/3)
+    for e in range(2):
+        dt = BASE_DT - timedelta(hours=e * 6)
+        g.page(f"{base}/40{e}/brk-1-{e}", "article",
+               art(f"brk1{e}", dt), host)
+    g.page(f"{base}/category/breaking", "list",
+           landing([f"{base}/400/brk-1-0", f"{base}/401/brk-1-1"],
+                   f"{base}/category/breaking/page/2"), host)
+    rows2 = []
+    for e, age in enumerate((24.0, 44.0)):
+        dt = BASE_DT - timedelta(hours=age)
+        g.page(f"{base}/41{e}/brk-2-{e}", "article",
+               art(f"brk2{e}", dt), host)
+        rows2.append((f"{base}/41{e}/brk-2-{e}", dt))
+    g.page(f"{base}/category/breaking/page/2", "list",
+           paged(rows2, f"{base}/category/breaking/page/3"), host)
+    # life: its articles use the art-hgroup template (match_cat1)
+    g.page(f"{base}/420/life-1-0", "article",
+           art("lif10", BASE_DT, life=True), host)
+    g.page(f"{base}/category/life", "list",
+           landing([f"{base}/420/life-1-0"], None), host)
+    # the remaining six: single landing, no readmore
+    for i, c in enumerate(c for c in cats if c not in
+                          ("breaking", "life")):
+        aurl = f"{base}/43{i}/{c}-1-0"
+        g.page(aurl, "article", art(f"{c}10", BASE_DT), host)
+        g.page(f"{base}/category/{c}", "list", landing([aurl], None),
+               host)
+
+
 SITE_BUILDERS = {
     "zeenews": _build_zeenews,
     "aajtak": _build_aajtak,
@@ -7424,6 +8014,12 @@ SITE_BUILDERS = {
     "apnlive": _build_apnlive,
     "balita": _build_balita,
     "balita1": _build_balita1,
+    "bhadas4media": _build_bhadas4media,
+    "bharatkhabar": _build_bharatkhabar,
+    "bhopalsamachar": _build_bhopalsamachar,
+    "bicolstandard": _build_bicolstandard,
+    "businessmirror": _build_businessmirror,
+    "cebudailynews": _build_cebudailynews,
 }
 
 

@@ -51,6 +51,7 @@ def test_all_sites_produce_documents(sim):
         1108, 1238, 1073, 1142, 1239, 1246, 1241, 1099, 1232, 1243,
         1071, 1130, 196, 533, 449, 488,
         966, 378, 1150, 1140, 195, 498,
+        1061, 1011, 1054, 491, 188, 446,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -1320,6 +1321,84 @@ def test_tranche_g_contracts(sim):
         "Sports", "Top")
     assert len(b1) == 12
     assert not any("news/national/page/3" in u for u in fetched)
+
+
+def test_tranche_h_contracts(sim):
+    """bhadas4media: grid[:-1]+latest entries, carried-next-url probe
+    that only fires when a next link exists. bharatkhabar: Posted-On
+    dates, breadcrumb-last category, h1/h2 no-paragraph fallback.
+    bhopalsamachar: gate-before-entries, page-level entry stamps,
+    slug-templated Blogger pagination. bicolstandard: require_marker,
+    quote()d updated-max chains. businessmirror: per-row category2
+    deduped against category1, caption-led bodies. cebudailynews: two
+    list layouts (URL variant), life's meta-dispatched article
+    template."""
+    fetched = [u for _b, u in sim["crawl_log"]]
+    # bhadas4media
+    b4 = {d["request_url"]: d for d in _docs_by_site(sim)[1061]}
+    assert len(b4) == 8  # media 6 (incl. both probes) + blog a0, l0
+    # the last-page grid member is neither probed nor stored (py:53-58)
+    assert not any("blog-dropped" in u for u in fetched)
+    # page 1's probe is refetched as a normal article: two log rows
+    assert fetched.count("http://bhadas4media.com/media-ap/") == 2
+    assert not any("media/page/3" in u for u in fetched)
+    assert b4["http://bhadas4media.com/media-l0/"][
+        "category1"] == "मीडिया"  # latest-widget entries share the meta
+    # bharatkhabar
+    bk = {d["request_url"]: d for d in _docs_by_site(sim)[1011]}
+    d0 = bk["http://www.bharatkhabar.com/desh-khabar-1-0/"]
+    assert d0["category1"] == "Desh"  # breadcrumb LAST, not the menu label
+    assert d0["pub_time"] == "2021-05-30 12:00:00"  # Posted On … 12:00 pm
+    imgs = [s["media_ref"] for s in d0["spans"] if s["kind"] == "image"]
+    assert imgs and not any("data:image" in i for i in imgs)
+    fb = bk["http://www.bharatkhabar.com/desh-khabar-1-1/"]
+    assert fb["abstract"] == "bk fb-abs d11"  # h1 abstract
+    assert [s["text"] for s in fb["spans"] if s["kind"] == "text"] == [
+        "bk fb-body d11"]  # LAST h2 as body
+    assert not any("bharatkhabar.com/epaper" in u for u in fetched)
+    # bhopalsamachar
+    bs = {d["request_url"]: d for d in _docs_by_site(sim)[1054]}
+    assert len(bs) == 4  # page 2 fetched but gate-dropped entirely
+    assert any("updated-max=2021-05-30T00%3A00%3A00%2B05%3A30" in u
+               for u in fetched)
+    b0 = bs["https://www.bhopalsamachar.com/2021/05/bhopal-1-0.html"]
+    b1 = bs["https://www.bhopalsamachar.com/2021/05/bhopal-1-1.html"]
+    # BOTH entries carry the page's FIRST datetime (select_one, py:52-53)
+    assert b0["pub_time"] == b1["pub_time"] == "2021-05-30 12:00:00"
+    assert b0["abstract"] == "bs सार bhopal"  # the one .post-snippet
+    assert [s["text"] for s in b0["spans"] if s["kind"] == "text"] == [
+        "bs न्याय bhopal10।", "bs दूसरा।"]  # justify-styled blocks only
+    assert not any("about.html" in u for u in fetched)
+    # bicolstandard
+    bc = {d["request_url"]: d for d in _docs_by_site(sim)[491]}
+    assert len(bc) == 4
+    assert any("bicolstandard.com/news/?updated-max=" in u
+               and "%2B08%3A00" in u and "PageNo=2" in u for u in fetched)
+    assert not any("PageNo=3" in u for u in fetched)
+    assert not any("bicolstandard.com/ads" in u for u in fetched)
+    flb = bc["http://www.bicolstandard.com/2021/05/news-1-1.html"]
+    assert [s["text"] for s in flb["spans"] if s["kind"] == "text"] == [
+        "bcs fallback body text"]  # no dir=ltr → container text
+    # businessmirror
+    bm = {d["request_url"]: d for d in _docs_by_site(sim)[188]}
+    assert len(bm) == 12
+    n0 = bm["https://businessmirror.com.ph/2021/05/30/news-1-0/"]
+    n1 = bm["https://businessmirror.com.ph/2021/05/30/news-1-1/"]
+    assert n0["category2"] is None  # row cat2 'News' == cat1 → None
+    assert n1["category2"] == "Economy"
+    texts = [s["text"] for s in n0["spans"] if s["kind"] == "text"]
+    assert texts[0] == "BM caption n10"  # caption leads the body
+    assert n0["abstract"] == "bm lead n10."  # first wpb p, not caption
+    assert not any("businessmirror" in u and "page/3" in u
+                   for u in fetched)
+    # cebudailynews
+    cd = {d["request_url"]: d for d in _docs_by_site(sim)[446]}
+    assert len(cd) == 11
+    lf = cd["https://cebudailynews.inquirer.net/420/life-1-0"]
+    assert lf["title"] == "CDN lif10"  # art-hgroup template (match_cat1)
+    assert lf["category1"] == "life"
+    assert any(u.endswith("/category/breaking/page/2") for u in fetched)
+    assert not any("/category/breaking/page/3" in u for u in fetched)
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,
