@@ -457,6 +457,13 @@ def _sel_scalar(tree, spec: dict) -> str | None:
         n = nodes[spec.get("index", 0)]
     except IndexError:
         return None
+    if spec.get("require_child") and not htmlsel.select(
+        n, spec["require_child"]
+    ):
+        # the picked node only counts when it CONTAINS a sub-match —
+        # dunvalleymail.py:62-64 follows the page-nav's last link only
+        # while it still wraps the next-chevron <i>
+        return None
     if spec.get("attr"):
         val = n.attr(spec["attr"])
     elif spec.get("raw"):
@@ -467,6 +474,29 @@ def _sel_scalar(tree, spec: dict) -> str | None:
         m = re.search(spec["re"], val)
         val = m.group(1) if m else None
     return val
+
+
+def _cond_scalar(dom_fn, html: str, spec):
+    """Scalar rule with declarative conditionals: ``{'const': v}`` is the
+    literal value (dunvalleymail.py:51 stores a single SPACE as category2
+    on one-level pages; emstv.py:63's hardcoded '' abstract);
+    ``{'if_count': {'sel': css, 'eq': n}, 'then': …, 'else': …}``
+    branches on a selector's match count (dunvalleymail.py:49-51 reads
+    its breadcrumb fields by how many <i> separators the trail shows).
+    Plain specs fall through to the selector/regex forms."""
+    if isinstance(spec, dict):
+        if "const" in spec:
+            return spec["const"]
+        if "if_count" in spec:
+            ic = spec["if_count"]
+            n = len(htmlsel.select(dom_fn(), ic["sel"]))
+            branch = (spec["then"] if n == int(ic.get("eq", 1))
+                      else spec["else"])
+            return _cond_scalar(dom_fn, html, branch)
+        if "sel" in spec:
+            return _sel_scalar(dom_fn(), spec)
+    m = re.search(spec, html)
+    return m.group(1) if m else None
 
 
 def _page_scalar(html_text: str | None, spec) -> str | None:
@@ -787,6 +817,17 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                 # (piagov.py:37,43-45); applied before ``skip``.
                 if spec.get("slice"):
                     nodes = nodes[slice(*spec["slice"])]
+                # ``drop_seq``: SEQUENTIAL Python dels by index — the
+                # dainiknavajyoti.py:37 'del categories[0], categories[-1],
+                # categories[-3], categories[-1]' cascade, where each del
+                # reindexes the list before the next.
+                if spec.get("drop_seq"):
+                    nodes = list(nodes)
+                    for di in spec["drop_seq"]:
+                        try:
+                            del nodes[di]
+                        except IndexError:
+                            pass
                 stopped = False
                 for zi, n in enumerate(nodes[spec.get("skip", 0):]):
                     # ``exclude_if_sel``: a container matching this
@@ -807,6 +848,13 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                     else:
                         link = n
                     href = link.attr(spec.get("attr", "href"))
+                    if href is not None and spec.get("href_prefix"):
+                        # the spider bolts a FIXED host onto relative menu
+                        # hrefs — a different host than the start URL, so
+                        # urljoin against the menu page would be wrong
+                        # (dainiknavajyoti.py:39 prepends the .net domain
+                        # to links mined off the .com home page)
+                        href = spec["href_prefix"] + href
                     text = link.text()
                     if zip_labels is not None:
                         text = (zip_labels[zi] if zi < len(zip_labels)
@@ -958,8 +1006,13 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                         roots = [scn[sc.get("index", 0)]]
                     except IndexError:
                         roots = []
-                for node in [n for r in roots
-                             for n in htmlsel.select(r, espec["sel"])]:
+                nodes = [n for r in roots
+                         for n in htmlsel.select(r, espec["sel"])]
+                if espec.get("slice"):
+                    # positional entry slice — emsindia.py:42's
+                    # .borderT>a[:-1] grid walk
+                    nodes = nodes[slice(*espec["slice"])]
+                for node in nodes:
                     if fields:
                         vals = {k: _sel_scalar(node, sp)
                                 for k, sp in fields.items()}
@@ -967,6 +1020,10 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                         vals = {"href": node.attr(espec.get("attr", "href")),
                                 "title": node.text() or None}
                     if vals.get("href") is None:
+                        continue
+                    if vals["href"] in espec.get("exclude_hrefs", ()):
+                        # one hardcoded article skipped by URL —
+                        # dainiknavajyoti.py:46-49's editorial carve-out
                         continue
                     entries.append(
                         {
@@ -978,6 +1035,10 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                             # per-entry category2 scraped off the list row
                             # (businessmirror.py:44-46)
                             "cat2": vals.get("cat2"),
+                            # spec-level child kind: emsindia.py:37-39's
+                            # featured link is yielded back into parse
+                            # (the LIST callback), not parse_item
+                            "kind": espec.get("kind"),
                         }
                     )
             else:
@@ -1009,10 +1070,7 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
             r = rules.get(key)
             if r is None:
                 return None
-            if _is_sel(r):
-                return _sel_scalar(dom(), r)
-            m = re.search(r, html)
-            return m.group(1) if m else None
+            return _cond_scalar(dom, html, r)
 
         out["next"] = scalar("next")
         mrule = rules.get("more")
@@ -1072,10 +1130,7 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
         r = rules.get(key)
         if not r:
             return None
-        if _is_sel(r):
-            return _sel_scalar(dom(), r)
-        m = re.search(r, html)
-        return m.group(1) if m else None
+        return _cond_scalar(dom, html, r)
 
     paras: list[str] = []
     imgs: list[dict] = []
@@ -1141,6 +1196,11 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                     # placeholder filter — dainiksandhyaprakash.py:88-90
                     # drops data:image/gif lazy-load stubs
                     continue
+                if block.get("img_prefix"):
+                    # fixed-host prefix instead of page-relative urljoin
+                    # (dainiknavajyoti.py:81-84 prepends the .net domain
+                    # to every adjimage src)
+                    src = block["img_prefix"] + src
                 imgs.append({"after_para": len(paras) - 1, "src": src})
         if block.get("img_slice"):
             # positional image slice — apkaakhbar.py:151's
@@ -1580,6 +1640,19 @@ def parse_page(
             # entries entirely, not just its pagination.
             ptr = payload.get("page_time_raw")
             st = site.get("page_time_style", date_style)
+            pgf = site.get("page_gate_fetch_fallback")
+            if ptr is None and pgf is not None and side_fetch is not None \
+                    and payload.get("entries"):
+                # dekhobhopal.py:57-66: a list page with no visible dates
+                # side-fetches its LAST entry's article (raw requests.get,
+                # invisible to the scheduler) and gates on the date found
+                # there.
+                ptr = _page_scalar(
+                    side_fetch(urljoin(
+                        url, payload["entries"][-1]["href"]
+                    )),
+                    pgf,
+                )
             if ptr is None or _epoch(None, as_of, ptr, st) < cutoff_epoch:
                 return None, requests
         # probe_last may be scoped to one page kind: bworldonline probes
@@ -1693,14 +1766,15 @@ def parse_page(
                     carry_time if time_carry else entry.get("pub_time_raw"),
                     date_style,
                 )
+            ekind = entry.get("kind") or "article"
             if site.get("entry_gate") is False:
                 # Entries are never individually gated — only the page
                 # gate below decides pagination; old articles are still
                 # fetched and stored (dfa.py:63-90 yields every row).
-                emit(entry["href"], "article", entry_meta, pub_epoch=pt)
+                emit(entry["href"], ekind, entry_meta, pub_epoch=pt)
             elif cutoff_epoch is None or pt >= cutoff_epoch:
                 dont_filter = probe_first and i == 0  # maharashtratimes-style
-                emit(entry["href"], "article", entry_meta,
+                emit(entry["href"], ekind, entry_meta,
                      dont_filter=dont_filter, pub_epoch=pt)
             else:
                 flag = False  # '时间截止' — zeenews.py:96-101
@@ -2072,9 +2146,17 @@ def parse_page(
             # Precedence: list-page abstract in meta (philboxing.py:110) >
             # article-extracted (zeenews.py:123 fallback) > first paragraph
             # (items.py:8 default).
-            "abstract": meta.get("abstract") or payload.get("abstract")
-            or payload.get("fb_abstract")
-            or split_abstract or (paras[0] if paras else None),
+            # first NON-None wins (not first truthy): a hardcoded ''
+            # abstract is a real value the reference stores
+            # (emstv.py:63's item['abstract'] = '').
+            "abstract": next(
+                (v for v in (meta.get("abstract"),
+                             payload.get("abstract"),
+                             payload.get("fb_abstract"),
+                             split_abstract)
+                 if v is not None),
+                paras[0] if paras else None,
+            ),
             # Breadcrumb categories off the article page override the meta
             # lineage (maharashtratimes.py:79-81, shangbao.py:67-71).
             # ``cat1_const``/``cat2_const``: spider-hardcoded categories

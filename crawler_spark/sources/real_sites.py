@@ -7940,6 +7940,702 @@ def _build_cebudailynews(g: _G) -> None:
                host)
 
 
+# ---------------------------------------------------------------------------
+# tranche I — dainiknavajyoti, dekhobhopal, devbhoomimedia,
+# diariutimorpost, dunvalleymail, emsindia, emstv
+# ---------------------------------------------------------------------------
+
+DNJ_NET = "https://www.dainiknavajyoti.net"
+
+DNJ_RULES = {
+    # dainiknavajyoti.py: topbar menu pruned by a SEQUENTIAL del cascade
+    # (py:37) with every href re-homed onto the .net domain (py:39);
+    # one hardcoded editorial URL skipped in the entry loop (py:46-49);
+    # pagination decided by SIDE-FETCHING the last entry's article (raw
+    # requests.get, py:66-69) and reading its div.pubdate through the
+    # 'Weekday, Month D, YYYY HH:MM' adjuster; the next link is the
+    # pagination li whose text is 'Next»' (py:71-74); article images are
+    # prefix-homed (py:81-84), category1 is a style-keyed div (py:93).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "date_style": "wdmy_hm_dnj",
+    "entry_gate_style": "wdmy_hm_dnj",
+    "page_gate_fetch_last": {"sel": "div.pubdate"},
+    "page_gate_fetch_index": -1,
+    "extract": {
+        "category": {"sel": "ul#topbar li a",
+                     "drop_seq": [0, -1, -3, -1],
+                     "href_prefix": DNJ_NET},
+        "entry": {"sel": "div.section_news h3 a",
+                  "exclude_hrefs": [DNJ_NET + "/editorial/Know-what-is-"
+                                    "special-in-the-government.html"]},
+        "next": r'<li><a href="([^"]+)">Next»</a></li>',
+        "title": {"sel": "div.col-xs-12.col-md-8 div h3"},
+        "pub": {"sel": "div.pubdate"},
+        "cat1": {"sel": '[style="font-size:28px;padding-bottom:0px;"]'},
+        "block": {"para_sel": "div#contentsec p",
+                  "img_sel": "img.adjimage1",
+                  "img_prefix": DNJ_NET + "/"},
+    },
+}
+
+DEKHO_RULES = {
+    # dekhobhopal.py: menu links [2:] (py:38); TWO entry groups (the
+    # big-grid thumbs then the span6 blocks, py:50-55); NO pagination at
+    # all — the gate only decides whether THIS page's entries are
+    # yielded: the last visible td-post-date when present, else a
+    # side-fetch of the last entry's article header date (py:57-66);
+    # 'DDth Month YYYY' dates with the ordinal sliced off (py:104-121).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "page_gate_drops_entries": True,
+    "page_gate_fetch_fallback": {"sel": "header.td-post-title "
+                                        "span.td-post-date"},
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "date_style": "dmy_ord",
+    "page_time_style": "dmy_ord",
+    "extract": {
+        "category": {"sel": "ul#menu-td-demo-header-menu-1 li a",
+                     "skip": 2},
+        "entry": [{"sel": "div.td-big-grid-wrapper div.td-module-thumb a"},
+                  {"sel": "div.td-block-span6 h3 a"}],
+        "page_time": {"sel": "div.td-ss-main-content span.td-post-date",
+                      "index": -1},
+        "title": {"sel": "h1.entry-title"},
+        "pub": {"sel": "header.td-post-title span.td-post-date"},
+        "cat1": {"sel": "ul.td-category li"},
+        "block": {"para_sel": "div.td-post-content.tagdiv-type p",
+                  "img_sel": "div.td-post-featured-image img"},
+    },
+}
+
+DEVB_RULES = {
+    # devbhoomimedia.py: menu keeps ONLY one-segment /category/X/ hrefs
+    # (py:52-56 — the two-segment regex skips subcategories); ungated
+    # entries; pagination = the page-nav's .page link, gated on the last
+    # span6 time@datetime isoT (py:66-76); article categories from
+    # breadcrumb positions [1]/[2] (py:82-84), abstract from the content
+    # h3 spans and body from its h5 spans (py:93-103).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "date_style": "isoT",
+    "page_time_style": "isoT",
+    "extract": {
+        "category": {"sel": "#menu-main-menu-1 li a",
+                     "href_re": r"https://www\.devbhoomimedia\.com/"
+                                r"category/[^/]+/$"},
+        "entry": {"sel": ".td-ss-main-content .td-block-row h3 a"},
+        "next": {"sel": ".page-nav.td-pb-padding-side .page",
+                 "attr": "href"},
+        "page_time": {"sel": ".td-block-row .td-block-span6 "
+                             "span.td-post-date time",
+                      "index": -1, "attr": "datetime"},
+        "title": {"sel": ".td-post-header header h1"},
+        "pub": {"sel": ".td-post-header .td-post-date time",
+                "attr": "datetime"},
+        "cat1": {"sel": ".td-crumb-container div span a", "index": 1},
+        "cat2": {"sel": ".td-crumb-container div span a", "index": 2},
+        # the reference '\n'-joins ALL h3 spans (py:93-98); these
+        # fixtures carry one, so the first-match scalar is equivalent
+        "abstract": {"sel": ".td-post-content.tagdiv-type h3 span"},
+        "block": {"para_sel": ".td-post-content.tagdiv-type h5 span",
+                  "img_sel": ".td-post-featured-image a img"},
+    },
+}
+
+TIMORPOST_RULES = {
+    # diariutimorpost.py: menu minus its first link (py:36); NO
+    # pagination; the page gate (last post--info li, fuzzy) must pass
+    # before ANY entry is yielded (py:49-58); category1 is regexed out
+    # of the list page's own 'Category: X' header (py:51-53); article
+    # body is the h4,p union in document order (py:71-77).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "page_gate_drops_entries": True,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "extract": {
+        "category": {"sel": "div#headerNav ul#menu-main-menu li a",
+                     "skip": 1},
+        "entry": {"sel": "div.title h3.h4 a"},
+        "cat1_self": {"sel": "div.post--items-title h2.h4",
+                      "re": r"Category: (\S+)"},
+        "page_time": {"sel": "div.post--info ul li", "index": -1},
+        "title": {"sel": "div.title h2.titlePostDetail"},
+        "pub": {"sel": ".post--info li span", "index": 0},
+        "block": {"para_sel": ["div.post--content h4",
+                               "div.post--content p"],
+                  "img_sel": "div.post--img a img"},
+    },
+}
+
+DUNVALLEY_RULES = {
+    # dunvalleymail.py: menu = one pinned li + every mega-menu child +
+    # another pinned li (py:35-44); list pages read BOTH categories off
+    # their own breadcrumb, branching on how many <i> separators the
+    # trail shows — one-level pages store a literal ' ' as category2
+    # (py:49-51); two entry groups (big grid + the main-content module
+    # titles under a select_one scope, py:52-59); gate = the last span6
+    # time, fuzzy (a page without span6 blocks gates on 'January 1,
+    # 1970' — always stale, so it never paginates, py:60-62: the missing
+    # page_time here stops the chain the same way); next = the page-nav's
+    # LAST link only while it still wraps an <i> chevron (py:63-66);
+    # article abstract = the body's first danda segment (py:88).
+    # The reference threads ONE shared DemoItem object through meta, so
+    # its categories are scheduling-order-dependent; here each entry
+    # carries its own list page's breadcrumb lineage (the intended
+    # semantics, noted as a deliberate divergence).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "abstract_split": {"sep": "।"},
+    "extract": {
+        "category": [{"sel": "li.menu-item-1078 > a"},
+                     {"sel": "div.block-mega-child-cats a"},
+                     {"sel": "li.menu-item-1619 > a"}],
+        "cat1_self": {"if_count": {"sel": "div.entry-crumbs i", "eq": 1},
+                      "then": {"sel": "div.entry-crumbs "
+                                      "span.td-bred-no-url-last"},
+                      "else": {"sel": "div.entry-crumbs span",
+                               "index": -2}},
+        "cat2_self": {"if_count": {"sel": "div.entry-crumbs i", "eq": 1},
+                      "then": {"const": " "},
+                      "else": {"sel": "div.entry-crumbs "
+                                      "span.td-bred-no-url-last"}},
+        "entry": [{"sel": "div.td-big-grid-wrapper h3",
+                   "fields": {"href": {"sel": "a", "attr": "href"}}},
+                  {"scope": {"sel": ".td-pb-span8.td-main-content > div",
+                             "index": 0},
+                   "sel": "h3.entry-title.td-module-title",
+                   "fields": {"href": {"sel": "a", "attr": "href"}}}],
+        "page_time": {"sel": "div.td-block-span6 time", "index": -1},
+        "next": {"sel": "div.page-nav.td-pb-padding-side a",
+                 "index": -1, "attr": "href", "require_child": "i"},
+        "title": {"sel": "header.td-post-title h1"},
+        "pub": {"sel": "header.td-post-title time"},
+        "block": {"para_sel": "div.td-post-content p",
+                  "para_sel_fallback": "div.td-post-content div",
+                  "img_sel": "div.td-post-featured-image a img"},
+    },
+}
+
+EMSINDIA_RULES = {
+    # emsindia.py: start_requests side-fetches the home page and mines
+    # .dropdown>a[:8] as category seeds (py:30-34 — modeled as the seed
+    # menu fetch, the shangbao convention); each list yields the LAST
+    # .inner block's link back into parse itself (py:37-39 — the
+    # featured article is re-parsed as a LIST and stores nothing,
+    # bug-faithful) plus the .borderT grid minus its last member with
+    # each row's own lead image (py:40-42); NO pagination and no list
+    # gate — the ARTICLE gates itself on the d/m/Y stamp in its
+    # style-keyed header and drops silently when stale (py:47-50);
+    # abstract = the single h2 body's text before the first '|'
+    # (py:58-59). The reference's category2 is a literal '' (py:31);
+    # stored as NULL here like every other port.
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "article_drop_old": True,
+    "date_style": "dmy_slash",
+    "title_priority": "page",
+    "abstract_split": {"sep": "|"},
+    "extract": {
+        "category": {"sel": ".dropdown > a", "slice": [0, 8]},
+        "entry": [{"scope": {"sel": "div.inner", "index": -1},
+                   "sel": "a", "kind": "list"},
+                  {"sel": ".borderT", "slice": [0, -1],
+                   "fields": {"href": {"sel": "a", "attr": "href"},
+                              "img": {"sel": "a img", "attr": "src"}}}],
+        "title": {"sel": ".inner > h2", "index": 0},
+        "pub": {"sel": '[style="font-size: 16px; font-weight:normal;"]'},
+        "body_fallback": {"sel": ".inner > h2", "index": 2},
+        "block": {"para_sel": ".inner > p"},
+    },
+}
+
+EMSTV_RULES = {
+    # emstv.py: ./-relative menu and entry links re-homed onto the site
+    # root (py:40,49 — urljoin lands on the same URL); TWO entry groups
+    # (.col-md-8 h5>a , .read-more — py:46's comma select); NO time gate
+    # anywhere: every article is stored regardless of the cutoff; body =
+    # the LAST #ccr-article paragraph only (py:65), abstract hardcoded
+    # '' (py:63 — the const rule), images always [] (py:68), d/m/Y time
+    # tag (py:70-73).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "article_pub_priority": "page",
+    "title_priority": "page",
+    "date_style": "dmy_slash",
+    "extract": {
+        "category": {"sel": ".nav > li > a"},
+        "entry": [{"sel": ".col-md-8 h5 > a"}, {"sel": ".read-more"}],
+        "title": {"sel": "#ccr-article > h1 > a"},
+        "pub": {"sel": "time"},
+        "abstract": {"const": ""},
+        "body_fallback": {"sel": "#ccr-article p", "index": -1},
+        "block": {},
+    },
+}
+
+
+def _build_dainiknavajyoti(g: _G) -> None:
+    host = "www.dainiknavajyoti.net"
+    wid = 1002
+    g.registry[wid] = dict(DNJ_RULES)
+    g.seeds.append({"url": "http://www.dainiknavajyoti.com/",
+                    "website_id": wid, "language_id": 1930})
+    # topbar: del 0, -1, -3, -1 over 8 links keeps indices 1,2,3,5
+    links = ["/home", "/rajasthan", "/editorial", "/desh", "/kept-x",
+             "/videsh", "/dropped-y", "/epaper"]
+    g.page("http://www.dainiknavajyoti.com/", "menu",
+           "<html><ul id=\"topbar\">" + "".join(
+               f'<li><a href="{u}">L{i}</a></li>'
+               for i, u in enumerate(links)) + "</ul></html>",
+           "www.dainiknavajyoti.com")
+
+    def dnj(dt: datetime) -> str:
+        return (f"Wednesday, {_MON_FULL[dt.month - 1]} {dt.day}, "
+                f"{dt.year} {dt.hour:02d}:{dt.minute:02d}")
+
+    def art(tag: str, dt: datetime) -> str:
+        return (f'<html><div class="col-xs-12 col-md-8"><div><h3>DNJ '
+                f"{tag}</h3></div></div>"
+                f'<div class="pubdate">{dnj(dt)}</div>'
+                f'<div style="font-size:28px;padding-bottom:0px;">'
+                f"राजस्थान</div>"
+                f'<img class="adjimage1" src="images/{tag}.jpg">'
+                f'<div id="contentsec"><p>dnj पहला {tag}।</p>'
+                f"<p>dnj दूसरा।</p></div></html>")
+
+    skip_url = (DNJ_NET + "/editorial/Know-what-is-special-in-the-"
+                "government.html")
+    g.page(skip_url, "article", art("skipped", BASE_DT), host)
+    for cslug in ("rajasthan", "editorial", "desh", "videsh"):
+        for p, ages in enumerate([(0.0, 12.0), (24.0, 44.0)], 1):
+            rows = []
+            for e, age in enumerate(ages):
+                dt = BASE_DT - timedelta(hours=age)
+                aurl = f"{DNJ_NET}/{cslug}/story-{p}-{e}.html"
+                g.page(aurl, "article", art(f"{cslug[0]}{p}{e}", dt),
+                       host)
+                rows.append(aurl)
+            if cslug == "editorial" and p == 1:
+                # the carved-out URL appears mid-list and is skipped
+                rows.insert(1, skip_url)
+            arts = "".join(
+                f'<div class="section_news"><h3><a href="{u}">t</a>'
+                "</h3></div>" for u in rows
+            )
+            nxt = (f'<ul id="pagination"><li><a href="{DNJ_NET}/'
+                   f'{cslug}?page={p + 1}">Next»</a></li>'
+                   f"<li><a href=\"{DNJ_NET}/{cslug}?page=0\">«Prev</a>"
+                   f"</li></ul>")
+            lurl = (f"{DNJ_NET}/{cslug}" if p == 1
+                    else f"{DNJ_NET}/{cslug}?page={p}")
+            g.page(lurl, "list", f"<html>{arts}{nxt}</html>", host)
+
+
+def _build_dekhobhopal(g: _G) -> None:
+    host, base = "dekhobhopal.com", "http://dekhobhopal.com"
+    wid = 1003
+    g.registry[wid] = dict(DEKHO_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><ul id="menu-td-demo-header-menu-1">'
+           f'<li><a href="{base}/">Home</a></li>'
+           f'<li><a href="{base}/video/">Video</a></li>'
+           f'<li><a href="{base}/bhopal/">भोपाल</a></li>'
+           f'<li><a href="{base}/mp/">मप्र</a></li>'
+           f'<li><a href="{base}/stale/">पुराना</a></li>'
+           f"</ul></html>", host)
+
+    def ord_date(dt: datetime) -> str:
+        return f"{dt.day}th {_MON_FULL[dt.month - 1]} {dt.year}"
+
+    def art(tag: str, dt: datetime) -> str:
+        return (f'<html><header class="td-post-title">'
+                f'<h1 class="entry-title">DKB {tag}</h1>'
+                f'<span class="td-post-date">{ord_date(dt)}</span>'
+                f"</header>"
+                f'<ul class="td-category"><li>भोपाल समाचार</li></ul>'
+                f'<div class="td-post-featured-image">'
+                f'<img src="{base}/f/{tag}.jpg"></div>'
+                f'<div class="td-post-content tagdiv-type">'
+                f"<p>dkb पहला {tag}।</p><p>dkb दूसरा।</p></div></html>")
+
+    def lst(slug: str, rows: list[str], dates: list[datetime] | None) \
+            -> str:
+        grid = (f'<div class="td-big-grid-wrapper">'
+                f'<div class="td-module-thumb"><a href="{rows[0]}">t</a>'
+                f"</div></div>")
+        span6 = "".join(
+            f'<div class="td-block-span6"><h3><a href="{u}">t</a></h3>'
+            "</div>" for u in rows[1:]
+        )
+        vis = ("".join(
+            f'<div class="td-ss-main-content-x"></div>') if dates is None
+            else "".join(
+                f'<div class="td-ss-main-content">'
+                f'<span class="td-post-date">{ord_date(d)}</span></div>'
+                for d in dates))
+        return f"<html>{grid}{span6}{vis}</html>"
+
+    # bhopal: visible dates, fresh → entries stored
+    arts = []
+    for e in range(3):
+        dt = BASE_DT - timedelta(hours=e * 6)
+        aurl = f"{base}/bhopal-khabar-{e}/"
+        g.page(aurl, "article", art(f"bh{e}", dt), host)
+        arts.append(aurl)
+    g.page(f"{base}/bhopal/", "list",
+           lst("bhopal", arts, [BASE_DT, BASE_DT - timedelta(hours=12)]),
+           host)
+    # mp: NO visible dates → side-fetch gate on the last entry (fresh)
+    arts = []
+    for e in range(2):
+        dt = BASE_DT - timedelta(hours=e * 6)
+        aurl = f"{base}/mp-khabar-{e}/"
+        g.page(aurl, "article", art(f"mp{e}", dt), host)
+        arts.append(aurl)
+    g.page(f"{base}/mp/", "list", lst("mp", arts, None), host)
+    # stale: visible dates all old → page dropped entirely
+    aurl = f"{base}/stale-khabar-0/"
+    g.page(aurl, "article",
+           art("st0", BASE_DT - timedelta(hours=60)), host)
+    g.page(f"{base}/stale/", "list",
+           lst("stale", [aurl, aurl],
+               [BASE_DT - timedelta(hours=60)]), host)
+
+
+def _build_devbhoomimedia(g: _G) -> None:
+    host = "www.devbhoomimedia.com"
+    base = "https://www.devbhoomimedia.com"
+    wid = 935
+    g.registry[wid] = dict(DEVB_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><div class="tdc-header-wrap"><div id="td-header-menu">'
+           f'<ul id="menu-main-menu-1">'
+           f'<li><a href="#">उत्तराखंड</a></li>'
+           f'<li><a href="{base}/category/uttarakhand/">उत्तराखंड</a>'
+           f"</li>"
+           f'<li><a href="{base}/category/uttarakhand/dehradun/">देहरादून'
+           f"</a></li>"
+           f'<li><a href="{base}/category/desh/">देश</a></li>'
+           f"</ul></div></div></html>", host)
+
+    def iso(dt: datetime) -> str:
+        return dt.strftime("%Y-%m-%dT%H:%M:%S") + "+05:30"
+
+    def art(tag: str, dt: datetime, crumbs: int = 3) -> str:
+        spans = ('<span a="1"><a href="#">Home</a></span>'
+                 f'<span a="2"><a href="#">उत्तराखंड</a></span>')
+        if crumbs > 2:
+            spans += '<span a="3"><a href="#">देहरादून</a></span>'
+        return (f'<html><div class="td-crumb-container"><div>{spans}'
+                f"</div></div>"
+                f'<div class="td-post-header"><header><h1>DBM {tag}</h1>'
+                f'</header><span class="td-post-date">'
+                f'<time datetime="{iso(dt)}">d</time></span></div>'
+                f'<div class="td-post-featured-image">'
+                f'<a href="#"><img src="{base}/f/{tag}.jpg"></a></div>'
+                f'<div class="td-post-content tagdiv-type">'
+                f"<h3><span>dbm सार {tag}</span></h3>"
+                f"<h5><span>dbm पहला {tag}।</span></h5>"
+                f"<h5><span>dbm दूसरा।</span></h5></div></html>")
+
+    def lst(slug: str, rows: list[tuple[str, datetime]],
+            nxt: str | None) -> str:
+        mods = "".join(
+            f'<div class="td-block-row"><div class="td-block-span6">'
+            f'<h3><a href="{u}">t</a></h3>'
+            f'<span class="td-post-date"><time datetime="{iso(dt)}">d'
+            f"</time></span></div></div>"
+            for u, dt in rows
+        )
+        nav = (f'<div class="page-nav td-pb-padding-side">'
+               f'<a class="page" href="{nxt}">2</a></div>' if nxt else "")
+        return (f'<html><div id="td-outer-wrap"><div class="td-container">'
+                f'<div class="td-pb-span8 td-main-content">'
+                f'<div class="td-ss-main-content">{mods}{nav}</div>'
+                f"</div></div></div></html>")
+
+    for p, ages in enumerate([(0.0, 12.0), (24.0, 44.0)], 1):
+        rows = []
+        for e, age in enumerate(ages):
+            dt = BASE_DT - timedelta(hours=age)
+            aurl = f"{base}/uttarakhand-khabar-{p}-{e}/"
+            g.page(aurl, "article",
+                   art(f"uk{p}{e}", dt, crumbs=3 if e == 0 else 2), host)
+            rows.append((aurl, dt))
+        nxt = f"{base}/category/uttarakhand/page/{p + 1}/"
+        lurl = (f"{base}/category/uttarakhand/" if p == 1
+                else f"{base}/category/uttarakhand/page/{p}/")
+        g.page(lurl, "list", lst("uk", rows, nxt), host)
+    dt = BASE_DT
+    aurl = f"{base}/desh-khabar-1-0/"
+    g.page(aurl, "article", art("ds10", dt), host)
+    g.page(f"{base}/category/desh/", "list", lst("ds", [(aurl, dt)], None),
+           host)
+
+
+def _build_diariutimorpost(g: _G) -> None:
+    host, base = "diariutimorpost.com", "http://diariutimorpost.com"
+    wid = 690
+    g.registry[wid] = dict(TIMORPOST_RULES)
+    g.seeds.append({"url": base + "/pt/", "website_id": wid,
+                    "language_id": 2122})
+    g.page(base + "/pt/", "menu",
+           f'<html><div id="headerNav"><ul id="menu-main-menu">'
+           f'<li><a href="{base}/pt/">Home</a></li>'
+           f'<li><a href="{base}/pt/nacional/">Nacional</a></li>'
+           f'<li><a href="{base}/pt/mundo/">Mundo</a></li>'
+           f"</ul></div></html>", host)
+
+    def art(tag: str, dt: datetime) -> str:
+        return (f'<html><div class="title"><h2 class="titlePostDetail">'
+                f"DTP {tag}</h2></div>"
+                f'<div class="post--info"><ul><li><span>{_mdy_hm(dt)}'
+                f"</span></li></ul></div>"
+                f'<div class="post--img"><a href="#">'
+                f'<img src="{base}/i/{tag}.jpg"></a></div>'
+                f'<div class="post--content"><h4>dtp lede {tag}</h4>'
+                f"<p>dtp primeiro.</p><p>dtp segundo.</p></div></html>")
+
+    def lst(cat: str, rows: list[str], dates: list[datetime]) -> str:
+        arts = "".join(
+            f'<div class="title"><h3 class="h4"><a href="{u}">t</a>'
+            "</h3></div>" for u in rows
+        )
+        info = "".join(f"<li>{_mdy_hm(d)}</li>" for d in dates)
+        return (f'<html><div class="post--items-title">'
+                f'<h2 class="h4">Category: {cat}</h2></div>'
+                f"{arts}"
+                f'<div class="post--info"><ul>{info}</ul></div></html>')
+
+    # nacional: fresh gate → stored; mundo: stale last date → dropped
+    arts = []
+    for e in range(2):
+        dt = BASE_DT - timedelta(hours=e * 6)
+        aurl = f"{base}/pt/nacional-noticia-{e}/"
+        g.page(aurl, "article", art(f"na{e}", dt), host)
+        arts.append(aurl)
+    g.page(f"{base}/pt/nacional/", "list",
+           lst("Nacional", arts,
+               [BASE_DT, BASE_DT - timedelta(hours=12)]), host)
+    aurl = f"{base}/pt/mundo-noticia-0/"
+    g.page(aurl, "article", art("mu0", BASE_DT), host)
+    g.page(f"{base}/pt/mundo/", "list",
+           lst("Mundo", [aurl], [BASE_DT - timedelta(hours=60)]), host)
+
+
+def _build_dunvalleymail(g: _G) -> None:
+    host, base = "dunvalleymail.com", "http://dunvalleymail.com"
+    wid = 1126
+    g.registry[wid] = dict(DUNVALLEY_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><ul id="menu-td-demo-header-menu-1">'
+           f'<li class="menu-item menu-item-1078">'
+           f'<a href="{base}/world/">World</a></li>'
+           f'<li class="menu-item td-mega-menu">'
+           f'<div class="block-mega-child-cats">'
+           f'<a href="{base}/dehradun/">देहरादून</a>'
+           f'<a href="{base}/uttarakhand/haridwar/">हरिद्वार</a></div>'
+           f"</li>"
+           f'<li class="menu-item menu-item-1619">'
+           f'<a href="{base}/gadgets/">Gadgets</a></li>'
+           f"</ul></html>", host)
+
+    def art(tag: str, dt: datetime, fb: bool = False) -> str:
+        body = ('<div class="td-post-content"><div>dvm पहला '
+                f"{tag}। dvm दूसरा।</div></div>" if fb else
+                f'<div class="td-post-content"><p>dvm पहला {tag}। '
+                f"dvm दूसरा।</p><p>dvm तीसरा।</p></div>")
+        return (f'<html><header class="td-post-title"><h1>DVM {tag}</h1>'
+                f"<time>{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+                f"</time></header>"
+                f'<div class="td-post-featured-image">'
+                f'<a href="#"><img src="{base}/f/{tag}.jpg"></a></div>'
+                f"{body}</html>")
+
+    def lst(crumb_levels: int, cat1: str, cat2: str | None,
+            rows: list[tuple[str, datetime]], nxt: str | None,
+            last_page: bool = False) -> str:
+        if crumb_levels == 1:
+            crumbs = ('<div class="entry-crumbs"><i>/</i>'
+                      f'<span class="td-bred-no-url-last">{cat1}</span>'
+                      "</div>")
+        else:
+            crumbs = ('<div class="entry-crumbs"><i>/</i><i>/</i>'
+                      f"<span>होम</span><span>{cat1}</span>"
+                      f'<span class="td-bred-no-url-last">{cat2}</span>'
+                      "</div>")
+        grid = (f'<div class="td-big-grid-wrapper"><h3>'
+                f'<a href="{rows[0][0]}">t</a></h3></div>')
+        mods = "".join(
+            f'<h3 class="entry-title td-module-title"><a href="{u}">t'
+            "</a></h3>" for u, _dt in rows[1:]
+        )
+        span6 = "".join(
+            f'<div class="td-block-span6"><time>'
+            f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}</time></div>"
+            for _u, dt in rows
+        )
+        decoy = ('<h3 class="entry-title td-module-title">'
+                 f'<a href="{base}/decoy/">x</a></h3>')
+        nav = ""
+        if nxt:
+            nav = (f'<div class="page-nav td-pb-padding-side">'
+                   f'<a href="{base}/p1/">1</a>'
+                   + (f'<a href="{nxt}">next</a>' if last_page else
+                      f'<a href="{nxt}"><i class="next-i"></i></a>')
+                   + "</div>")
+        return (f"<html>{crumbs}{grid}"
+                f'<div id="td-outer-wrap"><div class="td-main-content-'
+                f'wrap"><div><div><div class="td-pb-span8 '
+                f'td-main-content"><div>{mods}</div>'
+                f"<div>{decoy}</div></div></div></div></div></div>"
+                f"{span6}{nav}</html>")
+
+    # world: one-level crumbs (cat2 = ' '), two pages; page 2's last-a
+    # has no <i> → chain ends there even though dates are fresh
+    for p, ages in enumerate([(0.0, 12.0), (18.0, 24.0)], 1):
+        rows = []
+        for e, age in enumerate(ages):
+            dt = BASE_DT - timedelta(hours=age)
+            aurl = f"{base}/world-story-{p}-{e}/"
+            g.page(aurl, "article",
+                   art(f"w{p}{e}", dt, fb=(p, e) == (1, 1)), host)
+            rows.append((aurl, dt))
+        nxt = f"{base}/world/page/{p + 1}/"
+        lurl = f"{base}/world/" if p == 1 else f"{base}/world/page/{p}/"
+        g.page(lurl, "list",
+               lst(1, "World", None, rows, nxt, last_page=(p == 2)),
+               host)
+    # dehradun: two-level crumbs; stale gate stops pagination
+    rows = []
+    for e, age in enumerate((0.0, 44.0)):
+        dt = BASE_DT - timedelta(hours=age)
+        aurl = f"{base}/dehradun-story-{e}/"
+        g.page(aurl, "article", art(f"d{e}", dt), host)
+        rows.append((aurl, dt))
+    g.page(f"{base}/dehradun/", "list",
+           lst(2, "उत्तराखंड", "देहरादून", rows,
+               f"{base}/dehradun/page/2/"), host)
+    # haridwar + gadgets: single pages, no nav
+    for slug, lvl in (("uttarakhand/haridwar", 2), ("gadgets", 1)):
+        dt = BASE_DT
+        tag = slug.split("/")[-1][:4]
+        aurl = f"{base}/{tag}-story-0/"
+        g.page(aurl, "article", art(tag, dt), host)
+        g.page(f"{base}/{slug}/", "list",
+               lst(lvl, slug.split("/")[-1].title(),
+                   "Sub" if lvl == 2 else None, [(aurl, dt)], None),
+               host)
+
+
+def _build_emsindia(g: _G) -> None:
+    host, base = "emsindia.com", "https://emsindia.com"
+    wid = 1046
+    g.registry[wid] = dict(EMSINDIA_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           "<html>" + "".join(
+               f'<div class="dropdown"><a href="./cat{i}.php">वर्ग {i}'
+               "</a></div>" for i in range(10)
+           ) + "</html>", host)
+
+    def art(tag: str, dt: datetime) -> str:
+        return (f'<html><div class="inner">'
+                f"<h2>EMS {tag}</h2>"
+                f"<h2>संवाद {dt.day:02d}/{dt.month:02d}/{dt.year}</h2>"
+                f"<h2>ems पहला {tag}। | ems दूसरा। शेष।</h2>"
+                f'<div style="font-size: 16px; font-weight:normal;">'
+                f"जारी {dt.day:02d}/{dt.month:02d}/{dt.year} समय</div>"
+                f"</div></html>")
+
+    def featured(tag: str) -> str:
+        # the featured page is re-parsed as a LIST (parse): no .borderT,
+        # no anchor inside .inner → nothing stored, bug-faithful
+        return (f'<html><div class="inner"><h2>EMS {tag}</h2>'
+                f"<h2>no anchor here</h2></div></html>")
+
+    for i in range(2):  # only cat0/cat1 get content; others empty lists
+        rows = []
+        for e in range(3):  # borderT [:-1] → last one never fetched
+            dt = BASE_DT - timedelta(hours=e * 48)  # e=1 stale → dropped
+            aurl = f"./c{i}a{e}.php"
+            g.page(f"{base}/c{i}a{e}.php", "article",
+                   art(f"c{i}a{e}", dt), host)
+            rows.append(aurl)
+        g.page(f"{base}/c{i}feat.php", "list", featured(f"c{i}feat"),
+               host)
+        body = (f'<div class="inner"><a href="./c{i}feat.php">f</a>'
+                f'<img src="{base}/ft/{i}.jpg"></div>'
+                + "".join(
+                    f'<div class="borderT"><a href="{u}">'
+                    f'<img src="{base}/th/{u[2:-4]}.jpg">t</a></div>'
+                    for u in rows))
+        g.page(f"{base}/cat{i}.php", "list", f"<html>{body}</html>",
+               host)
+    for i in range(2, 10):
+        g.page(f"{base}/cat{i}.php", "list",
+               '<html><div class="inner">empty</div></html>', host)
+
+
+def _build_emstv(g: _G) -> None:
+    host, base = "www.emstv.in", "http://www.emstv.in"
+    wid = 1072
+    g.registry[wid] = dict(EMSTV_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><ul class="nav">'
+           f'<li><a href="./desh.php">देश</a></li>'
+           f'<li><a href="./khel.php">खेल</a></li>'
+           f"</ul></html>", host)
+
+    def art(tag: str, dt: datetime) -> str:
+        return (f'<html><div id="ccr-article"><h1><a href="#">ETV {tag}'
+                f"</a></h1>"
+                f"<p>etv पहला {tag}।</p><p>etv अंतिम {tag}।</p></div>"
+                f"<time>{dt.day:02d}/{dt.month:02d}/{dt.year}</time>"
+                f"</html>")
+
+    for cslug in ("desh", "khel"):
+        rows = []
+        for e in range(2):
+            # one article is OLDER than the cutoff and still stored —
+            # emstv has no time gate at all
+            dt = BASE_DT - timedelta(hours=e * 60)
+            aurl = f"./{cslug}{e}.php"
+            g.page(f"{base}/{cslug}{e}.php", "article",
+                   art(f"{cslug}{e}", dt), host)
+            rows.append(aurl)
+        body = (f'<div class="col-md-8"><h5><a href="{rows[0]}">t</a>'
+                f"</h5></div>"
+                f'<a class="read-more" href="{rows[1]}">Read more</a>')
+        g.page(f"{base}/{cslug}.php", "list", f"<html>{body}</html>",
+               host)
+
+
 SITE_BUILDERS = {
     "zeenews": _build_zeenews,
     "aajtak": _build_aajtak,
@@ -8020,6 +8716,13 @@ SITE_BUILDERS = {
     "bicolstandard": _build_bicolstandard,
     "businessmirror": _build_businessmirror,
     "cebudailynews": _build_cebudailynews,
+    "dainiknavajyoti": _build_dainiknavajyoti,
+    "dekhobhopal": _build_dekhobhopal,
+    "devbhoomimedia": _build_devbhoomimedia,
+    "diariutimorpost": _build_diariutimorpost,
+    "dunvalleymail": _build_dunvalleymail,
+    "emsindia": _build_emsindia,
+    "emstv": _build_emstv,
 }
 
 

@@ -140,7 +140,7 @@ def test_selector_entry_fields_form():
     out = extract_payload("list", html, rules)
     assert out["entries"][0] == {
         "href": "/x", "title": "X story", "pub_time_raw": "May 1, 2021",
-        "img": None, "abstract": None, "cat2": None,
+        "img": None, "abstract": None, "cat2": None, "kind": None,
     }
     assert out["entries"][1]["href"] == "/y"
 

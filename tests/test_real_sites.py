@@ -52,6 +52,7 @@ def test_all_sites_produce_documents(sim):
         1071, 1130, 196, 533, 449, 488,
         966, 378, 1150, 1140, 195, 498,
         1061, 1011, 1054, 491, 188, 446,
+        1002, 1003, 935, 690, 1126, 1046, 1072,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -1151,7 +1152,8 @@ def test_tranche_d_wordpress_family_contracts(sim):
     assert sum("coolbuster" in u and "updated-max" in u
                for u in fetched) == 1  # page 2 only
     # yashbharat/tehelkahindi: suppressed parents, children crawled
-    assert not any(u.endswith("/mp/") for u in fetched)
+    assert not any("yashbharat" in u and u.endswith("/mp/")
+                   for u in fetched)
     assert any("mp/jabalpur" in u for u in fetched)
     assert not any(u.endswith("tehelkahindi.com/rajya/")
                    for u in fetched)
@@ -1399,6 +1401,84 @@ def test_tranche_h_contracts(sim):
     assert lf["category1"] == "life"
     assert any(u.endswith("/category/breaking/page/2") for u in fetched)
     assert not any("/category/breaking/page/3" in u for u in fetched)
+
+
+def test_tranche_i_contracts(sim):
+    """dainiknavajyoti: del-cascade menu, .net href re-homing, hardcoded
+    entry carve-out, side-fetch page gate, prefixed images.
+    dekhobhopal: gate-before-entries with a side-fetch fallback, ordinal
+    dates, no pagination. devbhoomimedia: one-segment menu filter,
+    breadcrumb [1]/[2] categories, h3/h5-span content. diariutimorpost:
+    'Category: X' header regex, gate-drops-entries, h4+p union body.
+    dunvalleymail: i-count breadcrumb branching (' ' category2),
+    chevron-guarded next. emsindia: featured-link re-parsed as a list,
+    [:-1] grid slice, article-level drop-old. emstv: no gate at all,
+    const '' abstract, last-paragraph body."""
+    fetched = [u for _b, u in sim["crawl_log"]]
+    # dainiknavajyoti
+    dn = {d["request_url"]: d for d in _docs_by_site(sim)[1002]}
+    assert len(dn) == 16  # 4 kept menu cats × 4 (side-fetch gate at p2)
+    assert not any("Know-what" in u for u in fetched)  # carve-out
+    assert not any("kept-x" in u or "dropped-y" in u or "epaper" in u
+                   or u.endswith("/home") for u in fetched)  # del cascade
+    d10 = dn["https://www.dainiknavajyoti.net/desh/story-1-0.html"]
+    assert d10["spans"][0]["media_ref"].startswith(
+        "https://www.dainiknavajyoti.net/images/")  # img_prefix
+    assert d10["pub_time"] == "2021-05-30 12:00:00"  # Weekday, M D, Y H:M
+    assert not any("dainiknavajyoti" in u and "page=3" in u
+                   for u in fetched)
+    # dekhobhopal — stale page dropped; date-less page side-fetch gated
+    dk = {d["request_url"]: d for d in _docs_by_site(sim)[1003]}
+    assert len(dk) == 5 and not any("stale-khabar" in u
+                                    for u in (d["request_url"]
+                                              for d in dk.values()))
+    assert any(u.endswith("/stale/") for u in fetched)  # fetched, dropped
+    assert dk["http://dekhobhopal.com/mp-khabar-0/"][
+        "category1"] == "भोपाल समाचार"
+    # devbhoomimedia — menu regex keeps one-segment categories only
+    assert not any("uttarakhand/dehradun" in u and "devbhoomimedia" in u
+                   for u in fetched)
+    db = {d["request_url"]: d for d in _docs_by_site(sim)[935]}
+    uk11 = db["https://www.devbhoomimedia.com/uttarakhand-khabar-1-1/"]
+    assert uk11["category2"] is None  # two-crumb page
+    assert uk11["abstract"] == "dbm सार uk11"  # h3 span
+    # diariutimorpost — mundo's stale gate drops the whole page
+    dt_ = {d["request_url"]: d for d in _docs_by_site(sim)[690]}
+    assert len(dt_) == 2
+    assert any(u.endswith("/pt/mundo/") for u in fetched)
+    assert dt_["http://diariutimorpost.com/pt/nacional-noticia-0/"][
+        "category1"] == "Nacional"  # 'Category: X' regex
+    # dunvalleymail — i-count branching and the chevron guard
+    dv = {d["request_url"]: d for d in _docs_by_site(sim)[1126]}
+    w = dv["http://dunvalleymail.com/world-story-1-0/"]
+    assert (w["category1"], w["category2"]) == ("World", " ")
+    d2 = dv["http://dunvalleymail.com/dehradun-story-0/"]
+    assert (d2["category1"], d2["category2"]) == ("उत्तराखंड", "देहरादून")
+    assert any("world/page/2" in u for u in fetched)
+    assert not any("world/page/3" in u for u in fetched)  # no <i> in last
+    assert not any("dehradun/page/2" in u for u in fetched)  # stale gate
+    assert not any("/decoy/" in u for u in fetched)  # select_one scope
+    assert w["abstract"] == "dvm पहला w10"  # danda split
+    # emsindia
+    em = {d["request_url"]: d for d in _docs_by_site(sim)[1046]}
+    assert len(em) == 2  # one fresh per category
+    assert any("c0feat" in u for u in fetched)  # featured fetched…
+    assert not any("feat" in u for u in em)  # …but stores nothing
+    assert any("c0a1" in u for u in fetched)  # stale: fetched…
+    assert not any("a1.php" in u for u in em)  # …dropped at article level
+    assert not any("a2.php" in u for u in fetched)  # [:-1] slice
+    a0 = em["https://emsindia.com/c0a0.php"]
+    assert a0["abstract"] == "ems पहला c0a0। "  # '|' split, verbatim
+    assert a0["spans"][0]["kind"] == "image"  # row's own lead img
+    # emstv — no gate: the 60-hour-old article is still stored
+    ev = {d["request_url"]: d for d in _docs_by_site(sim)[1072]}
+    assert len(ev) == 4
+    assert ev["http://www.emstv.in/desh1.php"][
+        "pub_time"] == "2021-05-28 00:00:00"
+    assert ev["http://www.emstv.in/desh0.php"]["abstract"] == ""
+    texts = [s["text"] for s in
+             ev["http://www.emstv.in/desh0.php"]["spans"]]
+    assert texts == ["etv अंतिम desh0।"]  # LAST paragraph only
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,
