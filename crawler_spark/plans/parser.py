@@ -52,6 +52,29 @@ AGRA_HINDI_MONTHS = {
     "दिसंबर": 12,
 }
 
+# panchjanya.py:85-119 time_adjustment — bug-faithful table: the March
+# branch tests 'जुलूस' (a mistranslation), BOTH October spellings map,
+# and the month-11 branch tests 'दिसंबर' (December) so दिसंबर → 11 and a
+# clean 'नवंबर' matches NO branch (month='None' → the caller's
+# try/except falls back to now). The mojibake alternates in the
+# reference are latin-1 re-encodings of the clean spellings — unreachable
+# given UTF-8 pages, not carried.
+PANCHJANYA_HINDI_MONTHS = {
+    "जनवरी": 1, "फ़रवरी": 2, "जुलूस": 3, "अप्रैल": 4, "मई": 5, "जून": 6,
+    "जुलाई": 7, "अगस्त": 8, "सितंबर": 9, "अक्टूबर": 10, "अक्तूबर": 10,
+    "दिसंबर": 11,
+}
+
+# loktej.py:102-120 time_adjustment factors — relative '<n> <unit> ago'
+# stamps subtracted from NOW (deterministically: from ``as_of``); note
+# the reference's month = 28 days exactly and year = 365 days.
+_AGO_EN_FACTORS = {
+    "second": 1, "seconds": 1, "min": 60, "mins": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800, "month": 2419200,
+    "months": 2419200, "year": 31536000, "years": 31536000,
+}
+
 # Pagination rule names (the 6 corpus types).
 NEXT_LINK = "next_link"  # payload carries an explicit next href
 PAGE_PARAM = "page_param"  # ?page=N increment while has_more
@@ -341,6 +364,35 @@ def parse_site_date(raw: str | None, style: str | None,
             if mon in MONTHS:
                 return datetime(int(year), MONTHS[mon], int(day))
             return as_of.replace(microsecond=0)
+        if style == "ago_en":
+            # loktej.py:102-120: '<n> <unit> [ago]' relative stamps,
+            # anchored to as_of for determinism (the reference anchors
+            # to time.time()).
+            t = raw.split(" ")
+            fac = _AGO_EN_FACTORS.get(t[1])
+            if fac is None:
+                return as_of.replace(microsecond=0)
+            return (as_of - timedelta(seconds=float(t[0]) * fac)).replace(
+                microsecond=0
+            )
+        if style == "hindi_dmy_dash":
+            # panchjanya.py:74-84: the byline's SECOND space token is
+            # 'D-<Hindi month>-YYYY'; the bug-faithful month table above
+            # (दिसंबर → 11, नवंबर unmapped → fallback-now via the
+            # reference's try/except).
+            tok = raw.split(" ")[1]
+            d, mon, y = tok.split("-")
+            return datetime(int(y), PANCHJANYA_HINDI_MONTHS[mon], int(d))
+        if style == "dmy_hms_sp":
+            # inextlive.py:40-43,67-68: 'D Mon YYYY HH:MM:SS' (no comma)
+            # regexed out of the '| Updated Date:' banner; rendered
+            # 'Y-m-d ' + the HH:MM:SS token verbatim.
+            t = raw.split(" ")
+            if t[1] in MONTHS:
+                hh, mm, ss = t[3].split(":")
+                return datetime(int(t[2]), MONTHS[t[1]], int(t[0]),
+                                int(hh), int(mm), int(ss))
+            return as_of.replace(microsecond=0)
         if style == "ymd":
             return datetime.strptime(raw.strip(), "%Y-%m-%d %H:%M:%S")
         if style == "hindi_dmy":
@@ -449,6 +501,10 @@ def _sel_scalar(tree, spec: dict) -> str | None:
     rules that split the value on a specific whitespace character
     (agrasamachar.py:54's '\\xa0' body-line separator) need it verbatim."""
     nodes = htmlsel.select(tree, spec["sel"])
+    if spec.get("text_eq") is not None:
+        # keep only nodes whose text equals the literal — loktej.py:57-60
+        # walks the page-nav anchors looking for the one reading 'Next »'
+        nodes = [n for n in nodes if n.text() == spec["text_eq"]]
     if not nodes:
         return None
     if spec.get("join"):
@@ -490,8 +546,13 @@ def _cond_scalar(dom_fn, html: str, spec):
         if "if_count" in spec:
             ic = spec["if_count"]
             n = len(htmlsel.select(dom_fn(), ic["sel"]))
-            branch = (spec["then"] if n == int(ic.get("eq", 1))
-                      else spec["else"])
+            if "ge" in ic:
+                # threshold form — inextlive.py:62's 'category2 only when
+                # the breadcrumb shows >= 4 spans'
+                hit = n >= int(ic["ge"])
+            else:
+                hit = n == int(ic.get("eq", 1))
+            branch = spec["then"] if hit else spec["else"]
             return _cond_scalar(dom_fn, html, branch)
         if "sel" in spec:
             return _sel_scalar(dom_fn(), spec)
@@ -825,7 +886,13 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                     nodes = list(nodes)
                     for di in spec["drop_seq"]:
                         try:
-                            del nodes[di]
+                            # a two-element list is a SLICE del —
+                            # panchjanya.py:34's 'del categories[13:17]'
+                            # after two single dels
+                            if isinstance(di, (list, tuple)):
+                                del nodes[di[0]:di[1]]
+                            else:
+                                del nodes[di]
                         except IndexError:
                             pass
                 stopped = False
@@ -848,6 +915,13 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                     else:
                         link = n
                     href = link.attr(spec.get("attr", "href"))
+                    if spec.get("label_attr"):
+                        # the category label is an ATTRIBUTE of the link,
+                        # not its text — world.py:31-33 reads i.get('title')
+                        # as category1
+                        text_override = link.attr(spec["label_attr"])
+                    else:
+                        text_override = None
                     if href is not None and spec.get("href_prefix"):
                         # the spider bolts a FIXED host onto relative menu
                         # hrefs — a different host than the start URL, so
@@ -855,7 +929,8 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                         # (dainiknavajyoti.py:39 prepends the .net domain
                         # to links mined off the .com home page)
                         href = spec["href_prefix"] + href
-                    text = link.text()
+                    text = (text_override if text_override is not None
+                            else link.text())
                     if zip_labels is not None:
                         text = (zip_labels[zi] if zi < len(zip_labels)
                                 else text)
@@ -974,6 +1049,22 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
             else bool(re.search(rm, html))
         ):
             return {"entries": [], "has_more": False}
+        # ``list_if``/``submenu``: presence-dispatched recursion — a page
+        # WITHOUT the list container is really a deeper section index
+        # whose links feed back into the SAME list callback
+        # (inextlive.py:39-53: '.topicList' pages are lists, otherwise
+        # the '.MainHd a' links recurse into parse2).
+        li_marker = rules.get("list_if")
+        if kind == "list" and li_marker is not None and not htmlsel.select(
+            dom(), li_marker["sel"]
+        ):
+            sm = rules.get("submenu")
+            links = []
+            if sm:
+                links = [a.attr(sm.get("attr", "href"))
+                         for a in htmlsel.select(dom(), sm["sel"])]
+            return {"entries": [], "has_more": False,
+                    "submenu_links": [h for h in links if h is not None]}
         entries = []
         # ``entry`` is optional: manila's category pages carry no article
         # links at all — only the load-more API params (manila.py:59-67).
@@ -1019,6 +1110,12 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                     else:
                         vals = {"href": node.attr(espec.get("attr", "href")),
                                 "title": node.text() or None}
+                    alt = espec.get("href_alt_if")
+                    if alt and vals.get("href") == alt["eq"]:
+                        # one sentinel href swaps in an alternate pick —
+                        # panchjanya.py:46-49 takes the row's LAST link
+                        # when select_one('a') lands on 'Nation.html'
+                        vals["href"] = _sel_scalar(node, alt["use"])
                     if vals.get("href") is None:
                         continue
                     if vals["href"] in espec.get("exclude_hrefs", ()):
@@ -1073,6 +1170,16 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
             return _cond_scalar(dom, html, r)
 
         out["next"] = scalar("next")
+        if out["next"] is None and rules.get("next_alt_all"):
+            # no primary next link — EVERY pagination anchor is scheduled
+            # (inextlive.py:44-48: '.last a' if present, else all
+            # '.pagination.border0 a' links)
+            na = rules["next_alt_all"]
+            alts = [a.attr(na.get("attr", "href"))
+                    for a in htmlsel.select(dom(), na["sel"])]
+            alts = [h for h in alts if h is not None]
+            if alts:
+                out["next_all"] = alts
         mrule = rules.get("more")
         out["has_more"] = (
             (bool(htmlsel.select(dom(), mrule["sel"])) if _is_sel(mrule)
@@ -1473,11 +1580,20 @@ def parse_page(
                 cmeta["list_url"] = base
                 cmeta["page"] = "1"
                 curl = site["menu_list_url_fmt"].format(base=base, page=1)
+            ck = cat.get("child_kind", child_kind)
+            # ``menu_child_kind_re``: the reference's ONE callback
+            # dispatches on response.url's shape (mb.py:28-42: root →
+            # menu, '/\\w+/$' → topics submenu, '/category/...' → list) —
+            # the same dispatch as rule data over the absolute child URL.
+            for kr in site.get("menu_child_kind_re", ()):
+                if re.search(kr["match"], urljoin(url, curl)):
+                    ck = kr["kind"]
+                    break
             emit(
                 curl,
                 # a cat may route to its own child kind (tarunmitra's
                 # ':'-labeled two-level sections vs plain lists)
-                cat.get("child_kind", child_kind),
+                ck,
                 cmeta,
                 dont_filter=bool(payload.get("dont_filter")),
                 child_method=cat.get("method", "GET"),
@@ -1633,6 +1749,13 @@ def parse_page(
             # snapshot taken after the collection loop finished.
             meta = dict(meta)
             meta["category2"] = payload["cat2_last"]
+        if payload.get("submenu_links"):
+            # presence-dispatched recursion (inextlive.py:49-53): this
+            # page had no list container — its section links feed back
+            # into the SAME list callback, nothing else is scheduled.
+            for h in payload["submenu_links"]:
+                emit(h, "list", dict(meta))
+            return None, requests
         entries = payload.get("entries", [])
         if site.get("page_gate_drops_entries") and cutoff_epoch is not None:
             # topgear.py:73-77: `if len(js)==0 or js[0].date < time: break`
@@ -2046,8 +2169,18 @@ def parse_page(
                         # the mutated meta dict rides into the next-page
                         # request (clickthecity.py:79,113)
                         page_meta["abstract"] = carry_abstract
-                    emit(n_url, kind, page_meta,
+                    # ``next_kind``: the next page is parsed by a
+                    # DIFFERENT callback — legendnews.py:55-56 hands page
+                    # 2 back to parse (the MENU callback), so its menu
+                    # links re-yield (and die in the dupefilter) while its
+                    # articles are never collected; bug-faithful.
+                    emit(n_url, site.get("next_kind", kind), page_meta,
                          child_method=n_method, child_body=n_body)
+                elif payload.get("next_all"):
+                    # no primary next anchor — EVERY pagination link is
+                    # scheduled as a next page (inextlive.py:44-48)
+                    for nu in payload["next_all"]:
+                        emit(nu, site.get("next_kind", kind), dict(meta))
         return None, requests
 
     if eff_kind == "article":
