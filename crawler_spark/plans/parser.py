@@ -985,9 +985,18 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                     # children is only a grouping header, never its own
                     # collection (udaybulletin.py:43-59's if/else — vs
                     # raftaar.py:38-41, which yields the parent too).
+                    # ``children_shared_meta``: the reference builds ONE
+                    # meta dict per top item, yields the parent, then
+                    # mutates meta['category2'] per child — Scrapy keeps
+                    # the reference, so by parse time the parent AND every
+                    # child all read the LAST child's label
+                    # (legendnews.py:31-35's shared-dict loop).
+                    shared_last = None
+                    if children and spec.get("children_shared_meta"):
+                        shared_last = children[-1].text()
                     if not (children and spec.get("children_suppress_parent")):
                         if fixed is None:
-                            pairs.append((href, lbl, None, None, ck))
+                            pairs.append((href, lbl, shared_last, None, ck))
                         else:
                             if spec.get("label2") is False:
                                 label2 = None
@@ -1008,7 +1017,9 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                     # li > ul > li walk under the same top item).
                     for c in children:
                         pairs.append((c.attr(spec.get("attr", "href")),
-                                      text, c.text(), href, None))
+                                      text,
+                                      shared_last if shared_last is not None
+                                      else c.text(), href, None))
                 if stopped:
                     break
             else:

@@ -8636,6 +8636,648 @@ def _build_emstv(g: _G) -> None:
                host)
 
 
+PANCHJANYA_RULES = {
+    # panchjanya.py: menu ul.parent_link li with del[0] del[0]
+    # del[13:17] (py:31-33 — drop_seq with the slice form); list entries
+    # are .col-md-6 rows whose select_one('a') may land on the
+    # 'Nation.html' sentinel, in which case the row's LAST link is taken
+    # (py:45-48 — href_alt_if); category1 re-read off each list page's
+    # own box-shadow header (py:41); NO time gate and NO pagination
+    # anywhere; title/date each fall back to a second selector
+    # (py:55,73-76); body div.newscontent p else div[align=justify]
+    # (py:57-60); centre-div images (py:68); the byline's SECOND space
+    # token is 'D-<Hindi month>-YYYY' through the bug-faithful month
+    # table (py:74-76,82-111: दिसंबर → 11, नवंबर unmapped → fallback-now).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "date_style": "hindi_dmy_dash",
+    "extract": {
+        "category": {"sel": "ul.parent_link li", "link_sel": "a",
+                     "drop_seq": [0, 0, [13, 17]]},
+        "cat1_self": {"sel": ".box-shadow-block.box-shadow-1.text-center"},
+        "entry": {
+            "sel": ".col-md-6.col-sm-6.col-xs-12",
+            "fields": {"href": {"sel": "a", "attr": "href"}},
+            "href_alt_if": {"eq": "Nation.html",
+                            "use": {"sel": "a", "index": -1,
+                                    "attr": "href"}},
+        },
+        "title": {"if_count": {"sel": ".heading_container", "ge": 1},
+                  "then": {"sel": ".heading_container"},
+                  "else": {"sel": ".heading.clsNewsTitleHeading1"}},
+        "pub": {"if_count": {"sel": ".date_and_author_container span",
+                             "ge": 1},
+                "then": {"sel": ".date_and_author_container span"},
+                "else": {"sel": "td.miscinfo"}},
+        "block": {"para_sel": "div.newscontent p",
+                  "para_sel_fallback": 'div[align="justify"]',
+                  "img_sel": 'div[align="center"] img'},
+    },
+}
+
+
+def _build_panchjanya(g: _G) -> None:
+    host, base = "www.panchjanya.com", "https://www.panchjanya.com"
+    wid = 1007
+    g.registry[wid] = dict(PANCHJANYA_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    lis = [f'<li><a href="{base}/">होम</a></li>',
+           f'<li><a href="{base}/epaper.html">ई-पेपर</a></li>',
+           f'<li><a href="{base}/Bharat.html">भारत</a></li>',
+           f'<li><a href="{base}/Vishwa.html">विश्व</a></li>']
+    # eleven interior items all pointing at ONE page (the dupefilter
+    # keeps a single fetch) so the del[13:17] tail positions line up
+    lis += [f'<li><a href="{base}/Misc.html">विविध</a></li>'] * 11
+    lis += [f'<li><a href="{base}/never{i}.html">x</a></li>'
+            for i in range(3)]  # post-del indices 13,14,15 — deleted
+    g.page(base + "/", "menu",
+           f'<html><ul class="parent_link">{"".join(lis)}</ul></html>',
+           host)
+
+    def art(tag: str, byline: str, title_fb: bool = False,
+            date_fb: bool = False, body_fb: bool = False) -> str:
+        title = (f'<div class="heading clsNewsTitleHeading1">PJ {tag}'
+                 "</div>" if title_fb else
+                 f'<div class="heading_container">PJ {tag}</div>')
+        date = (f'<table><tr><td class="miscinfo">अंक {byline} विशेष'
+                "</td></tr></table>" if date_fb else
+                f'<div class="date_and_author_container"><span>प्रकाशित '
+                f"{byline} को</span></div>")
+        body = (f'<div align="justify">pj पहला {tag}।</div>'
+                f'<div align="justify">pj दूसरा।</div>' if body_fb else
+                f'<div class="newscontent"><p>pj पहला {tag}।</p>'
+                f"<p>pj दूसरा।</p></div>")
+        img = f'<div align="center"><img src="{base}/i/{tag}.jpg"></div>'
+        return f"<html>{title}{date}{img}{body}</html>"
+
+    def row(href: str) -> str:
+        return (f'<div class="col-md-6 col-sm-6 col-xs-12">'
+                f'<a href="{href}">t</a></div>')
+
+    # Bharat: the Nation.html sentinel row (last link wins) + a
+    # fallback-title/fallback-date article carrying the दिसंबर→11 bug
+    g.page(f"{base}/bharat-story-0.html", "article",
+           art("b0", "30-मई-2021"), host)
+    g.page(f"{base}/bharat-story-1.html", "article",
+           art("b1", "28-दिसंबर-2020", title_fb=True, date_fb=True),
+           host)
+    g.page(base + "/Bharat.html", "list",
+           f'<html><div class="box-shadow-block box-shadow-1 text-center">'
+           f"भारत</div>"
+           + (f'<div class="col-md-6 col-sm-6 col-xs-12">'
+              f'<a href="Nation.html">x</a>'
+              f'<a href="{base}/bharat-story-0.html">y</a></div>')
+           + row(f"{base}/bharat-story-1.html") + "</html>", host)
+    # Vishwa: justify-div fallback body + unmapped नवंबर month
+    # (KeyError → fallback-now = as_of)
+    g.page(f"{base}/vishwa-story-0.html", "article",
+           art("v0", "29-नवंबर-2020", body_fb=True), host)
+    g.page(base + "/Vishwa.html", "list",
+           f'<html><div class="box-shadow-block box-shadow-1 text-center">'
+           f"विश्व</div>" + row(f"{base}/vishwa-story-0.html") + "</html>",
+           host)
+    g.page(f"{base}/misc-story-0.html", "article",
+           art("m0", "15-जुलूस-2021"), host)  # जुलूस = the March mistranslation
+    g.page(base + "/Misc.html", "list",
+           f'<html><div class="box-shadow-block box-shadow-1 text-center">'
+           f"विविध</div>" + row(f"{base}/misc-story-0.html") + "</html>",
+           host)
+
+
+LOKTEJ_RULES = {
+    # loktej.py: menu ul#menu-below-header-menu li minus the popped last
+    # item (py:35-39); entries h2.entry-title a yielded UNGATED (py:46-52);
+    # the page gate is the list's LAST span.auth-posted-on time through
+    # the '<n> <unit> ago' table (py:55 — ago_en anchored to as_of);
+    # pagination only when span.right exists, taking the page-nav anchor
+    # whose text reads 'Next »' (py:57-61 — text_eq); article pub off
+    # div.post-time (py:69), body div.txt p else div.txt div (py:77-89),
+    # images from the article container (py:71-75), category1 from the
+    # article's own cat-links (py:92), title = first h3 (py:94).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "date_style": "ago_en",
+    "extract": {
+        "category": {"sel": "ul#menu-below-header-menu li",
+                     "link_sel": "a", "slice": [0, -1]},
+        "entry": {"sel": "h2.entry-title a"},
+        "page_time": {"sel": "span.auth-posted-on time", "index": -1},
+        "next": {"if_count": {"sel": ".left-right-links a span.right",
+                              "ge": 1},
+                 "then": {"sel": ".left-right-links a",
+                          "text_eq": "Next »", "attr": "href"},
+                 "else": {"const": None}},
+        "title": {"sel": "h3"},
+        "pub": {"sel": "div.post-time"},
+        "cat1": {"sel": "li.sinlge-cat-links a"},
+        "block": {"para_sel": "div.txt p",
+                  "para_sel_fallback": "div.txt div",
+                  "img_sel": "article.entry img"},
+    },
+}
+
+
+def _build_loktej(g: _G) -> None:
+    host, base = "loktej.com", "http://loktej.com"
+    wid = 970
+    g.registry[wid] = dict(LOKTEJ_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><ul id="menu-below-header-menu">'
+           f'<li><a href="{base}/news/">News</a></li>'
+           f'<li><a href="{base}/business/">Business</a></li>'
+           f'<li><a href="{base}/contact/">Contact</a></li>'
+           f"</ul></html>", host)
+
+    def art(tag: str, ago: str, cat: str, body_fb: bool = False) -> str:
+        body = (f'<div class="txt"><div>lt પહેલું {tag}.</div>'
+                f"<div>lt બીજું.</div></div>" if body_fb else
+                f'<div class="txt"><p>lt પહેલું {tag}.</p>'
+                f"<p>lt બીજું.</p></div>")
+        return (f"<html><h3>LT {tag}</h3>"
+                f'<div class="post-time">{ago}</div>'
+                f'<article class="post category-single-ebook type-post '
+                f'status-publish format-standard category-news entry">'
+                f'<img src="{base}/i/{tag}.jpg">{body}</article>'
+                f'<ul><li class="sinlge-cat-links"><a href="#">{cat}</a>'
+                f"</li></ul></html>")
+
+    def lst(rows: list[str], times: list[str], nxt: str | None,
+            right: bool = True) -> str:
+        arts = "".join(f'<h2 class="entry-title"><a href="{u}">t</a></h2>'
+                       for u in rows)
+        stamps = "".join(
+            f'<span class="auth-posted-on"><time>{t}</time></span>'
+            for t in times
+        )
+        nav = ""
+        if nxt:
+            # the arrow span WRAPS the Next label (so a.text reads
+            # 'Next »' and 'a span.right' matches); the no-right page
+            # renders a bare-text anchor instead
+            link = (f'<a href="{nxt}"><span class="right">Next »</span>'
+                    f"</a>" if right else f'<a href="{nxt}">Next »</a>')
+            nav = (f'<div class="left-right-links">'
+                   f'<a href="{base}/p0/">« Prev</a>{link}</div>')
+        return f"<html>{arts}{stamps}{nav}</html>"
+
+    # news: page 1 fresh (last stamp 3 hours ago) → page 2; page 2's
+    # last stamp is 5 days old → its Next » link is never followed
+    g.page(f"{base}/news-story-10.html", "article",
+           art("n10", "2 hours ago", "News"), host)
+    g.page(f"{base}/news-story-11.html", "article",
+           art("n11", "3 weeks ago", "News"), host)  # stored — no article gate
+    g.page(f"{base}/news/", "list",
+           lst([f"{base}/news-story-10.html", f"{base}/news-story-11.html"],
+               ["50 mins ago", "3 hours ago"], f"{base}/news/page/2/"),
+           host)
+    g.page(f"{base}/news-story-20.html", "article",
+           art("n20", "2 months ago", "News", body_fb=True), host)
+    g.page(f"{base}/news/page/2/", "list",
+           lst([f"{base}/news-story-20.html"], ["5 days ago"],
+               f"{base}/news/page/3/"), host)
+    # business: nav present but NO span.right → pagination never fires
+    g.page(f"{base}/biz-story-0.html", "article",
+           art("b0", "1 day ago", "Business"), host)
+    g.page(f"{base}/business/", "list",
+           lst([f"{base}/biz-story-0.html"], ["1 day ago"],
+               f"{base}/business/page/2/", right=False), host)
+    # contact was popped off the menu — never fetched (no page needed)
+
+
+INEXTLIVE_RULES = {
+    # inextlive.py: #mainNav a [2:14] menu slice (py:33); ONE callback
+    # for every non-article page, dispatched by presence — a page with
+    # .topicList is a list, otherwise its .MainHd links recurse into the
+    # SAME callback (py:39-53 — list_if/submenu); entries yielded
+    # ungated (py:40-41); the page gate SIDE-FETCHES the last entry's
+    # article with raw requests.get and regexes its '| Updated Date:'
+    # banner (py:42-44); pagination prefers .last a and otherwise
+    # schedules EVERY page-nav anchor (py:45-49 — next_alt_all);
+    # category2 only when the breadcrumb has ≥ 4 spans (py:60 — if_count
+    # ge); pub re-regexed off the article page (py:66-67); first
+    # .bodySummery data-src image only (py:68-69).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "date_style": "dmy_hms_sp",
+    "page_gate_fetch_last":
+        r"\| Updated Date: \S+, (\d+ \S+ \d+ \d+:\d+:\d+)",
+    "extract": {
+        "category": {"sel": "#mainNav a", "slice": [2, 14]},
+        "list_if": {"sel": ".topicList"},
+        "submenu": {"sel": ".MainHd a"},
+        "entry": {"sel": ".topicList a"},
+        "next": {"sel": ".pagination.border0 .last a", "attr": "href"},
+        "next_alt_all": {"sel": ".pagination.border0 a"},
+        "title": {"sel": ".topHeading h1"},
+        "cat1": {"sel": ".breadcrum .first span"},
+        "cat2": {"if_count": {"sel": ".breadcrum span", "ge": 4},
+                 "then": {"sel": ".breadcrum span", "index": -2},
+                 "else": {"const": None}},
+        "pub": r"\| Updated Date: \S+, (\d+ \S+ \d+ \d+:\d+:\d+)",
+        "block": {"para_sel": ".articleBody p",
+                  "img_sel": ".bodySummery img", "img_attr": "data-src",
+                  "img_slice": [0, 1]},
+    },
+}
+
+
+def _build_inextlive(g: _G) -> None:
+    host, base = "www.inextlive.com", "https://www.inextlive.com"
+    wid = 1127
+    g.registry[wid] = dict(INEXTLIVE_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1866})
+    g.page(base + "/", "menu",
+           f'<html><div id="mainNav">'
+           f'<a href="{base}/">Home</a>'
+           f'<a href="{base}/epaper">E-paper</a>'
+           f'<a href="{base}/news">News</a>'
+           f'<a href="{base}/cricket">Cricket</a>'
+           f"</div></html>", host)
+    # the News hub has no .topicList — its .MainHd links recurse
+    g.page(base + "/news", "list",
+           f'<html><div class="MainHd">'
+           f'<a href="{base}/national">National</a>'
+           f'<a href="{base}/world">World</a>'
+           f"</div></html>", host)
+
+    def _dt_banner(dt: datetime) -> str:
+        return (f"| Updated Date: Sun, {dt.day} {_MON_ABBR[dt.month - 1]}"
+                f" {dt.year} {dt:%H:%M:%S}")
+
+    def art(tag: str, dt: datetime, crumbs: int = 4) -> str:
+        spans = ("<span>Home</span><span>News</span>"
+                 "<span>National</span><span>x</span>" if crumbs >= 4
+                 else "<span>x</span>")
+        return (f'<html><div class="topHeading"><h1>INX {tag}</h1></div>'
+                f'<div class="breadcrum"><span class="first">'
+                f"<span>देश</span></span>{spans}</div>"
+                f"<div>{_dt_banner(dt)}</div>"
+                f'<div class="bodySummery">'
+                f'<img data-src="{base}/i/{tag}.jpg">'
+                f'<img data-src="{base}/i/{tag}b.jpg"></div>'
+                f'<div class="articleBody"><p>inx पहला {tag}।</p>'
+                f"<p>inx दूसरा।</p></div></html>")
+
+    def lst(rows: list[str], nav: str) -> str:
+        arts = "".join(f'<a href="{u}">t</a>' for u in rows)
+        return (f'<html><div class="topicList">{arts}</div>{nav}</html>')
+
+    # national: .last a chain; page 2's side-fetched last entry is stale
+    n_rows1 = [f"{base}/national-story-1{e}" for e in range(3)]
+    for e, u in enumerate(n_rows1):
+        g.page(u, "article",
+               art(f"n1{e}", BASE_DT - timedelta(hours=e * 3),
+                   crumbs=4 if e else 2), host)
+    g.page(base + "/national", "list",
+           lst(n_rows1,
+               f'<div class="pagination border0"><a href="{base}/national'
+               f'">1</a><span class="last"><a href="{base}/national/2">'
+               f"Last</a></span></div>"), host)
+    n_rows2 = [f"{base}/national-story-20"]
+    g.page(n_rows2[0], "article",
+           art("n20", BASE_DT - timedelta(hours=90)), host)  # stale
+    g.page(base + "/national/2", "list",
+           lst(n_rows2,
+               f'<div class="pagination border0"><span class="last">'
+               f'<a href="{base}/national/3">Last</a></span></div>'),
+           host)
+    # world: NO .last — every page-nav anchor is scheduled (one a dupe)
+    w_rows1 = [f"{base}/world-story-1{e}" for e in range(2)]
+    for e, u in enumerate(w_rows1):
+        g.page(u, "article",
+               art(f"w1{e}", BASE_DT - timedelta(hours=e * 2)), host)
+    g.page(base + "/world", "list",
+           lst(w_rows1,
+               f'<div class="pagination border0"><a href="{base}/world">1'
+               f'</a><a href="{base}/world/2">2</a></div>'), host)
+    w_rows2 = [f"{base}/world-story-20"]
+    g.page(w_rows2[0], "article",
+           art("w20", BASE_DT - timedelta(hours=80)), host)  # stale
+    g.page(base + "/world/2", "list", lst(w_rows2, ""), host)
+    # cricket: direct menu list, fresh, no pagination markup at all
+    c_rows = [f"{base}/cricket-story-0"]
+    g.page(c_rows[0], "article", art("c0", BASE_DT), host)
+    g.page(base + "/cricket", "list", lst(c_rows, ""), host)
+
+
+WORLD_RULES = {
+    # world.py: menu #menu-main-menu>li>a [1:-1] whose category1 is the
+    # link's TITLE ATTRIBUTE (py:30-33 — label_attr); per-entry gate on
+    # the row's <time> date-only text + ' 00:00:00' with break (py:38-45);
+    # pagination takes the LAST page-nav anchor unconditionally while the
+    # gate holds (py:46-50, try/except → absent nav just ends the chain);
+    # article re-reads title/pub off the page (py:63-64), body/abstract
+    # from the article>div>div>div>p chain (py:66-70), images always None
+    # (py:65), category2 always None (py:62).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "date_style": "iso_date",
+    "cat2_meta_off": True,
+    "extract": {
+        "category": {"sel": "#menu-main-menu > li > a", "slice": [1, -1],
+                     "label_attr": "title"},
+        "entry": {"sel": "article > div.content",
+                  "fields": {"href": {"sel": "a", "attr": "href"},
+                             "time": {"sel": "time"}}},
+        "next": {"sel": ".pagination > li a", "index": -1,
+                 "attr": "href"},
+        "title": {"sel": "h1.post-title.item.fn"},
+        "pub": {"sel": "time.value-title"},
+        "block": {"para_sel": "article > div > div > div > p"},
+    },
+}
+
+
+def _build_world(g: _G) -> None:
+    host, base = "worldnews.net.ph", "https://worldnews.net.ph"
+    wid = 183
+    g.registry[wid] = dict(WORLD_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 2266})
+    g.page(base + "/", "menu",
+           f'<html><ul id="menu-main-menu">'
+           f'<li><a href="{base}/" title="Home">Home</a></li>'
+           f'<li><a href="{base}/nation/" title="National News">Nation'
+           f"</a></li>"
+           f'<li><a href="{base}/metro/" title="Metro Manila">Metro'
+           f"</a></li>"
+           f'<li><a href="{base}/about/" title="About">About</a></li>'
+           f"</ul></html>", host)
+
+    def art(tag: str, dt: datetime) -> str:
+        return (f'<html><h1 class="post-title item fn">WN {tag}</h1>'
+                f'<time class="value-title">{dt:%Y-%m-%d}</time>'
+                f"<article><div><div><div>"
+                f"<p>wn first {tag}.</p><p>wn second.</p>"
+                f"</div></div></div></article></html>")
+
+    def lst(rows: list[tuple[str, datetime]], nxt: str | None) -> str:
+        arts = "".join(
+            f'<article><div class="content"><a href="{u}">t</a>'
+            f"<time>{dt:%Y-%m-%d}</time></div></article>"
+            for u, dt in rows
+        )
+        nav = (f'<ul class="pagination"><li><a href="{base}/p1/">1</a>'
+               f'</li><li><a href="{nxt}">»</a></li></ul>' if nxt else "")
+        return f"<html>{arts}{nav}</html>"
+
+    # nation: page 1 all fresh → last nav anchor; page 2's second row is
+    # stale → break, no page 3
+    rows1 = []
+    for e in range(2):
+        dt = BASE_DT - timedelta(hours=e * 6)
+        aurl = f"{base}/nation-story-1{e}/"
+        g.page(aurl, "article", art(f"n1{e}", dt), host)
+        rows1.append((aurl, dt))
+    g.page(base + "/nation/", "list",
+           lst(rows1, f"{base}/nation/page/2/"), host)
+    rows2 = []
+    for e, age in enumerate((20.0, 80.0)):
+        dt = BASE_DT - timedelta(hours=age)
+        aurl = f"{base}/nation-story-2{e}/"
+        g.page(aurl, "article", art(f"n2{e}", dt), host)
+        rows2.append((aurl, dt))
+    g.page(base + "/nation/page/2/", "list",
+           lst(rows2, f"{base}/nation/page/3/"), host)
+    # metro: single page, fresh, no pagination markup (the reference's
+    # bare except swallows the missing nav)
+    dt = BASE_DT - timedelta(hours=3)
+    aurl = f"{base}/metro-story-0/"
+    g.page(aurl, "article", art("m0", dt), host)
+    g.page(base + "/metro/", "list", lst([(aurl, dt)], None), host)
+
+
+MB_RULES = {
+    # mb.py: ONE callback dispatching on response.url's shape (py:28-41):
+    # the root is the primary menu [0:-1], '/\w+/$' pages are the topics
+    # submenu, '/category/...' pages are lists — menu_child_kind_re as
+    # rule data; list rows gate per-entry on time.time-ago's data-time
+    # attribute with break (py:44-56), a row MISSING the stamp inheriting
+    # the previous one (py:47-50's try/except pass — entry_time_carry);
+    # .nextpostslink pagination (py:58-59); the article reads BOTH
+    # categories AND the title off its breadcrumb spans (py:64-66), body
+    # from section.article-content>p (py:72-74); the figure-image rule
+    # reads attribute ' data-cfsrc' with a LEADING SPACE (py:69) — every
+    # get returns None, so no image ever lands; not carried.
+    "rule": NEXT_LINK,
+    "format": "html",
+    "title_priority": "page",
+    "date_style": "ymd",
+    "entry_time_carry": True,
+    "menu_child_kind_re": [
+        {"match": r"^https://mb\.com\.ph/\w+/$", "kind": "menu2"},
+        {"match": r"^https://mb\.com\.ph/category/", "kind": "list"},
+    ],
+    "extract": {
+        "category": {"sel": "#primary-menu > div > ul > li > a",
+                     "slice": [0, -1]},
+        "category2": {"sel": "#topics-menu > div > ul > li > a"},
+        "entry": {"sel": "li.article",
+                  "fields": {"href": {"sel": ".title a", "attr": "href"},
+                             "time": {"sel": "time.time-ago",
+                                      "attr": "data-time"}}},
+        "next": {"sel": ".nextpostslink", "attr": "href"},
+        "title": {"sel": "div.breadcrumbs > span", "index": -1},
+        "cat1": {"sel": "div.breadcrumbs > span", "index": 0},
+        "cat2": {"sel": "div.breadcrumbs > span", "index": 1},
+        "block": {"para_sel": "section.article-content > p"},
+    },
+}
+
+
+def _build_mb(g: _G) -> None:
+    host, base = "mb.com.ph", "https://mb.com.ph"
+    wid = 189
+    g.registry[wid] = dict(MB_RULES)
+    g.seeds.append({"url": base, "website_id": wid,
+                    "language_id": 1866})
+    g.page(base, "menu",
+           f'<html><nav id="primary-menu"><div><ul>'
+           f'<li><a href="{base}/news/">News</a></li>'
+           f'<li><a href="{base}/sports/">Sports</a></li>'
+           f'<li><a href="{base}/trailer/">Trailer</a></li>'
+           f"</ul></div></nav></html>", host)
+    # the two '/\w+/$' pages are topics submenus
+    g.page(base + "/news/", "menu2",
+           f'<html><nav id="topics-menu"><div><ul>'
+           f'<li><a href="{base}/category/news/national/">National</a>'
+           f"</li>"
+           f'<li><a href="{base}/category/news/world/">World</a></li>'
+           f"</ul></div></nav></html>", host)
+    g.page(base + "/sports/", "menu2",
+           f'<html><nav id="topics-menu"><div><ul>'
+           f'<li><a href="{base}/category/sports/basketball/">Basketball'
+           f"</a></li>"
+           f"</ul></div></nav></html>", host)
+
+    def art(tag: str, cat1: str, cat2: str) -> str:
+        return (f'<html><div class="breadcrumbs"><span>{cat1}</span>'
+                f"<span>{cat2}</span><span>MB {tag}</span></div>"
+                f'<section class="article-content">'
+                f"<p>mb first {tag}.</p><p>mb second.</p>"
+                f'<figure><img data-cfsrc="{base}/i/{tag}.jpg"></figure>'
+                f"</section></html>")
+
+    def lst(rows: list[tuple[str, datetime | None]],
+            nxt: str | None) -> str:
+        arts = "".join(
+            f'<li class="article"><div class="title"><a href="{u}">t</a>'
+            "</div>"
+            + (f'<time class="time-ago" data-time="'
+               f'{dt:%Y-%m-%d %H:%M:%S}">x</time>' if dt else "")
+            + "</li>"
+            for u, dt in rows
+        )
+        nav = (f'<a class="nextpostslink" href="{nxt}">»</a>'
+               if nxt else "")
+        return f"<html><ul>{arts}</ul>{nav}</html>"
+
+    # national: page 1's second row has NO stamp (inherits the first);
+    # page 2 gates stale on its first row → chain ends
+    rows1 = [(f"{base}/national-story-10/", BASE_DT),
+             (f"{base}/national-story-11/", None)]
+    for u, _dt in rows1:
+        tag = u.rsplit("-", 1)[-1].rstrip("/")
+        g.page(u, "article", art(f"n{tag}", "News", "National"), host)
+    g.page(base + "/category/news/national/", "list",
+           lst(rows1, f"{base}/category/news/national/page/2/"), host)
+    rows2 = [(f"{base}/national-story-20/",
+              BASE_DT - timedelta(hours=70))]
+    g.page(rows2[0][0], "article", art("n20", "News", "National"), host)
+    g.page(base + "/category/news/national/page/2/", "list",
+           lst(rows2, f"{base}/category/news/national/page/3/"), host)
+    # world: single fresh row, no nextpostslink (the reference's
+    # select_one(None).get would die AFTER yielding — net: chain ends)
+    wu = f"{base}/world-story-0/"
+    g.page(wu, "article", art("w0", "News", "World"), host)
+    g.page(base + "/category/news/world/", "list",
+           lst([(wu, BASE_DT - timedelta(hours=5))], None), host)
+    # basketball: single fresh row
+    bu = f"{base}/basket-story-0/"
+    g.page(bu, "article", art("b0", "Sports", "Basketball"), host)
+    g.page(base + "/category/sports/basketball/", "list",
+           lst([(bu, BASE_DT - timedelta(hours=8))], None), host)
+
+
+LEGENDNEWS_RULES = {
+    # legendnews.py: two-level header menu built around ONE shared meta
+    # dict per top item — the parent is yielded first, then each child
+    # mutates meta['category2'], so by parse time the parent AND every
+    # child read the LAST child's label (py:28-35 — children_shared_meta);
+    # list rows carry title (a@title), abstract (p), image (img@src) and
+    # an ISO+TZ .updated@datetime stamp down in meta (py:40-48), gated
+    # per-entry with break; pagination hands the next page to parse —
+    # the MENU callback (py:53-55 — next_kind), so its menu links die in
+    # the dupefilter and its articles are never collected, bug-faithful;
+    # the article page only contributes the whole-container body
+    # (py:57-67).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "date_style": "isoT",
+    "next_kind": "menu",
+    "extract": {
+        "category": {"sel": "#menu-primary-menu > li > a",
+                     "children_sel": "ul > li > a",
+                     "children_shared_meta": True},
+        "entry": {"sel": "article",
+                  "fields": {"href": {"sel": "a", "attr": "href"},
+                             "title": {"sel": "a", "attr": "title"},
+                             "abstract": {"sel": "p"},
+                             "img": {"sel": "img", "attr": "src"},
+                             "time": {"sel": ".updated",
+                                      "attr": "datetime"}}},
+        "next": {"sel": ".previous a", "attr": "href"},
+        "block": {},
+        "body_fallback": {"sel": ".entry-content.clearfix"},
+    },
+}
+
+
+def _build_legendnews(g: _G) -> None:
+    host, base = "legendnews.in", "http://legendnews.in"
+    wid = 1051
+    g.registry[wid] = dict(LEGENDNEWS_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+
+    # nested ul INSIDE the top anchor — html.parser keeps the literal
+    # nesting the spider's i.select('ul > li > a') depends on
+    menu = (f'<ul id="menu-primary-menu">'
+            f'<li><a href="{base}/india/">India'
+            f'<ul><li><a href="{base}/delhi/">Delhi</a></li>'
+            f'<li><a href="{base}/politics/">Politics</a></li></ul>'
+            f"</a></li>"
+            f'<li><a href="{base}/sports/">Sports</a></li>'
+            f"</ul>")
+    g.page(base + "/", "menu", f"<html>{menu}</html>", host)
+
+    def art(tag: str) -> str:
+        return (f'<html><div class="entry-content clearfix">ln पूरा लेख '
+                f"{tag}। ln शेष।</div></html>")
+
+    def lst(cat: str, rows: list[tuple[str, datetime]],
+            nxt: str | None) -> str:
+        arts = "".join(
+            f'<article><a href="{u}" title="LN {cat}{e}">t</a>'
+            f'<p>ln सार {cat}{e}।</p><img src="{base}/i/{cat}{e}.jpg">'
+            f'<time class="updated" datetime="{_iso_tz(dt)}">x</time>'
+            "</article>"
+            for e, (u, dt) in enumerate(rows)
+        )
+        nav = (f'<div class="previous"><a href="{nxt}">Older</a></div>'
+               if nxt else "")
+        return f"<html>{arts}{nav}</html>"
+
+    # india: page 1 fresh → .previous chain hands page 2 to the MENU
+    # callback — page 2 renders the same header menu (all dupes) plus an
+    # article row that is never collected
+    rows = []
+    for e in range(2):
+        dt = BASE_DT - timedelta(hours=e * 4)
+        aurl = f"{base}/india-story-1{e}/"
+        g.page(aurl, "article", art(f"i1{e}"), host)
+        rows.append((aurl, dt))
+    g.page(base + "/india/", "list",
+           lst("in", rows, f"{base}/india/page/2/"), host)
+    g.page(base + "/india/page/2/", "menu",
+           f"<html>{menu}"
+           f'<article><a href="{base}/india-story-20/" title="LN lost">t'
+           f'</a><p>ln lost</p><img src="{base}/i/lost.jpg">'
+           f'<time class="updated" datetime="{_iso_tz(BASE_DT)}">x</time>'
+           f"</article></html>", host)
+    # delhi/politics/sports: single pages; sports' second row is stale →
+    # break (its .previous link is never followed)
+    for cslug, tag in (("delhi", "dl"), ("politics", "po")):
+        dt = BASE_DT - timedelta(hours=6)
+        aurl = f"{base}/{cslug}-story-0/"
+        g.page(aurl, "article", art(f"{tag}0"), host)
+        g.page(f"{base}/{cslug}/", "list",
+               lst(tag, [(aurl, dt)], None), host)
+    s_rows = []
+    for e, age in enumerate((2.0, 90.0)):
+        dt = BASE_DT - timedelta(hours=age)
+        aurl = f"{base}/sports-story-{e}/"
+        g.page(aurl, "article", art(f"sp{e}"), host)
+        s_rows.append((aurl, dt))
+    g.page(base + "/sports/", "list",
+           lst("sp", s_rows, f"{base}/sports/page/2/"), host)
+
+
 SITE_BUILDERS = {
     "zeenews": _build_zeenews,
     "aajtak": _build_aajtak,
@@ -8723,6 +9365,12 @@ SITE_BUILDERS = {
     "dunvalleymail": _build_dunvalleymail,
     "emsindia": _build_emsindia,
     "emstv": _build_emstv,
+    "panchjanya": _build_panchjanya,
+    "loktej": _build_loktej,
+    "inextlive": _build_inextlive,
+    "world": _build_world,
+    "mb": _build_mb,
+    "legendnews": _build_legendnews,
 }
 
 

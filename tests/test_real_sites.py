@@ -53,6 +53,7 @@ def test_all_sites_produce_documents(sim):
         966, 378, 1150, 1140, 195, 498,
         1061, 1011, 1054, 491, 188, 446,
         1002, 1003, 935, 690, 1126, 1046, 1072,
+        1007, 970, 1127, 183, 189, 1051,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -669,7 +670,10 @@ def test_udaybulletin_menu_composition_and_gate_vs_store_times(sim):
     assert sum("offset=10" in u for u in api) == 3
     assert sum("offset=20" in u for u in api) == 3
     assert not any("offset=30" in u for u in api)
-    assert not any("anya" in u or "auto" in u for u in fetched)  # excluded
+    # excluded category2 labels never fetched (udaybulletin URLs only —
+    # 'anya' must not match other sites' hosts, e.g. panchjanya.com)
+    assert not any(("anya" in u or "auto" in u)
+                   for u in fetched if "udaybulletin" in u)
     by_site = {d["request_url"]: d for d in docs}
     d = by_site["https://www.udaybulletin.com/story/cricket-khel-1-0"]
     assert d["category1"] == "खेल" and d["category2"] == "क्रिकेट"
@@ -1479,6 +1483,165 @@ def test_tranche_i_contracts(sim):
     texts = [s["text"] for s in
              ev["http://www.emstv.in/desh0.php"]["spans"]]
     assert texts == ["etv अंतिम desh0।"]  # LAST paragraph only
+
+
+def test_panchjanya_drop_slices_sentinel_and_bugged_months(sim):
+    """panchjanya.py: menu del[0] del[0] del[13:17] (py:31-33 — the tail
+    positions are never fetched); the 'Nation.html' sentinel row takes
+    its LAST link (py:45-48); category1 re-read off each list's header
+    (py:41); no gate anywhere; दिसंबर → month 11 (py:105-107's duplicated
+    branch) and नवंबर matches NO branch → fallback-now (as_of)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1007]}
+    fetched = [u for _b, u in sim["crawl_log"] if "panchjanya" in u]
+    assert not any("never" in u for u in fetched)  # del[13:17]
+    assert not any(u.endswith("/epaper.html") for u in fetched)  # del[0]×2
+    # eleven menu items share one Misc page — the dupefilter keeps one
+    assert sum(u.endswith("/Misc.html") for u in fetched) == 1
+    # sentinel: Nation.html itself never fetched, the row's last link is
+    assert not any(u.endswith("Nation.html") for u in fetched)
+    assert "https://www.panchjanya.com/bharat-story-0.html" in docs
+    assert {d["category1"] for d in docs.values()} == {"भारत", "विश्व",
+                                                       "विविध"}
+    b1 = docs["https://www.panchjanya.com/bharat-story-1.html"]
+    assert b1["title"] == "PJ b1"  # clsNewsTitleHeading1 fallback
+    assert b1["pub_time"] == "2020-11-28 00:00:00"  # दिसंबर → 11, bug
+    v0 = docs["https://www.panchjanya.com/vishwa-story-0.html"]
+    assert v0["pub_time"] == "2021-06-01 00:00:00"  # नवंबर unmapped → now
+    assert [s["kind"] for s in v0["spans"]] == ["image", "text", "text"]
+    m0 = docs["https://www.panchjanya.com/misc-story-0.html"]
+    assert m0["pub_time"] == "2021-03-15 00:00:00"  # जुलूस = March
+
+
+def test_loktej_ago_dates_and_next_label_walk(sim):
+    """loktej.py: '<n> <unit> ago' stamps anchored to now (py:99-116,
+    month = 28 days exactly); entries ungated, the page gate is the
+    list's LAST time stamp (py:55); pagination requires span.right AND
+    the anchor whose text reads 'Next »' (py:57-61); body falls back
+    from div.txt p to div.txt div (py:77-89)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[970]}
+    fetched = [u for _b, u in sim["crawl_log"] if "loktej" in u]
+    assert not any(u.endswith("/contact/") for u in fetched)  # pop()
+    assert any(u.endswith("/news/page/2/") for u in fetched)
+    assert not any("page/3" in u for u in fetched)  # stale last stamp
+    # business: nav present but no span.right → never paginates
+    assert not any("business/page" in u for u in fetched)
+    # stored regardless of age — '3 weeks ago' and '2 months ago' docs
+    n11 = docs["http://loktej.com/news-story-11.html"]
+    assert n11["pub_time"] == "2021-05-11 00:00:00"  # 21 d before as_of
+    n20 = docs["http://loktej.com/news-story-20.html"]
+    assert n20["pub_time"] == "2021-04-06 00:00:00"  # 2 × 28-day months
+    assert [s["text"] for s in n20["spans"] if s["kind"] == "text"] == [
+        "lt પહેલું n20.", "lt બીજું."]  # div.txt div fallback
+    assert n11["category1"] == "News"  # article's own cat-links
+
+
+def test_inextlive_presence_dispatch_sidefetch_gate_fanout(sim):
+    """inextlive.py: #mainNav[2:14] slice (py:33); a page without
+    .topicList recurses its .MainHd links into the same callback
+    (py:50-53); the page gate SIDE-FETCHES the last entry's article and
+    regexes its Updated-Date banner (py:42-44); pagination prefers
+    .last a, else EVERY page-nav anchor (py:45-49); category2 only when
+    the breadcrumb has ≥ 4 spans (py:60)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1127]}
+    fetched = [u for _b, u in sim["crawl_log"] if "inextlive" in u]
+    assert not any(u.endswith("/epaper") for u in fetched)  # [2:] slice
+    # the hub page has no .topicList → its sections recurse
+    assert any(u.endswith("/national") for u in fetched)
+    assert any(u.endswith("/world") for u in fetched)
+    # .last chain: national → /2; stale side-fetched gate stops /3
+    assert any(u.endswith("/national/2") for u in fetched)
+    assert not any(u.endswith("/national/3") for u in fetched)
+    # no .last → fan-out over every nav anchor (the /world dupe dies)
+    assert sum(u.endswith("/world") for u in fetched) == 1
+    assert any(u.endswith("/world/2") for u in fetched)
+    # entries are ungated: the stale page-2 articles are still stored
+    assert "https://www.inextlive.com/national-story-20" in docs
+    n10 = docs["https://www.inextlive.com/national-story-10"]
+    assert n10["category2"] is None  # 3-span breadcrumb
+    n11 = docs["https://www.inextlive.com/national-story-11"]
+    assert n11["category2"] == "National"  # ≥4 spans → [-2]
+    assert n11["pub_time"] == "2021-05-30 09:00:00"  # banner regex
+    # first .bodySummery data-src image only
+    imgs = [s["media_ref"] for s in n11["spans"] if s["kind"] == "image"]
+    assert imgs == ["https://www.inextlive.com/i/n11.jpg"]
+
+
+def test_world_title_attr_labels_and_last_anchor_chain(sim):
+    """world.py: menu [1:-1] with category1 from the link's TITLE
+    attribute (py:30-33); per-entry date-only gate with break (py:38-45);
+    the LAST page-nav anchor advances the chain (py:46-50), a missing
+    nav ending it via the bare except; category2 always None (py:62)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[183]}
+    fetched = [u for _b, u in sim["crawl_log"] if "worldnews" in u]
+    assert not any(u.endswith("/about/") for u in fetched)  # [1:-1]
+    assert any(u.endswith("/nation/page/2/") for u in fetched)
+    assert not any("page/3" in u for u in fetched)  # stale row broke
+    # the stale row's article itself was never fetched (break, not skip)
+    assert "https://worldnews.net.ph/nation-story-21/" not in docs
+    assert not any("nation-story-21" in u for u in fetched)
+    n10 = docs["https://worldnews.net.ph/nation-story-10/"]
+    assert n10["category1"] == "National News"  # the title attribute
+    assert n10["category2"] is None
+    assert n10["pub_time"] == "2021-05-30 00:00:00"  # date + midnight
+    assert n10["abstract"] == "wn first n10."
+
+
+def test_mb_url_shape_dispatch_and_time_carry(sim):
+    """mb.py: ONE callback dispatched on the URL's shape — root menu,
+    '/\\w+/$' topics submenu, '/category/' list (py:28-41); a row missing
+    its time-ago stamp inherits the previous one (py:47-50's try/except
+    pass); breadcrumb spans provide category1/category2 AND the title
+    (py:64-66); the figure image attr ' data-cfsrc' (leading space,
+    py:69) never resolves — no image spans, bug-faithful."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[189]}
+    fetched = [u for _b, u in sim["crawl_log"] if "mb.com.ph" in u]
+    assert not any(u.endswith("/trailer/") for u in fetched)  # [0:-1]
+    assert any(u.endswith("/category/news/national/page/2/")
+               for u in fetched)
+    assert not any("page/3" in u for u in fetched)  # stale first row
+    n11 = docs["https://mb.com.ph/national-story-11/"]
+    assert n11["pub_time"] == "2021-05-30 12:00:00"  # carried stamp
+    assert (n11["category1"], n11["category2"]) == ("News", "National")
+    assert n11["title"] == "MB n11"  # breadcrumb last span
+    assert all(s["kind"] == "text" for d in docs.values()
+               for s in d["spans"])  # the leading-space attr bug
+    b0 = docs["https://mb.com.ph/basket-story-0/"]
+    assert (b0["category1"], b0["category2"]) == ("Sports", "Basketball")
+
+
+def test_legendnews_shared_meta_and_menu_kind_pagination(sim):
+    """legendnews.py: ONE meta dict per top menu item, mutated per child
+    (py:31-35) — the parent and every child read the LAST child's label
+    as category2 by parse time, and category1 is the anchor's .text over
+    the NESTED markup (children concatenated, bs4 semantics); list rows
+    carry title/abstract/image/pub down in meta (py:44-48); pagination
+    hands page 2 to the MENU callback (py:53-55) — its menu links die in
+    the dupefilter and its articles are never collected."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1051]}
+    fetched = [u for _b, u in sim["crawl_log"] if "legendnews" in u]
+    # page 2 IS fetched (fresh gate) but parsed as a MENU: no doc, no
+    # deeper page, and its article link never scheduled
+    assert any(u.endswith("/india/page/2/") for u in fetched)
+    assert not any("india-story-20" in u for u in fetched)
+    assert not any("page/3" in u for u in fetched)
+    # shared-dict mutation: parent and both children all read 'Politics'
+    in0 = docs["http://legendnews.in/india-story-10/"]
+    dl0 = docs["http://legendnews.in/delhi-story-0/"]
+    assert in0["category2"] == "Politics"
+    assert dl0["category2"] == "Politics"
+    assert in0["category1"] == "IndiaDelhiPolitics"  # nested .text
+    sp0 = docs["http://legendnews.in/sports-story-0/"]
+    assert sp0["category2"] is None  # childless top item
+    # stale second sports row broke the loop — its article and the
+    # .previous page were never scheduled
+    assert "http://legendnews.in/sports-story-1/" not in docs
+    assert not any("sports/page/2" in u for u in fetched)
+    # meta-carried fields: title attr, list p abstract, lead image, iso
+    assert in0["title"] == "LN in0"
+    assert in0["abstract"] == "ln सार in0।"
+    assert in0["pub_time"] == "2021-05-30 12:00:00"
+    assert [s["kind"] for s in in0["spans"]] == ["image", "text"]
+    assert in0["spans"][1]["text"].startswith("ln पूरा लेख")
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,
