@@ -75,6 +75,20 @@ _AGO_EN_FACTORS = {
     "months": 2419200, "year": 31536000, "years": 31536000,
 }
 
+# hastakshep.py:23-30 hindi_time_ago — relative-unit translation table.
+_AGO_HI_UNITS = {
+    "महीना": "months", "घंटे": "hours", "मिन": "mins", "साल": "years",
+    "सप्ताह": "weeks", "दिन": "days",
+}
+
+# hindinewsfresh10.py:112-144 time_adjustment — a CLEAN 12-branch Hindi
+# month table (unlike panchjanya's bugged one).
+_HNF_HINDI_MONTHS = {
+    "जनवरी": 1, "फ़रवरी": 2, "मार्च": 3, "अप्रैल": 4, "मई": 5, "जून": 6,
+    "जुलाई": 7, "अगस्त": 8, "सितंबर": 9, "अक्टूबर": 10, "नवंबर": 11,
+    "दिसंबर": 12,
+}
+
 # Pagination rule names (the 6 corpus types).
 NEXT_LINK = "next_link"  # payload carries an explicit next href
 PAGE_PARAM = "page_param"  # ?page=N increment while has_more
@@ -375,6 +389,35 @@ def parse_site_date(raw: str | None, style: str | None,
             return (as_of - timedelta(seconds=float(t[0]) * fac)).replace(
                 microsecond=0
             )
+        if style == "ago_hi":
+            # hastakshep.py:23-30,50-54: '<n> <हिंदी unit> ago' with the
+            # unit translated to English and handed to format_time2; an
+            # unmapped unit is the reference's bare except →
+            # Util.format_time(0) = now.
+            t = raw.split()
+            en = _AGO_HI_UNITS[t[1]]  # KeyError → outer fallback-now
+            return format_time2_py(f"{t[0]} {en} {t[2]}", as_of)
+        if style == "fili_list":
+            # fili.py:40-41: '<Weekday>, D Mon YYYY' — the comma's second
+            # half re-ordered 'Mon D YYYY' into format_time2.
+            t = raw.split(",")[1].split()
+            return datetime(int(t[2]), MONTHS[t[1]], int(t[0]))
+        if style == "fili_article":
+            # fili.py:62-63: dd.published 'Weekday, D Mon YYYY ... HH:MM'
+            # rebuilt 'Y-M-D HH:MM:00' from fixed token positions.
+            t = raw.split(",")[1].split(" ")[1:]
+            hh, mm = t[-1][:5].split(":")
+            return datetime(int(t[2]), MONTHS[t[1]], int(t[0]),
+                            int(hh), int(mm))
+        if style == "hindi_mdy_comma":
+            # hindinewsfresh10.py:112-144: '<Hindi month> D, YYYY' at
+            # midnight through a clean 12-branch table; an unmapped month
+            # renders 'None' and crashes the reference's format_time3 —
+            # degraded here to the fallback-now path.
+            parts = raw.split(", ")
+            md = parts[0].split(" ")
+            return datetime(int(parts[1]), _HNF_HINDI_MONTHS[md[0]],
+                            int(md[1]))
         if style == "hindi_dmy_dash":
             # panchjanya.py:74-84: the byline's SECOND space token is
             # 'D-<Hindi month>-YYYY'; the bug-faithful month table above
@@ -845,6 +888,35 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                 ]
             }
         cats = []
+        smspec = rules[key] if isinstance(rules[key], dict) else None
+        if smspec is not None and smspec.get("year_sel"):
+            # Sitemap-index menu (entrepreneur.py:29-37): each matched
+            # node is a YEAR block (year_sel = its heading) holding month
+            # links (children_sel); the year number and the month ordinal
+            # of each link's FIRST text token ride out as gate data —
+            # parse_page applies the reference's year-break/month-break
+            # against the cutoff.
+            for bi, n in enumerate(htmlsel.select(dom(), smspec["sel"])):
+                ys = htmlsel.select(n, smspec["year_sel"])
+                try:
+                    year = int(ys[0].text()) if ys else None
+                except ValueError:
+                    year = None
+                for c in htmlsel.select(n, smspec.get("children_sel", "a")):
+                    href = c.attr(smspec.get("attr", "href"))
+                    if href is None:
+                        continue
+                    if smspec.get("href_prefix"):
+                        href = smspec["href_prefix"] + href
+                    label = c.text()
+                    cats.append({
+                        "href": href, "label": label, "excluded": False,
+                        "gate_year": year,
+                        "gate_mon": MONTHS.get(
+                            (label or "").split(" ")[0]),
+                        "gate_block": bi,
+                    })
+            return {"categories": cats}
         # A LIST of specs = menu GROUPS, each with a FIXED category label
         # and the matched links' text as the second-level label — the
         # boholchronicle.py:28-34 shape (three id-keyed sub-menus, each
@@ -1030,6 +1102,10 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
         for href, label, label2, parent_href, child_kind in pairs:
             if href is None:
                 continue
+            # ``href_sub``: literal replace pairs applied to every menu
+            # href — hindinewsfresh10.py:38's .replace(' ', '%20').
+            for a, b in rules.get("href_sub", ()):
+                href = href.replace(a, b)
             slug = href.rstrip("/").rsplit("/", 1)[-1]
             cat = {
                 "href": href,
@@ -1210,6 +1286,17 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
             # page's FIRST .post-author~span) inside its entry loop, so
             # all entries carry the newest stamp, bug-faithful.
             out["page_entry_time"] = scalar("page_entry_time")
+        if rules.get("next_side_check"):
+            # variant-scoped side-check rides out with the payload —
+            # hindinewsfresh10's PAGE 1 paginates unconditionally, only
+            # the updated-max tail pages probe the next page's emptiness
+            out["next_side_check"] = rules["next_side_check"]
+        if rules.get("page_entry_title"):
+            # ONE page-level title stamped onto every entry — the
+            # reference reads the PAGE's first h2.entry-title inside its
+            # entry loop, so every article of a page carries the first
+            # row's title (janoduniya.py:40, select_one over soup).
+            out["page_entry_title"] = scalar("page_entry_title")
         if rules.get("next_value"):
             # the value the templated next URL embeds (bicolstandard.py:
             # 45-51's parse.quote of the last timeago @title;
@@ -1528,7 +1615,31 @@ def parse_page(
         # 29-47) route menu children to second-level menu pages instead.
         child_kind = site.get("menu_child_kind", "list")
         menu_api = site.get("menu_api_template")
-        for cat in payload.get("categories", []):
+        # Sitemap year/month gate (entrepreneur.py:27-37): year blocks
+        # BREAK the whole walk when the block's year falls below the
+        # cutoff's; within a passing block, a month link below the
+        # cutoff's MONTH ORDINAL breaks that block (the reference
+        # compares tm_mon only — months never see the year, bug-faithful).
+        cats_iter = payload.get("categories", [])
+        if cutoff_epoch is not None and cats_iter \
+                and cats_iter[0].get("gate_year") is not None:
+            cdt = datetime.fromtimestamp(cutoff_epoch, tz=timezone.utc)
+            kept, dead_block = [], None
+            stop = False
+            for cat in cats_iter:
+                if stop or cat.get("gate_block") == dead_block:
+                    continue
+                if cat.get("gate_year") is not None \
+                        and cat["gate_year"] < cdt.year:
+                    stop = True
+                    continue
+                if cat.get("gate_mon") is not None \
+                        and cat["gate_mon"] < cdt.month:
+                    dead_block = cat.get("gate_block")
+                    continue
+                kept.append(cat)
+            cats_iter = kept
+        for cat in cats_iter:
             if cat.get("excluded"):  # P4 category exclusion (zeenews.py:51)
                 continue
             if menu_api:
@@ -1847,6 +1958,11 @@ def parse_page(
                 # bhopalsamachar.py:52-53: every entry is stamped with the
                 # page's one select_one date
                 entry = {**entry, "pub_time_raw": payload["page_entry_time"]}
+            if payload.get("page_entry_title") is not None:
+                # janoduniya.py:40: the page's FIRST entry title rides on
+                # every article the page yields (select_one over soup,
+                # not the row)
+                entry = {**entry, "title": payload["page_entry_title"]}
             entry_meta = dict(meta)
             if cat1_self is not None:
                 entry_meta["category1"] = cat1_self
@@ -2173,6 +2289,19 @@ def parse_page(
                         None, as_of, " ".join(gm.groups()), "ymd"
                     ) < cutoff_epoch:
                         nxt = None
+                nsc = payload.get("next_side_check") \
+                    or site.get("next_side_check")
+                if nxt and nsc is not None and side_fetch is not None:
+                    # hindinewsfresh10.py:102-106: the next page is
+                    # side-fetched with raw requests.get (invisible to the
+                    # scheduler) and scheduled only if it still renders
+                    # post rows — an empty blogger tail page ends the
+                    # chain without ever entering the crawl log.
+                    chk = side_fetch(urljoin(url, nxt[0]))
+                    if chk is None or not htmlsel.select(
+                        htmlsel.parse_html(chk), nsc["sel"]
+                    ):
+                        nxt = None
                 if nxt:
                     n_url, n_method, n_body = nxt
                     page_meta = dict(meta)
@@ -2180,6 +2309,13 @@ def parse_page(
                         # the mutated meta dict rides into the next-page
                         # request (clickthecity.py:79,113)
                         page_meta["abstract"] = carry_abstract
+                    if site.get("page_abstract_carry") \
+                            and payload.get("page_abstract") is not None:
+                        # the page-level teaser is folded into meta BEFORE
+                        # the older-page request is yielded, so every later
+                        # page's articles inherit PAGE 1's snippet
+                        # (hindinewsfresh10.py:52-59's meta dict)
+                        page_meta["abstract"] = payload["page_abstract"]
                     # ``next_kind``: the next page is parsed by a
                     # DIFFERENT callback — legendnews.py:55-56 hands page
                     # 2 back to parse (the MENU callback), so its menu
@@ -2299,14 +2435,25 @@ def parse_page(
                              payload.get("fb_abstract"),
                              split_abstract)
                  if v is not None),
-                paras[0] if paras else None,
+                # ``abstract_skip_empty``: the default first-paragraph
+                # abstract scans for the first NON-EMPTY one
+                # (entrepreneur.py:52-56's flag walk); default takes
+                # paras[0] verbatim (items.py:8).
+                (next((p for p in paras if p), None)
+                 if site.get("abstract_skip_empty")
+                 else paras[0]) if paras else None,
             ),
             # Breadcrumb categories off the article page override the meta
             # lineage (maharashtratimes.py:79-81, shangbao.py:67-71).
             # ``cat1_const``/``cat2_const``: spider-hardcoded categories
             # (tourism.py:100-101's 'News Updates'/'Featured News').
+            # ``cat1_meta_off``: the spider never reads category1 from its
+            # request lineage — a missing page crumb leaves it unset
+            # (entrepreneur.py:48-49's bare if).
             "category1": site.get("cat1_const") or cat1_seg or cat1_url
-            or payload.get("cat1") or meta.get("category1"),
+            or payload.get("cat1")
+            or (None if site.get("cat1_meta_off")
+                else meta.get("category1")),
             # ``cat2_meta_off``: the spider never reads category2 from its
             # request lineage — URL/page sources or nothing (sunstar.py:
             # 57-58's digits guard leaves it unset on numeric segments).

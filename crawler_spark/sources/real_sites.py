@@ -9278,6 +9278,564 @@ def _build_legendnews(g: _G) -> None:
            lst("sp", s_rows, f"{base}/sports/page/2/"), host)
 
 
+ENTREPRENEUR_RULES = {
+    # entrepreneur.py: the seed is a SITEMAP INDEX of year blocks holding
+    # month links (py:29-37) — the year gate breaks the whole walk below
+    # the cutoff's year, a month link below the cutoff's MONTH ORDINAL
+    # breaks its block (tm_mon comparison only, py:30-32); month pages
+    # are ungated lists of .nobullet.col3 links (py:41-42); the article
+    # takes its abstract from the first NON-EMPTY paragraph (py:52-56),
+    # category1 from the last .valign-wrapper link when present (py:48-49)
+    # and a fuzzy byline time (py:57).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "abstract_skip_empty": True,
+    "cat1_meta_off": True,
+    "extract": {
+        "category": {
+            "sel": ".container > div > div > div:nth-of-type(2) > div",
+            "year_sel": "h2", "children_sel": "ul a",
+            "href_prefix": "https://www.entrepreneur.com",
+        },
+        "entry": {"sel": ".nobullet.col3 a"},
+        "title": {"sel": ".headline"},
+        "cat1": {"sel": ".valign-wrapper > a", "index": -1},
+        "pub": {"sel": ".art-v2-body > div > div > time"},
+        "block": {"para_sel": ".art-v2-body > div:nth-of-type(1) > p",
+                  "img_sel": ".art-v2-body > div:nth-of-type(1) img"},
+    },
+}
+
+
+def _build_entrepreneur(g: _G) -> None:
+    host, base = "www.entrepreneur.com", "https://www.entrepreneur.com"
+    wid = 489
+    g.registry[wid] = dict(ENTREPRENEUR_RULES)
+    g.seeds.append({"url": base + "/sitemaps/main", "website_id": wid,
+                    "language_id": 1866})
+
+    def yblock(year: int, months: list[str]) -> str:
+        links = "".join(
+            f'<li><a href="/sitemaps/{year}/{m.lower().split()[0]}">'
+            f"{m}</a></li>" for m in months
+        )
+        return f"<div><h2>{year}</h2><ul>{links}</ul></div>"
+
+    # cutoff = 2021-05: May passes, April breaks the 2021 block, the
+    # 2020 block breaks the whole walk (its June is never read)
+    g.page(base + "/sitemaps/main", "menu",
+           f'<html><div class="container"><div><div>'
+           f"<div>sidebar</div>"
+           f"<div>{yblock(2021, ['May 2021', 'April 2021'])}"
+           f"{yblock(2020, ['June 2020'])}</div>"
+           f"</div></div></div></html>", host)
+
+    def art(tag: str, dt: datetime, cat: bool = True) -> str:
+        crumbs = (f'<div class="valign-wrapper"><a href="#">Home</a>'
+                  f'<a href="#">Growth</a></div>' if cat else "")
+        return (f'<html><h1 class="headline">EN {tag}</h1>{crumbs}'
+                f'<div class="art-v2-body"><div>'
+                f"<p></p><p>en lede {tag}.</p><p>en second.</p>"
+                f'<img src="{base}/i/{tag}.jpg">'
+                f"</div><div><div><time>{_MON_FULL[dt.month - 1]} "
+                f"{dt.day}, {dt.year}</time></div></div></div></html>")
+
+    arts = []
+    for e in range(2):
+        aurl = f"/article/may-{e}"
+        g.page(base + aurl, "article",
+               art(f"m{e}", BASE_DT - timedelta(hours=e * 50),
+                   cat=(e == 0)), host)
+        arts.append(aurl)
+    g.page(base + "/sitemaps/2021/may", "list",
+           '<html><ul class="nobullet col3">'
+           + "".join(f'<li><a href="{u}">t</a></li>' for u in arts)
+           + "</ul></html>", host)
+
+
+FILI_RULES = {
+    # fili.py: sibling-combinator menu [:5] with a fixed host prefix
+    # (py:30-31); each list block carries TWO index-paired article/date
+    # pairs (py:37-41 — modeled as one wrapper per pair, the reference's
+    # [:-2] widget slice realized by anchor-less trailing blocks); the
+    # '<Weekday>, D Mon YYYY' stamps re-ordered 'Mon D Y' (py:41);
+    # per-entry gate WITHOUT break (py:42-46 sets flag and keeps
+    # scanning); .pagination-next chains (py:47-48); breadcrumb
+    # categories collapse to one level when only one link (py:53-59),
+    # title from the breadcrumb's last span (py:61), the dd.published
+    # byline rebuilt 'Y-M-D HH:MM:00' from fixed tokens (py:62-64).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "date_style": "fili_list",
+    "article_pub_style": "fili_article",
+    "entry_gate_no_break": True,
+    "extract": {
+        "category": {
+            "sel": "#s5_nav > li.active ~ li > span > span > a",
+            "slice": [0, 5],
+            "href_prefix": "http://www.filipinoexpress.com",
+        },
+        "entry": {"sel": "div.blog > div div.fe-item",
+                  "fields": {"href": {"sel": "h2 > a", "attr": "href"},
+                             "time": {"sel": ".published"}}},
+        "next": {"sel": ".pagination .pagination-next a", "attr": "href"},
+        "title": {"sel": "div.breadcrumbs > span", "index": -1},
+        "cat1": {"sel": "div.breadcrumbs > a", "index": 0},
+        "cat2": {"if_count": {"sel": "div.breadcrumbs > a", "ge": 2},
+                 "then": {"sel": "div.breadcrumbs > a", "index": 1},
+                 "else": {"const": None}},
+        "pub": {"sel": "dd.published"},
+        "block": {"para_sel": "div.item-page > p"},
+    },
+}
+
+
+def _build_fili(g: _G) -> None:
+    host = "www.filipinoexpress.com"
+    base = "http://www.filipinoexpress.com"
+    wid = 182
+    g.registry[wid] = dict(FILI_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 2266})
+    sections = ["news", "opinion", "sports", "life", "biz", "extra"]
+    items = "".join(
+        f'<li><span><span><a href="/{s}/">{s.title()}</a></span></span>'
+        "</li>" for s in sections  # [:5] drops 'extra'
+    )
+    g.page(base + "/", "menu",
+           f'<html><ul id="s5_nav"><li class="active"><span><span>'
+           f'<a href="/">Home</a></span></span></li>{items}</ul></html>',
+           host)
+
+    def _fd(dt: datetime) -> str:
+        return f"Sunday, {dt.day} {_MON_ABBR[dt.month - 1]} {dt.year}"
+
+    def art(tag: str, dt: datetime, two_crumbs: bool) -> str:
+        crumbs = (f'<a href="#">News</a><a href="#">Local</a>'
+                  if two_crumbs else f'<a href="#">News</a>')
+        return (f'<html><div class="breadcrumbs">{crumbs}'
+                f"<span>FE {tag}</span></div>"
+                f"<dl><dd class=\"published\">Sunday, {dt.day} "
+                f"{_MON_ABBR[dt.month - 1]} {dt.year} {dt:%H:%M}"
+                f"</dd></dl>"
+                f'<div class="item-page"><p>fe first {tag}.</p>'
+                f"<p>fe second.</p></div></html>")
+
+    def lst(pairs: list[list[tuple[str, datetime]]],
+            nxt: str | None) -> str:
+        blocks = "".join(
+            '<div class="items-row">' + "".join(
+                f'<div class="fe-item"><h2><a href="{u}">t</a></h2>'
+                f'<dl><dd class="published">{_fd(dt)}</dd></dl></div>'
+                for u, dt in blk
+            ) + "</div>"
+            for blk in pairs
+        )
+        # the trailing widget blocks the reference slices off with [:-2]
+        blocks += "<div>widget</div><div>footer</div>"
+        nav = (f'<ul class="pagination"><li class="pagination-next">'
+               f'<a href="{nxt}">Next</a></li></ul>' if nxt else "")
+        return f'<html><div class="blog">{blocks}{nav}</div></html>'
+
+    # page 1: 2 blocks × 2 pairs, one mid-list STALE pair skipped with
+    # NO break (the fresh pair after it still fetched) but pagination
+    # dead; news/2 never scheduled
+    p1: list[list[tuple[str, datetime]]] = [[], []]
+    ages = [(0.0, 80.0), (6.0, 12.0)]  # block 0 pair 1 is stale
+    for b in range(2):
+        for j in range(2):
+            dt = BASE_DT - timedelta(hours=ages[b][j])
+            aurl = f"/news-story-{b}{j}/"
+            g.page(base + aurl, "article",
+                   art(f"n{b}{j}", dt, two_crumbs=(b == 0)), host)
+            p1[b].append((aurl, dt))
+    g.page(base + "/news/", "list", lst(p1, "/news/2/"), host)
+    # the other four sections: one block, fresh, no next
+    for s in ("opinion", "sports", "life", "biz"):
+        dt = BASE_DT - timedelta(hours=3)
+        aurl = f"/{s}-story-0/"
+        g.page(base + aurl, "article", art(s[:2] + "0", dt, False), host)
+        g.page(f"{base}/{s}/", "list", lst([[(aurl, dt)]], None), host)
+
+
+HASTAKSHEP_RULES = {
+    # hastakshep.py: menu links kept only when the href contains
+    # 'category' (py:38-44); list blocks carry title/abstract/image and a
+    # '<n> <हिंदी unit> ago' stamp translated through hindi_time_ago into
+    # format_time2 (py:23-30,50-55), an unmapped unit falling back to
+    # now via the bare except (py:53-54); per-entry gate with break;
+    # #pagination chains (py:65-67); the article only contributes its
+    # .the_content paragraphs (py:77-80).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "date_style": "ago_hi",
+    "extract": {
+        "category": {"sel": "#menu-header > li > a",
+                     "href_re": r".*category"},
+        "entry": {"sel": ".amp-wp-content.amp-loop-list",
+                  "fields": {"href": {"sel": "a", "attr": "href"},
+                             "time": {"sel": ".featured_time"},
+                             "title": {"sel": "h2"},
+                             "abstract":
+                                 {"sel": ".large-screen-excerpt-design-3"},
+                             "img": {"sel": "amp-img", "attr": "src"}}},
+        "next": {"sel": "#pagination a", "attr": "href"},
+        "block": {"para_sel": ".amp-wp-content.the_content p"},
+    },
+}
+
+
+def _build_hastakshep(g: _G) -> None:
+    host, base = "www.hastakshep.com", "https://www.hastakshep.com"
+    wid = 1055
+    g.registry[wid] = dict(HASTAKSHEP_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><ul id="menu-header">'
+           f'<li><a href="{base}/">होम</a></li>'  # no 'category' → skipped
+           f'<li><a href="{base}/category/desh/">देश</a></li>'
+           f'<li><a href="{base}/category/vichar/">विचार</a></li>'
+           f"</ul></html>", host)
+
+    def art(tag: str) -> str:
+        return (f'<html><div class="amp-wp-content the_content">'
+                f"<p>hk पहला {tag}।</p><p>hk दूसरा।</p></div></html>")
+
+    def blk(u: str, tag: str, ago: str) -> str:
+        return (f'<div class="amp-wp-content amp-loop-list">'
+                f'<a href="{u}"><h2>HK {tag}</h2></a>'
+                f'<div class="featured_time">{ago}</div>'
+                f'<div class="large-screen-excerpt-design-3">hk सार {tag}'
+                f"</div>"
+                f'<amp-img src="{base}/i/{tag}.jpg"></amp-img></div>')
+
+    def lst(blocks: list[str], nxt: str | None) -> str:
+        nav = (f'<div id="pagination"><a href="{nxt}">»</a></div>'
+               if nxt else "")
+        return f"<html>{''.join(blocks)}{nav}</html>"
+
+    # desh: page 1 fresh ('2 दिन ago' + an UNMAPPED unit → fallback-now,
+    # both stored) → page 2 whose first stamp is '1 सप्ताह ago' (stale,
+    # break — its article never fetched, no page 3)
+    a10 = f"{base}/desh-story-10/"
+    g.page(a10, "article", art("d10"), host)
+    a11 = f"{base}/desh-story-11/"
+    g.page(a11, "article", art("d11"), host)
+    g.page(f"{base}/category/desh/", "list",
+           lst([blk(a10, "d10", "2 दिन ago"),
+                blk(a11, "d11", "5 पल ago")],
+               f"{base}/category/desh/page/2/"), host)
+    a20 = f"{base}/desh-story-20/"
+    g.page(a20, "article", art("d20"), host)
+    g.page(f"{base}/category/desh/page/2/", "list",
+           lst([blk(a20, "d20", "1 सप्ताह ago")], None), host)
+    # vichar: one fresh block in hours, no pagination div
+    av = f"{base}/vichar-story-0/"
+    g.page(av, "article", art("v0"), host)
+    g.page(f"{base}/category/vichar/", "list",
+           lst([blk(av, "v0", "30 घंटे ago")], None), host)
+
+
+HEADLINEHINDI_RULES = {
+    # headlinehindi.py: deep-path menu selector (py:43-47); entries
+    # yielded UNGATED off module blocks (py:53-58); the page gate is the
+    # LAST block's ISO+TZ datetime attribute (py:59-61), pagination
+    # taking the page-nav's last anchor (py:59,62); the article re-reads
+    # title/time off the page (py:72-73), takes the single modal image's
+    # data-src when present (py:74-75), and stores the WHOLE joined body
+    # as its abstract (py:76-81); category1 is the breadcrumb's second
+    # span link (py:82), category2 hardcoded None (py:83).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "date_style": "isoT",
+    "cat2_meta_off": True,
+    "abstract_split": {"sep": "\x00", "take": 1, "suffix": "\n"},
+    "extract": {
+        "category": {"sel": "#menu-td-demo-header-menu li a"},
+        "entry": {"sel": ".tdb_module_loop.td_module_wrap",
+                  "fields": {"href": {"sel": ".td-module-meta-info h3 a",
+                                      "attr": "href"}}},
+        "page_time": {"sel": ".tdb_module_loop.td_module_wrap"
+                             " .td-editor-date span time",
+                      "index": -1, "attr": "datetime"},
+        "next": {"sel": ".page-nav.td-pb-padding-side a", "index": -1,
+                 "attr": "href"},
+        "title": {"sel": ".wpb_wrapper h1"},
+        "pub": {"sel": ".wpb_wrapper time", "attr": "datetime"},
+        "cat1": {"sel": "div.tdb-block-inner.td-fix-index span a",
+                 "index": 1},
+        "block": {"para_sel": "div.tdb-block-inner.td-fix-index p",
+                  "img_sel": ".td-modal-image", "img_attr": "data-src",
+                  "img_slice": [0, 1]},
+    },
+}
+
+
+def _build_headlinehindi(g: _G) -> None:
+    host, base = "www.headlinehindi.com", "https://www.headlinehindi.com"
+    wid = 932
+    g.registry[wid] = dict(HEADLINEHINDI_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><ul id="menu-td-demo-header-menu">'
+           f'<li><a href="{base}/desh/">देश</a></li>'
+           f'<li><a href="{base}/khel/">खेल</a></li>'
+           f"</ul></html>", host)
+
+    def art(tag: str, dt: datetime, img: bool = True) -> str:
+        modal = (f'<img class="td-modal-image" '
+                 f'data-src="{base}/i/{tag}.jpg">' if img else "")
+        return (f'<html><div class="wpb_wrapper"><div><div>'
+                f"<h1>HH {tag}</h1>"
+                f'<time datetime="{_iso_tz(dt)}">x</time></div></div>'
+                f"{modal}"
+                f'<div class="tdb-block-inner td-fix-index">'
+                f"<span><a href=\"#\">होम</a><a href=\"#\">देश</a></span>"
+                f"<p>hh पहला {tag}।</p><p>hh दूसरा।</p></div>"
+                f"</div></html>")
+
+    def lst(rows: list[tuple[str, datetime]], nxt: str | None) -> str:
+        mods = "".join(
+            f'<div class="tdb_module_loop td_module_wrap '
+            f'td-animation-stack"><div class="td-module-meta-info">'
+            f'<h3><a href="{u}">t</a></h3></div>'
+            f'<div class="td-editor-date"><span>'
+            f'<time datetime="{_iso_tz(dt)}">x</time></span></div></div>'
+            for u, dt in rows
+        )
+        nav = (f'<div class="page-nav td-pb-padding-side">'
+               f'<a href="{base}/p1/">1</a><a href="{nxt}">»</a></div>'
+               if nxt else "")
+        return (f'<html><div id="td-outer-wrap">'
+                f'<div class="tdc-content-wrap">{mods}</div>{nav}'
+                f"</div></html>")
+
+    # desh: page 1 fresh tail → page 2; page 2's tail is stale (its own
+    # fresh FIRST row still stored — entries are ungated)
+    rows1 = []
+    for e in range(2):
+        dt = BASE_DT - timedelta(hours=e * 5)
+        aurl = f"{base}/desh-khabar-1{e}/"
+        g.page(aurl, "article", art(f"d1{e}", dt, img=(e == 0)), host)
+        rows1.append((aurl, dt))
+    g.page(base + "/desh/", "list",
+           lst(rows1, f"{base}/desh/page/2/"), host)
+    rows2 = []
+    for e, age in enumerate((10.0, 70.0)):
+        dt = BASE_DT - timedelta(hours=age)
+        aurl = f"{base}/desh-khabar-2{e}/"
+        g.page(aurl, "article", art(f"d2{e}", dt), host)
+        rows2.append((aurl, dt))
+    g.page(base + "/desh/page/2/", "list",
+           lst(rows2, f"{base}/desh/page/3/"), host)
+    # khel: single fresh page, no nav
+    dt = BASE_DT - timedelta(hours=2)
+    aurl = f"{base}/khel-khabar-0/"
+    g.page(aurl, "article", art("k0", dt), host)
+    g.page(base + "/khel/", "list", lst([(aurl, dt)], None), host)
+
+
+HNF_RULES = {
+    # hindinewsfresh10.py: Blogger menu with '%20'-escaped hrefs (py:38);
+    # page 1 yields its entries ungated, stamps ONE .post-snippet teaser
+    # into meta for every later article (py:51-56), and schedules the
+    # older-link unconditionally (py:57-59); updated-max tail pages (the
+    # variant) REQUIRE post rows (py:86,109-110), gate on the LAST
+    # abbr.published through the clean Hindi month table (py:99-100,
+    # 112-144), and SIDE-CHECK the next page's emptiness with raw
+    # requests.get before scheduling it (py:101-106); the article reads
+    # categories off its label head (py:77-80), images off .post-article
+    # (py:70-74), and a whole-container body (py:76).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "date_style": "hindi_mdy_comma",
+    "page_abstract_carry": True,
+    "extract": {
+        "category": {"sel": "ul#nav2 li a"},
+        "href_sub": [[" ", "%20"]],
+        "entry": {"sel": "h2.post-title.entry-title",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "page_abstract": {"sel": "div.post-snippet p"},
+        "next": {"sel": "a.blog-pager-older-link", "attr": "href"},
+        "title": {"sel": "h1.post-title.entry-title"},
+        "pub": {"sel": "abbr.published"},
+        "cat1": {"sel": "div.label-head.Label a", "index": 0},
+        "cat2": {"if_count": {"sel": "div.label-head.Label a", "ge": 2},
+                 "then": {"sel": "div.label-head.Label a", "index": 1},
+                 "else": {"const": None}},
+        "block": {"img_sel": ".post-article img"},
+        "body_fallback": {"sel": "div.post-body.entry-content"},
+        "variants": [
+            {"match": r"updated-max",
+             "page_time": {"sel": "abbr.published", "index": -1},
+             "require_marker": {"sel": "div.post-outer"},
+             "next_side_check": {"sel": "div.widget"
+                                        " .blog-posts div.post-outer"}},
+        ],
+    },
+}
+
+
+def _build_hindinewsfresh10(g: _G) -> None:
+    host = "hindinewsfresh10.blogspot.com"
+    base = "https://hindinewsfresh10.blogspot.com"
+    wid = 967
+    g.registry[wid] = dict(HNF_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><ul id="nav2">'
+           f'<li><a href="{base}/search/label/ताज़ा खबर">ताज़ा</a></li>'
+           f"</ul></html>", host)
+
+    def _hd(dt: datetime) -> str:
+        hi = {5: "मई", 4: "अप्रैल"}[dt.month]
+        return f"{hi} {dt.day}, {dt.year}"
+
+    def art(tag: str, dt: datetime, n_cats: int = 2) -> str:
+        cats = "".join(f'<a href="#">c{i}</a>' for i in range(n_cats))
+        return (f'<html><h1 class="post-title entry-title">HNF {tag}'
+                f"</h1>"
+                f'<abbr class="published">{_hd(dt)}</abbr>'
+                f'<div class="post-article">'
+                f'<img src="{base}/i/{tag}.jpg"><img alt="no-src"></div>'
+                f'<div class="post-body entry-content">hnf पूरा {tag}। '
+                f"hnf शेष।</div>"
+                f'<div class="label-head Label">{cats}</div></html>')
+
+    def lst(rows: list[tuple[str, datetime]], nxt: str | None,
+            snippet: bool, outer: bool = True) -> str:
+        posts = "".join(
+            f'<div class="post-outer">'
+            f'<h2 class="post-title entry-title"><a href="{u}">t</a></h2>'
+            f'<abbr class="published">{_hd(dt)}</abbr></div>'
+            for u, dt in rows
+        ) if outer else ""
+        snip = ('<div class="post-snippet"><p>hnf page-one teaser</p>'
+                "</div>" if snippet else "")
+        nav = (f'<a class="blog-pager-older-link" href="{nxt}">पुराना</a>'
+               if nxt else "")
+        return (f'<html><div class="widget Blog">'
+                f'<div class="blog-posts hfeed">{posts}</div></div>'
+                f"{snip}{nav}</html>")
+
+    # page 1 (no gate, teaser stamped) → updated-max page 2 (fresh tail,
+    # side-check passes) → page 3 (fresh tail but the side-checked page 4
+    # is EMPTY → chain ends without page 4 in the log)
+    p2 = f"{base}/search/label/x?updated-max=2021-05-29T00:00:00"
+    p3 = f"{base}/search/label/x?updated-max=2021-05-28T00:00:00"
+    p4 = f"{base}/search/label/x?updated-max=2021-05-27T00:00:00"
+    r1, r2, r3 = [], [], []
+    for e in range(2):
+        dt = BASE_DT - timedelta(hours=e * 4)
+        aurl = f"{base}/2021/05/katha-1{e}.html"
+        g.page(aurl, "article",
+               art(f"k1{e}", dt, n_cats=2 if e == 0 else 1), host)
+        r1.append((aurl, dt))
+    g.page(base + "/search/label/ताज़ा%20खबर", "list",
+           lst(r1, p2, snippet=True), host)
+    for e in range(1):
+        dt = BASE_DT - timedelta(hours=20)
+        aurl = f"{base}/2021/05/katha-20.html"
+        g.page(aurl, "article", art("k20", dt), host)
+        r2.append((aurl, dt))
+    g.page(p2, "list", lst(r2, p3, snippet=False), host)
+    dt = BASE_DT - timedelta(hours=30)
+    aurl = f"{base}/2021/05/katha-30.html"
+    g.page(aurl, "article", art("k30", dt), host)
+    r3.append((aurl, dt))
+    g.page(p3, "list", lst(r3, p4, snippet=False), host)
+    # page 4 exists but renders NO post rows — only ever side-fetched
+    g.page(p4, "list", lst([], None, snippet=False, outer=False), host)
+
+
+JANODUNIYA_RULES = {
+    # janoduniya.py: programmatic seed — start_requests mines
+    # #primary-menu[:-1] off the homepage with the link text as category1
+    # (py:24-29; the home fetch is scheduled here as the batch-0 menu,
+    # the shangbao simplification); every list entry inherits the PAGE's
+    # FIRST title and .updated stamp (py:39-41's select_one over soup —
+    # page_entry_title/page_entry_time, bug-faithful); per-entry gate
+    # with break; .nav-previous chains, a missing nav swallowed by the
+    # bare except (py:47-52); the article contributes abstract/body
+    # paragraphs and thumb images (py:59-64), category2 None (py:65).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "extract": {
+        "category": {"sel": "#primary-menu a", "slice": [0, -1]},
+        "entry": {"sel": "article",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "page_entry_time": {"sel": ".updated"},
+        "page_entry_title": {"sel": "h2.entry-title a"},
+        "next": {"sel": ".nav-previous a", "attr": "href"},
+        "abstract": {"sel": ".entry-content p"},
+        "block": {"para_sel": ".entry-content p",
+                  "img_sel": ".np-article-thumb img"},
+    },
+}
+
+
+def _build_janoduniya(g: _G) -> None:
+    host, base = "janoduniya.tv", "http://janoduniya.tv"
+    wid = 1057
+    g.registry[wid] = dict(JANODUNIYA_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><nav id="primary-menu">'
+           f'<a href="{base}/desh/">देश</a>'
+           f'<a href="{base}/videsh/">विदेश</a>'
+           f'<a href="{base}/login/">लॉगिन</a>'  # [:-1] drops it
+           f"</nav></html>", host)
+
+    def art(tag: str) -> str:
+        return (f'<html><div class="np-article-thumb">'
+                f'<img src="{base}/i/{tag}.jpg"></div>'
+                f'<div class="entry-content"><p>jd पहला {tag}।</p>'
+                f"<p>jd दूसरा।</p></div></html>")
+
+    def lst(rows: list[str], stamp: datetime, nxt: str | None) -> str:
+        arts = "".join(
+            f'<article><h2 class="entry-title"><a href="{u}">शीर्षक '
+            f"{u.rsplit('/', 2)[-2]}</a></h2></article>" for u in rows
+        )
+        nav = (f'<div class="nav-previous"><a href="{nxt}">पुराने</a>'
+               "</div>" if nxt else "")
+        return (f'<html><span class="updated">'
+                f"{_MON_FULL[stamp.month - 1]} {stamp.day}, {stamp.year}"
+                f"</span>{arts}{nav}</html>")
+
+    # desh: page 1 fresh stamp (BOTH entries share the first title and
+    # the one page stamp) → page 2 stale stamp → break, no page 3
+    r1 = [f"{base}/desh-story-1{e}/" for e in range(2)]
+    for u in r1:
+        g.page(u, "article", art(u.rsplit("/", 2)[-2]), host)
+    g.page(base + "/desh/", "list",
+           lst(r1, BASE_DT, f"{base}/desh/page/2/"), host)
+    r2 = [f"{base}/desh-story-20/"]
+    g.page(r2[0], "article", art("desh-story-20"), host)
+    g.page(base + "/desh/page/2/", "list",
+           lst(r2, BASE_DT - timedelta(hours=80),
+               f"{base}/desh/page/3/"), host)
+    # videsh: single fresh page without nav (the bare except path)
+    rv = [f"{base}/videsh-story-0/"]
+    g.page(rv[0], "article", art("videsh-story-0"), host)
+    g.page(base + "/videsh/", "list", lst(rv, BASE_DT, None), host)
+
+
 SITE_BUILDERS = {
     "zeenews": _build_zeenews,
     "aajtak": _build_aajtak,
@@ -9371,6 +9929,12 @@ SITE_BUILDERS = {
     "world": _build_world,
     "mb": _build_mb,
     "legendnews": _build_legendnews,
+    "entrepreneur": _build_entrepreneur,
+    "fili": _build_fili,
+    "hastakshep": _build_hastakshep,
+    "headlinehindi": _build_headlinehindi,
+    "hindinewsfresh10": _build_hindinewsfresh10,
+    "janoduniya": _build_janoduniya,
 }
 
 

@@ -54,6 +54,7 @@ def test_all_sites_produce_documents(sim):
         1061, 1011, 1054, 491, 188, 446,
         1002, 1003, 935, 690, 1126, 1046, 1072,
         1007, 970, 1127, 183, 189, 1051,
+        489, 182, 1055, 932, 967, 1057,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -1642,6 +1643,151 @@ def test_legendnews_shared_meta_and_menu_kind_pagination(sim):
     assert in0["pub_time"] == "2021-05-30 12:00:00"
     assert [s["kind"] for s in in0["spans"]] == ["image", "text"]
     assert in0["spans"][1]["text"].startswith("ln पूरा लेख")
+
+
+def test_entrepreneur_sitemap_year_month_gate(sim):
+    """entrepreneur.py: sitemap-index crawl — the 2020 year block breaks
+    the whole walk (py:30,36-37), April breaks the 2021 block on month
+    ordinal (py:32-35), month pages are ungated lists (py:41-42); the
+    abstract scans for the first NON-EMPTY paragraph (py:52-56); a page
+    with no .valign-wrapper leaves category1 unset, never the menu label
+    (py:48-49)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[489]}
+    fetched = [u for _b, u in sim["crawl_log"] if "entrepreneur" in u]
+    assert any(u.endswith("/sitemaps/2021/may") for u in fetched)
+    assert not any("2021/april" in u for u in fetched)  # month break
+    assert not any("/2020/" in u for u in fetched)  # year break
+    m0 = docs["https://www.entrepreneur.com/article/may-0"]
+    m1 = docs["https://www.entrepreneur.com/article/may-1"]
+    assert m0["category1"] == "Growth"  # last .valign-wrapper link
+    assert m1["category1"] is None  # no crumb block → unset, not meta
+    assert m0["abstract"] == "en lede m0."  # empty first <p> skipped
+    # the empty paragraph still renders a (empty) text span, as the
+    # reference's '\n' join would
+    assert [s["kind"] for s in m0["spans"]] == ["text", "text", "text",
+                                                "image"]
+    assert m0["spans"][0]["text"] == ""
+
+
+def test_fili_paired_entries_no_break_gate(sim):
+    """fili.py: menu [:5] sibling selector (py:30); two index-paired
+    article/date pairs per block with the [:-2] widget slice (py:37-41);
+    the per-entry gate sets flag but never BREAKS (py:42-46) — a stale
+    mid-list pair is skipped while later fresh pairs still fetch, and
+    pagination dies; breadcrumbs collapse to one level when single
+    (py:53-59); dd.published rebuilt from fixed tokens (py:62-64)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[182]}
+    fetched = [u for _b, u in sim["crawl_log"] if "filipinoexpress" in u]
+    assert not any(u.endswith("/extra/") for u in fetched)  # [:5]
+    # stale pair skipped, the pairs AFTER it still fetched (no break)
+    assert "http://www.filipinoexpress.com/news-story-01/" not in docs
+    assert "http://www.filipinoexpress.com/news-story-10/" in docs
+    assert "http://www.filipinoexpress.com/news-story-11/" in docs
+    assert not any("/news/2/" in u for u in fetched)  # flag killed nav
+    n00 = docs["http://www.filipinoexpress.com/news-story-00/"]
+    assert (n00["category1"], n00["category2"]) == ("News", "Local")
+    assert n00["title"] == "FE n00"  # breadcrumb last span
+    assert n00["pub_time"] == "2021-05-30 12:00:00"  # token rebuild
+    op = docs["http://www.filipinoexpress.com/opinion-story-0/"]
+    assert op["category2"] is None  # single-crumb collapse
+
+
+def test_hastakshep_hindi_ago_units_and_fallback(sim):
+    """hastakshep.py: menu hrefs filtered on 'category' (py:38-44);
+    '<n> <हिंदी unit> ago' stamps translated into format_time2
+    (py:23-30,50-55) — an UNMAPPED unit falls back to now through the
+    bare except and passes the gate; per-entry break gate; list-carried
+    title/abstract/image meta."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1055]}
+    fetched = [u for _b, u in sim["crawl_log"] if "hastakshep" in u]
+    # the home link (no 'category') is never fetched as a list
+    assert sum(u == "https://www.hastakshep.com/" for u in fetched) == 1
+    d10 = docs["https://www.hastakshep.com/desh-story-10/"]
+    assert d10["pub_time"] == "2021-05-30 00:00:00"  # 2 दिन ago
+    d11 = docs["https://www.hastakshep.com/desh-story-11/"]
+    assert d11["pub_time"] == "2021-06-01 00:00:00"  # unmapped → now
+    v0 = docs["https://www.hastakshep.com/vichar-story-0/"]
+    assert v0["pub_time"] == "2021-05-30 18:00:00"  # 30 घंटे ago
+    # page 2's first stamp is '1 सप्ताह ago' → break before yield
+    assert any(u.endswith("/desh/page/2/") for u in fetched)
+    assert "https://www.hastakshep.com/desh-story-20/" not in docs
+    assert not any("hastakshep" in u and "page/3" in u for u in fetched)
+    assert d10["title"] == "HK d10"  # list h2 via meta
+    assert d10["abstract"] == "hk सार d10"
+    assert [s["kind"] for s in d10["spans"]] == ["image", "text", "text"]
+
+
+def test_headlinehindi_ungated_entries_body_abstract(sim):
+    """headlinehindi.py: entries ungated (py:53-58), the LAST module's
+    ISO datetime attr gates pagination (py:59-63); the article stores the
+    WHOLE joined body as its abstract (py:76-81), category1 from the
+    breadcrumb's second link (py:82), a single modal data-src image when
+    present (py:74-75)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[932]}
+    fetched = [u for _b, u in sim["crawl_log"] if "headlinehindi" in u]
+    assert any(u.endswith("/desh/page/2/") for u in fetched)
+    assert not any("headlinehindi" in u and "page/3" in u
+                   for u in fetched)
+    # page 2's STALE row is still stored — entries never gated
+    d21 = docs["https://www.headlinehindi.com/desh-khabar-21/"]
+    assert d21["pub_time"] == "2021-05-27 14:00:00"
+    d10 = docs["https://www.headlinehindi.com/desh-khabar-10/"]
+    assert d10["abstract"] == "hh पहला d10।\nhh दूसरा।\n"  # abstract=body
+    assert d10["category1"] == "देश"
+    assert d10["category2"] is None
+    assert [s["kind"] for s in d10["spans"]] == ["image", "text", "text"]
+    d11 = docs["https://www.headlinehindi.com/desh-khabar-11/"]
+    assert [s["kind"] for s in d11["spans"]] == ["text", "text"]  # no modal
+
+
+def test_hindinewsfresh10_blogger_tail_side_check(sim):
+    """hindinewsfresh10.py: '%20'-escaped menu hrefs (py:38); page 1
+    paginates UNGATED and stamps its one .post-snippet teaser into every
+    later article's meta (py:51-59); updated-max tail pages gate on the
+    last abbr.published through the clean Hindi table (py:99-100) and
+    SIDE-CHECK the next page's post rows before scheduling (py:101-106) —
+    the empty page 4 never enters the crawl log."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[967]}
+    fetched = [u for _b, u in sim["crawl_log"] if "hindinewsfresh10" in u]
+    assert any("%20" in u for u in fetched)  # escaped menu href
+    assert any("updated-max=2021-05-29" in u for u in fetched)
+    assert any("updated-max=2021-05-28" in u for u in fetched)
+    assert not any("updated-max=2021-05-27" in u for u in fetched)
+    # the page-1 teaser rides into EVERY page's articles
+    assert all(d["abstract"] == "hnf page-one teaser"
+               for d in docs.values())
+    k10 = docs["https://hindinewsfresh10.blogspot.com/2021/05/"
+               "katha-10.html"]
+    assert (k10["category1"], k10["category2"]) == ("c0", "c1")
+    k11 = docs["https://hindinewsfresh10.blogspot.com/2021/05/"
+               "katha-11.html"]
+    assert k11["category2"] is None  # single label
+    assert k10["pub_time"] == "2021-05-30 00:00:00"  # Hindi M D, Y
+    # src-less img skipped; whole-container fallback body
+    assert [s["kind"] for s in k10["spans"]] == ["image", "text"]
+    assert k10["spans"][1]["text"].startswith("hnf पूरा")
+
+
+def test_janoduniya_page_level_title_and_stamp(sim):
+    """janoduniya.py: #primary-menu[:-1] programmatic seeds (py:24-29);
+    EVERY entry of a page inherits the page's FIRST title and .updated
+    stamp (py:39-41's select_one over soup, not the row — bug-faithful);
+    per-entry break gate; .nav-previous chains with the missing-nav
+    except (py:47-52)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1057]}
+    fetched = [u for _b, u in sim["crawl_log"] if "janoduniya" in u]
+    assert not any(u.endswith("/login/") for u in fetched)  # [:-1]
+    assert any(u.endswith("janoduniya.tv/desh/page/2/") for u in fetched)
+    assert not any("janoduniya" in u and "page/3" in u for u in fetched)
+    d10 = docs["http://janoduniya.tv/desh-story-10/"]
+    d11 = docs["http://janoduniya.tv/desh-story-11/"]
+    # both entries share the FIRST row's title and the page stamp
+    assert d10["title"] == d11["title"] == "शीर्षक desh-story-10"
+    assert d10["pub_time"] == d11["pub_time"] == "2021-05-30 00:00:00"
+    # abstracts are per-article (entry-content first p)
+    assert d11["abstract"] == "jd पहला desh-story-11।"
+    assert d10["category1"] == "देश"
+    assert [s["kind"] for s in d10["spans"]] == ["image", "text", "text"]
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,
