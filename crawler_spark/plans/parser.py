@@ -389,6 +389,28 @@ def parse_site_date(raw: str | None, style: str | None,
             return (as_of - timedelta(seconds=float(t[0]) * fac)).replace(
                 microsecond=0
             )
+        if style == "mdy_hm_ampm_c":
+            # khulasaa.py:13-16: 'MonthFull D, YYYY, H:MM am/pm' through
+            # one strptime.
+            return datetime.strptime(raw.strip(), "%B %d, %Y, %I:%M %p")
+        if style == "dmy_slash_fuzzy":
+            # nayalook.py:12-32: 'D/M/YYYY' via strptime, anything else
+            # (the '3 days ago' listings) through format_time2 — the
+            # reference's try/except pair.
+            try:
+                return datetime.strptime(raw.strip(), "%d/%m/%Y")
+            except ValueError:
+                return format_time2_py(raw, as_of)
+        if style == "cjk_ymd":
+            # nhandan.py:11-15: 'YYYY年MM月DD日 星期五' — the weekday token
+            # rsplit away, the CJK-delimited date at midnight.
+            return datetime.strptime(raw.strip().rsplit(" ", 1)[0],
+                                     "%Y年%m月%d日")
+        if style == "cjk_ymd_hms":
+            # nhandan.py:17-21: 'YYYY年MM月DD日 星期五, HH:MM:SS' — tokens
+            # [0] and [2] of the ', '/' ' split recomposed.
+            t = re.split(", | ", raw.strip())
+            return datetime.strptime(t[0] + t[2], "%Y年%m月%d日%H:%M:%S")
         if style == "ago_hi":
             # hastakshep.py:23-30,50-54: '<n> <हिंदी unit> ago' with the
             # unit translated to English and handed to format_time2; an
@@ -1028,6 +1050,12 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                         or not re.match(spec["href_re"], href)
                     ):
                         continue
+                    # ``href_skip_re``: matching hrefs are NOT sections —
+                    # nayalook.py:59-60 drops two-segment
+                    # /category/x/y/ links, keeping the one-segment ones.
+                    if spec.get("href_skip_re") and href is not None \
+                            and re.match(spec["href_skip_re"], href):
+                        continue
                     children = (
                         htmlsel.select(n, spec["children_sel"])
                         if spec.get("children_sel") else []
@@ -1068,7 +1096,14 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                         shared_last = children[-1].text()
                     if not (children and spec.get("children_suppress_parent")):
                         if fixed is None:
-                            pairs.append((href, lbl, shared_last, None, ck))
+                            # ``label2_const``: a spider-hardcoded second
+                            # label on every menu link — newswing.py:32's
+                            # category2 = '' (empty STRING, stored as such,
+                            # not None).
+                            pairs.append((href, lbl,
+                                          spec.get("label2_const",
+                                                   shared_last),
+                                          None, ck))
                         else:
                             if spec.get("label2") is False:
                                 label2 = None

@@ -9836,6 +9836,598 @@ def _build_janoduniya(g: _G) -> None:
     g.page(base + "/videsh/", "list", lst(rv, BASE_DT, None), host)
 
 
+KHULASAA_RULES = {
+    # khulasaa.py: navbar menu [1:] (py:40-42); entries yielded ungated
+    # off the allBox list (py:50-54); the page gate SIDE-FETCHES the last
+    # entry's article with raw requests.get and reads its byline span
+    # (py:56) in 'MonthFull D, YYYY, H:MM am/pm' (py:13-16); .pagination
+    # chains (py:55-59); the article joins its h3 bullet heads into the
+    # abstract (py:74-78), reads the deep breadcrumb span chain as
+    # category1 (py:83), featured-box images (py:70-73).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "date_style": "mdy_hm_ampm_c",
+    "cat2_meta_off": True,
+    "page_gate_fetch_last": {"sel": ".author-disc .date .author span"},
+    "extract": {
+        "category": {"sel": "#fixedMenu .g-header__inner #navbar li",
+                     "link_sel": "a", "skip": 1},
+        "entry": {"sel": ".o-article .k-list-sec .allBox ul li",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "next": {"sel": ".o-listing .pagination a", "attr": "href"},
+        "title": {"sel": ".o-article .entry-content h1"},
+        "pub": {"sel": ".author-disc .date .author span"},
+        "cat1": {"sel": ".breadcrumb span span span a"},
+        "abstract": {"sel": ".post-content ul li h3", "join": "\n"},
+        "block": {"para_sel": ".post-content p",
+                  "img_sel": ".content-section .featured-box img"},
+    },
+}
+
+
+def _build_khulasaa(g: _G) -> None:
+    host, base = "www.khulasaa.in", "https://www.khulasaa.in"
+    wid = 926
+    g.registry[wid] = dict(KHULASAA_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><div id="fixedMenu"><div class="g-header__inner">'
+           f'<ul id="navbar">'
+           f'<li><a href="{base}/">होम</a></li>'  # [1:] slices it off
+           f'<li><a href="{base}/desh/">देश</a></li>'
+           f'<li><a href="{base}/rajya/">राज्य</a></li>'
+           f"</ul></div></div></html>", host)
+
+    def _kd(dt: datetime) -> str:
+        h12 = dt.hour % 12 or 12
+        ap = "pm" if dt.hour >= 12 else "am"
+        return (f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}, "
+                f"{h12}:{dt.minute:02d} {ap}")
+
+    def art(tag: str, dt: datetime) -> str:
+        return (f'<html><div class="o-article">'
+                f'<div class="entry-content"><h1>KH {tag}</h1></div></div>'
+                f'<div class="author-disc"><div class="date">'
+                f'<div class="author"><span>{_kd(dt)}</span></div></div>'
+                f"</div>"
+                f'<div class="content-section"><div class="featured-box">'
+                f'<img src="{base}/i/{tag}.jpg"></div></div>'
+                f'<div class="post-content"><ul><li><h3>kh शीर्ष {tag}'
+                f"</h3></li></ul>"
+                f"<p>kh पहला {tag}।</p><p>kh दूसरा।</p></div>"
+                f'<div class="breadcrumb"><span><span><span>'
+                f'<a href="#">देश</a></span></span></span></div></html>')
+
+    def lst(rows: list[str], nxt: str | None) -> str:
+        items = "".join(f'<li><a href="{u}">t</a></li>' for u in rows)
+        nav = (f'<div class="o-listing"><div class="pagination">'
+               f'<a href="{nxt}">»</a></div></div>' if nxt else "")
+        return (f'<html><div class="o-article"><div class="k-list-sec">'
+                f'<div class="allBox"><ul>{items}</ul></div></div></div>'
+                f"{nav}</html>")
+
+    # desh: page 1's side-fetched last byline fresh → page 2, whose last
+    # byline is stale → no page 3 (its own rows still stored — ungated)
+    r1 = [f"{base}/desh-story-1{e}/" for e in range(2)]
+    for e, u in enumerate(r1):
+        g.page(u, "article",
+               art(f"d1{e}", BASE_DT - timedelta(hours=e * 8)), host)
+    g.page(f"{base}/desh/", "list", lst(r1, f"{base}/desh/page/2/"),
+           host)
+    r2 = [f"{base}/desh-story-20/"]
+    g.page(r2[0], "article",
+           art("d20", BASE_DT - timedelta(hours=75)), host)
+    g.page(f"{base}/desh/page/2/", "list",
+           lst(r2, f"{base}/desh/page/3/"), host)
+    # rajya: one fresh row, no pagination block
+    rr = [f"{base}/rajya-story-0/"]
+    g.page(rr[0], "article", art("r0", BASE_DT), host)
+    g.page(f"{base}/rajya/", "list", lst(rr, None), host)
+
+
+KRISHAKJAGAT_RULES = {
+    # krishakjagat.py: ONE menu item whose anchor text is category1 and
+    # whose sub-links are the sections, the parent never scheduled
+    # (py:35-42); category2 is the LIST URL's second path segment
+    # (py:46's response.url.split('/')[4] — cat2_url_re over the list
+    # URL); featured-image rows (py:48-51); fuzzy page gate on the last
+    # entry-date (py:53); li.previous chains (py:54-56); the article
+    # takes its abstract from an h4 else the body's first danda segment
+    # (py:79), bullet-list paragraphs before <p> runs (py:73-77),
+    # per-featured-image lasts (py:71-72).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "cat2_url_re": r"^https://www\.krishakjagat\.org/category/([^/]+)/",
+    "abstract_split": {"sep": "।", "take": 1},
+    "extract": {
+        "category": {"sel": "#menu-item-865", "link_sel": "a",
+                     "children_sel": "ul > li > a",
+                     "children_suppress_parent": True},
+        "entry": {"sel": ".article-container .featured-image",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "page_time": {"sel": ".article-container"
+                             " time.entry-date.published", "index": -1},
+        "next": {"sel": "li.previous a", "attr": "href"},
+        "title": {"sel": "h1.entry-title"},
+        "pub": {"sel": "article time.entry-date.published"},
+        "abstract": {"sel": ".entry-content.clearfix h4"},
+        "block": {"para_sel": [".entry-content.clearfix ul > li",
+                               ".entry-content.clearfix p"],
+                  "img_sel": "article .featured-image img"},
+    },
+}
+
+
+def _build_krishakjagat(g: _G) -> None:
+    host, base = "www.krishakjagat.org", "https://www.krishakjagat.org"
+    wid = 1111
+    g.registry[wid] = dict(KRISHAKJAGAT_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><li id="menu-item-865"><a href="{base}/kheti/">'
+           f"कृषि समाचार"
+           f'<ul><li><a href="{base}/category/madhya-pradesh/">मप्र</a></li>'
+           f'<li><a href="{base}/category/rashtriya/">राष्ट्रीय</a></li></ul>'
+           f"</a></li></html>", host)
+
+    def _fz(dt: datetime) -> str:
+        return f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+
+    def art(tag: str, dt: datetime, h4: bool) -> str:
+        head = f"<h4>kj सार {tag}</h4>" if h4 else ""
+        return (f'<html><h1 class="entry-title">KJ {tag}</h1>'
+                f"<article>"
+                f'<time class="entry-date published">{_fz(dt)}</time>'
+                f'<div class="featured-image">'
+                f'<img src="{base}/i/{tag}.jpg"></div></article>'
+                f'<div class="entry-content clearfix">{head}'
+                f"<ul><li>kj बिंदु {tag}।</li></ul>"
+                f"<p>kj पहला {tag}। शेष।</p></div></html>")
+
+    def lst(rows: list[tuple[str, datetime]], nxt: str | None) -> str:
+        divs = "".join(
+            f'<div class="featured-image"><a href="{u}">t</a></div>'
+            f'<time class="entry-date published">{_fz(dt)}</time>'
+            for u, dt in rows
+        )
+        nav = (f'<li class="previous"><a href="{nxt}">पिछला</a></li>'
+               if nxt else '<li class="previous"></li>')
+        return (f'<html><div class="article-container">{divs}</div>'
+                f"<ul>{nav}</ul></html>")
+
+    # madhya-pradesh: fresh page 1 → page 2 stale tail (rows stored —
+    # entries ungated; no page 3)
+    r1 = []
+    for e in range(2):
+        dt = BASE_DT - timedelta(hours=e * 6)
+        aurl = f"{base}/category/madhya-pradesh/kisan-khabar-1{e}/"
+        g.page(aurl, "article", art(f"m1{e}", dt, h4=(e == 0)), host)
+        r1.append((aurl, dt))
+    g.page(f"{base}/category/madhya-pradesh/", "list",
+           lst(r1, f"{base}/category/madhya-pradesh/page/2/"), host)
+    dt = BASE_DT - timedelta(hours=80)
+    aurl = f"{base}/category/madhya-pradesh/kisan-khabar-20/"
+    g.page(aurl, "article", art("m20", dt, h4=False), host)
+    g.page(f"{base}/category/madhya-pradesh/page/2/", "list",
+           lst([(aurl, dt)], f"{base}/category/madhya-pradesh/page/3/"), host)
+    # rashtriya: single fresh page, empty previous li (reference's
+    # select_one None guard → no next)
+    dt = BASE_DT - timedelta(hours=2)
+    aurl = f"{base}/category/rashtriya/desh-khabar-0/"
+    g.page(aurl, "article", art("r0", dt, h4=True), host)
+    g.page(f"{base}/category/rashtriya/", "list", lst([(aurl, dt)], None), host)
+
+
+MEDIAKHABAR_RULES = {
+    # mediakhabar.py: three-level header menu over ONE shared meta dict
+    # per top item (py:30-45) — category2 mutated per child, so parent,
+    # children AND grandchildren all read the LAST child's label
+    # (children_shared_meta; the nested 'ul>li>a' child combinators match
+    # the grandchildren too, in document order); list rows carry
+    # title/image/ISO-stamp meta with a per-entry break gate (py:50-61);
+    # '.current ~ a' sibling pagination behind try/except (py:62-67);
+    # the article contributes abstract/body paragraphs only (py:74-78).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "date_style": "isoT",
+    "extract": {
+        "category": {"sel": "#td-header-menu ul > li", "link_sel": "a",
+                     "skip": 1, "children_sel": "ul > li > a",
+                     "children_shared_meta": True},
+        "entry": {"sel": ".td-block-span6",
+                  "fields": {"href": {"sel": "a", "attr": "href"},
+                             "title": {"sel": "a", "attr": "title"},
+                             "img": {"sel": "a img", "attr": "src"},
+                             "time": {"sel": ".td-post-date time",
+                                      "attr": "datetime"}}},
+        "next": {"sel": ".current ~ a", "attr": "href"},
+        "abstract": {"sel": ".td-post-content > p"},
+        "block": {"para_sel": ".td-post-content > p"},
+    },
+}
+
+
+def _build_mediakhabar(g: _G) -> None:
+    host, base = "mediakhabar.com", "http://mediakhabar.com"
+    wid = 1062
+    g.registry[wid] = dict(MEDIAKHABAR_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    # nested ul INSIDE the anchors (html.parser literal nesting, the
+    # legendnews shape); the media top item has two children, the last
+    # childless so the shared label is a CHILD, not a grandchild
+    g.page(base + "/", "menu",
+           f'<html><div id="td-header-menu"><ul>'
+           f'<li><a href="{base}/home/">होम</a></li>'  # [1:] skips it
+           f'<li><a href="{base}/media/">मीडिया'
+           f'<ul><li><a href="{base}/tv/">टीवी'
+           f'<ul><li><a href="{base}/tv/anchor/">एंकर</a></li></ul>'
+           f'</a></li>'
+           f'<li><a href="{base}/print/">प्रिंट</a></li></ul>'
+           f"</a></li>"
+           f'<li><a href="{base}/vichar/">विचार</a></li>'
+           f"</ul></div></html>", host)
+
+    def art(tag: str) -> str:
+        return (f'<html><div class="td-post-content">'
+                f"<p>mk पहला {tag}।</p><p>mk दूसरा।</p></div></html>")
+
+    def lst(tag: str, rows: list[tuple[str, datetime]],
+            nxt: str | None) -> str:
+        blocks = "".join(
+            f'<div class="td-block-span6">'
+            f'<a href="{u}" title="MK {tag}{e}">'
+            f'<img src="{base}/i/{tag}{e}.jpg"></a>'
+            f'<div class="td-post-date">'
+            f'<time datetime="{_iso_tz(dt)}">x</time></div></div>'
+            for e, (u, dt) in enumerate(rows)
+        )
+        nav = (f'<div><span class="current">1</span>'
+               f'<a href="{nxt}">2</a></div>' if nxt else "")
+        return f"<html>{blocks}{nav}</html>"
+
+    # media: page 1 fresh → page 2 first-row stale → break, no page 3
+    r1 = []
+    for e in range(2):
+        dt = BASE_DT - timedelta(hours=e * 7)
+        aurl = f"{base}/media-khabar-1{e}/"
+        g.page(aurl, "article", art(f"md1{e}"), host)
+        r1.append((aurl, dt))
+    g.page(base + "/media/", "list",
+           lst("md", r1, f"{base}/media/page/2/"), host)
+    dt = BASE_DT - timedelta(hours=85)
+    aurl = f"{base}/media-khabar-20/"
+    g.page(aurl, "article", art("md20"), host)
+    g.page(base + "/media/page/2/", "list",
+           lst("md2", [(aurl, dt)], None), host)
+    # the three sub-sections + the childless top item: one page each
+    for cslug, tag in (("tv", "tv"), ("tv/anchor", "an"),
+                       ("print", "pr"), ("vichar", "vc")):
+        dt = BASE_DT - timedelta(hours=3)
+        aurl = f"{base}/{tag}-khabar-0/"
+        g.page(aurl, "article", art(f"{tag}0"), host)
+        g.page(f"{base}/{cslug}/", "list",
+               lst(tag, [(aurl, dt)], None), host)
+
+
+NAYALOOK_RULES = {
+    # nayalook.py: menu links filtered by a SKIP regex (two-segment
+    # /category/x/y/ dropped, py:59-60), '#' hrefs and the
+    # e-paper/studio slugs excluded (py:62); entries ungated off
+    # #posts-container (py:70-74); the page gate reads the last
+    # .post-meta date in 'D/M/YYYY' OR fuzzy-ago through the try/except
+    # pair (py:12-32,77-82); .pages-nav chains (py:75-76); breadcrumb
+    # categories with the two-level case only at exactly three links
+    # (py:94-95), dual-format byline (py:97-102), figure images
+    # (py:103-107).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "date_style": "dmy_slash_fuzzy",
+    "cat2_meta_off": True,
+    "extract": {
+        "category": {
+            "sel": ".container #main-nav-menu ul li a",
+            "href_skip_re":
+                r"https://www\.nayalook\.com/category/+\S+/+\S+/",
+            "exclude_hrefs": ["#"],
+        },
+        "excluded_slugs": ["e-paper", "studio"],
+        "entry": {"sel": ".container-wrapper ul#posts-container li",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "page_time": {"sel": ".post-details .post-meta.clearfix"
+                             " .date.meta-item.tie-icon", "index": -1},
+        "next": {"sel": ".pages-nav div span a", "attr": "href"},
+        "title": {"sel": ".entry-header h1"},
+        "pub": {"sel": ".entry-header #single-post-meta"
+                       " .date.meta-item.tie-icon"},
+        "cat1": {"sel": "nav#breadcrumb a", "index": 1},
+        "cat2": {"if_count": {"sel": "nav#breadcrumb a", "eq": 3},
+                 "then": {"sel": "nav#breadcrumb a", "index": 2},
+                 "else": {"const": None}},
+        "block": {"para_sel": ".entry-content.entry.clearfix p",
+                  "img_sel": ".featured-area figure img"},
+    },
+}
+
+
+def _build_nayalook(g: _G) -> None:
+    host, base = "www.nayalook.com", "https://www.nayalook.com"
+    wid = 934
+    g.registry[wid] = dict(NAYALOOK_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><div class="container"><nav id="main-nav-menu"><ul>'
+           f'<li><a href="#">मेनू</a></li>'
+           f'<li><a href="{base}/category/desh/">देश</a></li>'
+           f'<li><a href="{base}/category/desh/mp/">मप्र</a></li>'
+           f'<li><a href="{base}/e-paper/">ई-पेपर</a></li>'
+           f'<li><a href="{base}/category/khel/">खेल</a></li>'
+           f"</ul></nav></div></html>", host)
+
+    def art(tag: str, byline: str, crumbs: int) -> str:
+        links = "".join(f'<a href="#">c{i}</a>' for i in range(crumbs))
+        return (f'<html><nav id="breadcrumb">{links}</nav>'
+                f'<div class="entry-header"><h1>NL {tag}</h1>'
+                f'<div id="single-post-meta">'
+                f'<span class="date meta-item tie-icon">{byline}</span>'
+                f"</div></div>"
+                f'<div class="featured-area"><figure>'
+                f'<img src="{base}/i/{tag}.jpg"></figure></div>'
+                f'<div class="entry-content entry clearfix">'
+                f"<p>nl पहला {tag}।</p><p>nl दूसरा।</p></div></html>")
+
+    def lst(rows: list[str], stamps: list[str],
+            nxt: str | None) -> str:
+        items = "".join(f'<li><a href="{u}">t</a></li>' for u in rows)
+        metas = "".join(
+            f'<div class="post-details">'
+            f'<div class="post-meta clearfix">'
+            f'<span class="date meta-item tie-icon">{s}</span>'
+            f"</div></div>" for s in stamps
+        )
+        nav = (f'<div class="pages-nav"><div><span>'
+               f'<a href="{nxt}">»</a></span></div></div>' if nxt else "")
+        return (f'<html><div class="container-wrapper">'
+                f'<ul id="posts-container">{items}</ul></div>'
+                f"{metas}{nav}</html>")
+
+    # desh: page 1's last stamp is RELATIVE ('2 days ago', the fuzzy
+    # fallback branch) and fresh → page 2 in D/M/YYYY, stale → stop
+    r1 = [f"{base}/desh-khabar-1{e}/" for e in range(2)]
+    g.page(r1[0], "article",
+           art("d10", f"{BASE_DT.day:02d}/{BASE_DT.month:02d}"
+               f"/{BASE_DT.year}", crumbs=3), host)
+    g.page(r1[1], "article", art("d11", "2 days ago", crumbs=2), host)
+    g.page(f"{base}/category/desh/", "list",
+           lst(r1, ["30/05/2021", "2 days ago"],
+               f"{base}/category/desh/page/2/"), host)
+    r2 = [f"{base}/desh-khabar-20/"]
+    g.page(r2[0], "article", art("d20", "25/05/2021", crumbs=3), host)
+    g.page(f"{base}/category/desh/page/2/", "list",
+           lst(r2, ["25/05/2021"], f"{base}/category/desh/page/3/"),
+           host)
+    # khel: single fresh page without nav
+    rk = [f"{base}/khel-khabar-0/"]
+    g.page(rk[0], "article", art("k0", "29/05/2021", crumbs=3), host)
+    g.page(f"{base}/category/khel/", "list",
+           lst(rk, ["29/05/2021"], None), host)
+
+
+NEWSWING_RULES = {
+    # newswing.py: programmatic seed — start_requests mines the header
+    # menu off a raw requests.get homepage, keeping only /category/
+    # links, with category2 hardcoded to the EMPTY STRING (py:28-34 —
+    # label2_const; the home fetch is the batch-0 menu, the shangbao
+    # simplification); list rows gate per-entry on a 'D/M/YYYY' stamp
+    # with break, the stamp riding into meta BEFORE the gate decides
+    # (py:39-48); .pages-nav chains behind try/except (py:49-55); the
+    # article takes body/abstract from the featured-area's sibling div
+    # (py:66-71) and single-featured images (py:65).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "date_style": "dmy_slash",
+    "extract": {
+        "category": {"sel": "#menu-main-navigation > li a",
+                     "href_re": r"^https://newswing\.com/category/",
+                     "label2_const": ""},
+        "entry": {"sel": ".post-details",
+                  "fields": {"href": {"sel": ".post-title a",
+                                      "attr": "href"},
+                             "time": {"sel": ".date.meta-item.tie-icon"}}},
+        "next": {"sel": "div.pages-nav a", "attr": "href"},
+        "title": {"sel": "div.entry-header > h1"},
+        "block": {"para_sel": "div.featured-area ~ div p",
+                  "img_sel": "figure.single-featured-image img"},
+    },
+}
+
+
+def _build_newswing(g: _G) -> None:
+    host, base = "newswing.com", "https://newswing.com"
+    wid = 1047
+    g.registry[wid] = dict(NEWSWING_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><ul id="menu-main-navigation">'
+           f'<li><a href="{base}/">होम</a></li>'  # not /category/ → dropped
+           f'<li><a href="{base}/category/jharkhand/">झारखंड</a></li>'
+           f'<li><a href="{base}/category/desh/">देश</a></li>'
+           f"</ul></html>", host)
+
+    def art(tag: str) -> str:
+        return (f'<html><div class="entry-header"><h1>NW {tag}</h1></div>'
+                f'<figure class="single-featured-image">'
+                f'<img src="{base}/i/{tag}.jpg"></figure>'
+                f'<div class="featured-area">x</div>'
+                f"<div><p>nw पहला {tag}।</p><p>nw दूसरा।</p></div></html>")
+
+    def lst(rows: list[tuple[str, datetime]], nxt: str | None) -> str:
+        blocks = "".join(
+            f'<div class="post-details">'
+            f'<span class="date meta-item tie-icon">'
+            f"{dt.day:02d}/{dt.month:02d}/{dt.year}</span>"
+            f'<div class="post-title"><a href="{u}">t</a></div></div>'
+            for u, dt in rows
+        )
+        nav = (f'<div class="pages-nav"><a href="{nxt}">अगला</a></div>'
+               if nxt else "")
+        return f"<html>{blocks}{nav}</html>"
+
+    # jharkhand: page 1 fresh → page 2 stale first row → break
+    r1 = []
+    for e in range(2):
+        dt = BASE_DT - timedelta(hours=e * 10)
+        aurl = f"{base}/jharkhand-khabar-1{e}/"
+        g.page(aurl, "article", art(f"j1{e}"), host)
+        r1.append((aurl, dt))
+    g.page(base + "/category/jharkhand/", "list",
+           lst(r1, f"{base}/category/jharkhand/page/2/"), host)
+    dt = BASE_DT - timedelta(hours=90)
+    aurl = f"{base}/jharkhand-khabar-20/"
+    g.page(aurl, "article", art("j20"), host)
+    g.page(base + "/category/jharkhand/page/2/", "list",
+           lst([(aurl, dt)], None), host)
+    # desh: single fresh page, no nav (the bare except path)
+    dt = BASE_DT - timedelta(hours=4)
+    aurl = f"{base}/desh-khabar-0/"
+    g.page(aurl, "article", art("d0"), host)
+    g.page(base + "/category/desh/", "list", lst([(aurl, dt)], None),
+           host)
+
+
+NHANDAN_RULES = {
+    # nhandan.py: topnav menu with '#' links skipped and a fixed host
+    # prefix (py:44-47); TWO entry groups per list page (py:51-53);
+    # the page gate reads the last text-muted stamp in CJK
+    # 'YYYY年MM月DD日 weekday' (py:11-15,55); ul.pager li.next chains
+    # (py:54); the article reads a 'date, HH:MM:SS' byline (py:17-21,69),
+    # takes the FIRST .ndcontent as abstract and ALL of them as body
+    # (py:68,70-73), the breadcrumb's LAST li as category1 (py:74), and
+    # host-prefixed .nd_img images (py:76-78).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "date_style": "cjk_ymd",
+    "article_pub_style": "cjk_ymd_hms",
+    "page_time_style": "cjk_ymd",
+    "cat2_meta_off": True,
+    "extract": {
+        "category": {"sel": ".nd_header_menu #topnav .nav.navbar-nav"
+                            " li a",
+                     "exclude_hrefs": ["#"],
+                     "href_prefix": "https://cn.nhandan.com.vn"},
+        "entry": [
+            {"sel": ".row .col-sm-8.col-xs-12 div.media h4 .pull-left"},
+            {"sel": ".row .col-sm-12.col-xs-12 .col-sm-12.col-xs-12"
+                    " .media-body h3 a"},
+        ],
+        "page_time": {"sel": ".row .col-sm-12.col-xs-12"
+                             " .col-sm-12.col-xs-12 h5 .text-muted",
+                      "index": -1},
+        "next": {"sel": "ul.pager li.next a", "attr": "href"},
+        "title": {"sel": ".row .media .fontM.ndtitle h3"},
+        "pub": {"sel": ".icon_date_top .pull-left"},
+        "cat1": {"sel": ".row ul.breadcrumb li", "index": -1},
+        "abstract": {"sel": ".row .media .ndcontent"},
+        "block": {"para_sel": ".row .media .ndcontent",
+                  "img_sel": ".media .nd_img",
+                  "img_prefix": "https://cn.nhandan.com.vn/"},
+    },
+}
+
+
+def _build_nhandan(g: _G) -> None:
+    host, base = "cn.nhandan.com.vn", "https://cn.nhandan.com.vn"
+    wid = 1249
+    g.registry[wid] = dict(NHANDAN_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1813})
+    g.page(base + "/", "menu",
+           f'<html><div class="nd_header_menu"><nav id="topnav">'
+           f'<ul class="nav navbar-nav">'
+           f'<li><a href="#">首页</a></li>'
+           f'<li><a href="/politics/">政治</a></li>'
+           f'<li><a href="/economy/">经济</a></li>'
+           f"</ul></nav></div></html>", host)
+
+    def _cd(dt: datetime) -> str:
+        return f"{dt.year}年{dt.month:02d}月{dt.day:02d}日 星期日"
+
+    def art(tag: str, dt: datetime) -> str:
+        return (f'<html><div class="row"><div class="media">'
+                f'<div class="fontM ndtitle"><h3>ND {tag}</h3></div>'
+                f'<div class="icon_date_top"><span class="pull-left">'
+                f"{_cd(dt)}, {dt:%H:%M:%S}</span></div>"
+                f'<img class="nd_img" src="i/{tag}.jpg">'
+                f'<div class="ndcontent">nd 第一段 {tag}。</div>'
+                f'<div class="ndcontent">nd 第二段。</div>'
+                f"</div>"
+                f'<ul class="breadcrumb"><li>首页</li><li>政治</li></ul>'
+                f"</div></html>")
+
+    def lst(rows: list[str], extra: str | None,
+            stamps: list[datetime], nxt: str | None) -> str:
+        grp1 = "".join(
+            f'<div class="col-sm-8 col-xs-12"><div class="media"><h4>'
+            f'<a class="pull-left" href="{u}">t</a></h4></div></div>'
+            for u in rows
+        )
+        grp2 = (f'<div class="col-sm-12 col-xs-12">'
+                f'<div class="col-sm-12 col-xs-12">'
+                f'<div class="media-body"><h3><a href="{extra}">t</a>'
+                f"</h3></div>"
+                + "".join(f'<h5><span class="text-muted">{_cd(s)}</span>'
+                          "</h5>" for s in stamps)
+                + "</div></div>") if extra else (
+            '<div class="col-sm-12 col-xs-12">'
+            '<div class="col-sm-12 col-xs-12">'
+            + "".join(f'<h5><span class="text-muted">{_cd(s)}</span>'
+                      "</h5>" for s in stamps)
+            + "</div></div>")
+        nav = (f'<ul class="pager"><li class="next"><a href="{nxt}">'
+               f"下一页</a></li></ul>" if nxt else "")
+        return f'<html><div class="row">{grp1}{grp2}{nav}</div></html>'
+
+    # politics: both entry groups on page 1, fresh tail → page 2 stale →
+    # stop (page 2's rows still stored — entries ungated)
+    r1 = [f"/politics-story-1{e}" for e in range(2)]
+    for e, u in enumerate(r1):
+        g.page(base + u, "article",
+               art(f"p1{e}", BASE_DT - timedelta(hours=e * 5)), host)
+    g.page(base + "/politics-extra-0", "article",
+           art("px0", BASE_DT - timedelta(hours=1)), host)
+    g.page(base + "/politics/", "list",
+           lst(r1, "/politics-extra-0",
+               [BASE_DT, BASE_DT - timedelta(hours=12)],
+               "/politics/page/2/"), host)
+    r2 = ["/politics-story-20"]
+    g.page(base + r2[0], "article",
+           art("p20", BASE_DT - timedelta(hours=70)), host)
+    g.page(base + "/politics/page/2/", "list",
+           lst(r2, None, [BASE_DT - timedelta(hours=70)],
+               "/politics/page/3/"), host)
+    # economy: one fresh row, missing pager (reference crash → chain end)
+    g.page(base + "/economy-story-0", "article", art("e0", BASE_DT),
+           host)
+    g.page(base + "/economy/", "list",
+           lst(["/economy-story-0"], None, [BASE_DT], None), host)
+
+
 SITE_BUILDERS = {
     "zeenews": _build_zeenews,
     "aajtak": _build_aajtak,
@@ -9935,6 +10527,12 @@ SITE_BUILDERS = {
     "headlinehindi": _build_headlinehindi,
     "hindinewsfresh10": _build_hindinewsfresh10,
     "janoduniya": _build_janoduniya,
+    "khulasaa": _build_khulasaa,
+    "krishakjagat": _build_krishakjagat,
+    "mediakhabar": _build_mediakhabar,
+    "nayalook": _build_nayalook,
+    "newswing": _build_newswing,
+    "nhandan": _build_nhandan,
 }
 
 

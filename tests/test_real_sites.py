@@ -55,6 +55,7 @@ def test_all_sites_produce_documents(sim):
         1002, 1003, 935, 690, 1126, 1046, 1072,
         1007, 970, 1127, 183, 189, 1051,
         489, 182, 1055, 932, 967, 1057,
+        926, 1111, 1062, 934, 1047, 1249,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -1788,6 +1789,136 @@ def test_janoduniya_page_level_title_and_stamp(sim):
     assert d11["abstract"] == "jd पहला desh-story-11।"
     assert d10["category1"] == "देश"
     assert [s["kind"] for s in d10["spans"]] == ["image", "text", "text"]
+
+
+def test_khulasaa_sidefetch_ampm_gate(sim):
+    """khulasaa.py: navbar [1:] (py:40); ungated entries with the page
+    gate SIDE-FETCHING the last entry's 'MonthFull D, YYYY, H:MM am/pm'
+    byline (py:13-16,56); h3 bullet heads joined into the abstract
+    (py:74-78); deep breadcrumb category1, category2 None (py:83-84)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[926]}
+    fetched = [u for _b, u in sim["crawl_log"] if "khulasaa" in u]
+    assert sum(u == "https://www.khulasaa.in/" for u in fetched) == 1
+    assert any(u.endswith("khulasaa.in/desh/page/2/") for u in fetched)
+    assert not any("khulasaa" in u and "page/3" in u for u in fetched)
+    d20 = docs["https://www.khulasaa.in/desh-story-20/"]  # stale, stored
+    assert d20["pub_time"] == "2021-05-27 09:00:00"  # am/pm strptime
+    d10 = docs["https://www.khulasaa.in/desh-story-10/"]
+    assert d10["pub_time"] == "2021-05-30 12:00:00"  # 12 pm noon
+    assert d10["abstract"] == "kh शीर्ष d10"  # joined h3 heads
+    assert (d10["category1"], d10["category2"]) == ("देश", None)
+
+
+def test_krishakjagat_single_item_menu_url_category(sim):
+    """krishakjagat.py: ONE menu item whose children are the sections and
+    whose parent is never scheduled (py:35-42); category1 = the anchor's
+    nested .text, category2 = the LIST URL's second path segment riding
+    every entry (py:46); h4 abstract else the body's first danda segment
+    (py:79); bullet paragraphs before <p> runs (py:73-77)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1111]}
+    fetched = [u for _b, u in sim["crawl_log"] if "krishakjagat" in u]
+    assert not any(u.endswith("/kheti/") for u in fetched)  # parent
+    assert any("madhya-pradesh/page/2" in u for u in fetched)
+    assert not any("madhya-pradesh/page/3" in u for u in fetched)
+    m10 = docs["https://www.krishakjagat.org/category/madhya-pradesh/"
+               "kisan-khabar-10/"]
+    assert m10["category1"] == "कृषि समाचारमप्रराष्ट्रीय"  # nested .text
+    assert m10["category2"] == "madhya-pradesh"  # URL segment
+    assert m10["abstract"] == "kj सार m10"  # the h4
+    m11 = docs["https://www.krishakjagat.org/category/madhya-pradesh/"
+               "kisan-khabar-11/"]
+    assert m11["abstract"] == "kj बिंदु m11"  # danda split of the body
+    # bullet li paragraph precedes the <p> run in the spans
+    assert [s["text"] for s in m11["spans"] if s["kind"] == "text"] == [
+        "kj बिंदु m11।", "kj पहला m11। शेष।"]
+
+
+def test_mediakhabar_three_level_shared_meta(sim):
+    """mediakhabar.py: three-level menu over ONE shared meta dict
+    (py:30-45) — bs4's 'ul>li>a' select on the li matches grandchildren
+    too, so every request of the top item reads the LAST matched child's
+    label as category2 and the grandchild hop double-schedules links the
+    dupefilter eats; '.current ~ a' sibling pagination (py:64)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1062]}
+    fetched = [u for _b, u in sim["crawl_log"] if "mediakhabar" in u]
+    assert not any(u.endswith("/home/") for u in fetched)  # [1:]
+    assert any(u.endswith("/tv/anchor/") for u in fetched)  # grandchild
+    assert any(u.endswith("mediakhabar.com/media/page/2/")
+               for u in fetched)
+    assert not any("mediakhabar" in u and "page/3" in u for u in fetched)
+    md = docs["http://mediakhabar.com/media-khabar-10/"]
+    # shared-dict mutation: parent and every descendant read 'प्रिंट'
+    assert md["category2"] == "प्रिंट"
+    an = docs["http://mediakhabar.com/an-khabar-0/"]
+    assert an["category2"] == "प्रिंट"
+    vc = docs["http://mediakhabar.com/vc-khabar-0/"]
+    assert vc["category2"] is None  # childless top item
+    assert md["title"] == "MK md0"  # list a@title via meta
+    assert md["pub_time"] == "2021-05-30 12:00:00"  # ISO attr
+
+
+def test_nayalook_menu_filters_dual_dates(sim):
+    """nayalook.py: menu skip-regex drops two-segment category links,
+    '#' and the e-paper/studio slugs (py:59-62); the page gate and the
+    byline each parse 'D/M/YYYY' OR fuzzy-ago through try/except pairs
+    (py:12-32); breadcrumb two-level only at exactly three links
+    (py:94-95)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[934]}
+    fetched = [u for _b, u in sim["crawl_log"] if "nayalook" in u]
+    assert not any("category/desh/mp" in u for u in fetched)  # skip re
+    assert not any("e-paper" in u for u in fetched)
+    assert any("nayalook.com/category/desh/page/2/" in u
+               for u in fetched)
+    assert not any("nayalook" in u and "page/3" in u for u in fetched)
+    d10 = docs["https://www.nayalook.com/desh-khabar-10/"]
+    assert d10["pub_time"] == "2021-05-30 00:00:00"  # D/M/YYYY branch
+    d11 = docs["https://www.nayalook.com/desh-khabar-11/"]
+    assert d11["pub_time"] == "2021-05-30 00:00:00"  # '2 days ago' branch
+    assert d11["category2"] is None  # two crumbs only
+    assert d10["category2"] == "c2"  # exactly three → a[2]
+    d20 = docs["https://www.nayalook.com/desh-khabar-20/"]  # ungated
+    assert d20["pub_time"] == "2021-05-25 00:00:00"
+
+
+def test_newswing_category_filter_empty_cat2(sim):
+    """newswing.py: programmatic menu keeps only /category/ links
+    (py:33), category2 hardcoded to the EMPTY STRING (py:32 — stored as
+    '', not None); per-entry 'D/M/YYYY' break gate with the stamp riding
+    meta (py:39-48); sibling-div body after .featured-area (py:66-71)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1047]}
+    fetched = [u for _b, u in sim["crawl_log"] if "newswing" in u]
+    # the home link is the seed menu; no non-category list ever fetched
+    assert not any(u == "https://newswing.com/home/" for u in fetched)
+    assert any("jharkhand/page/2" in u for u in fetched)
+    assert not any("jharkhand/page/3" in u for u in fetched)
+    assert "https://newswing.com/jharkhand-khabar-20/" not in docs
+    j10 = docs["https://newswing.com/jharkhand-khabar-10/"]
+    assert j10["category2"] == ""  # the hardcoded empty string
+    assert j10["category1"] == "झारखंड"
+    assert j10["pub_time"] == "2021-05-30 00:00:00"
+    assert j10["abstract"] == "nw पहला j10।"
+    assert [s["kind"] for s in j10["spans"]] == ["image", "text", "text"]
+
+
+def test_nhandan_cjk_dates_two_entry_groups(sim):
+    """nhandan.py: '#' menu links skipped, host-prefixed hrefs (py:44-47);
+    TWO entry groups per page (py:51-53); CJK 'YYYY年MM月DD日 weekday'
+    page gate (py:11-15,55) and ', HH:MM:SS' article byline (py:17-21);
+    host-prefixed images (py:76-78); first .ndcontent doubles as the
+    abstract (py:68)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1249]}
+    fetched = [u for _b, u in sim["crawl_log"] if "nhandan" in u]
+    assert any(u.endswith("/politics-extra-0") for u in fetched)  # grp 2
+    assert any("politics/page/2" in u for u in fetched)
+    assert not any("politics/page/3" in u for u in fetched)
+    p10 = docs["https://cn.nhandan.com.vn/politics-story-10"]
+    assert p10["pub_time"] == "2021-05-30 12:00:00"  # CJK byline
+    p20 = docs["https://cn.nhandan.com.vn/politics-story-20"]  # ungated
+    assert p20["pub_time"] == "2021-05-27 14:00:00"
+    assert p10["category1"] == "政治"  # breadcrumb last li
+    assert p10["abstract"] == "nd 第一段 p10。"
+    imgs = [s["media_ref"] for s in p10["spans"] if s["kind"] == "image"]
+    assert imgs == ["https://cn.nhandan.com.vn/i/p10.jpg"]  # prefixed
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,
