@@ -389,6 +389,24 @@ def parse_site_date(raw: str | None, style: str | None,
             return (as_of - timedelta(seconds=float(t[0]) * fac)).replace(
                 microsecond=0
             )
+        if style == "dmy_sp":
+            # pressnote.py:41-42: 'D Mon YYYY' whitespace tokens
+            # re-ordered 'Mon D YYYY' into format_time2 — a plain
+            # rebuild here.
+            t = raw.split()
+            return datetime(int(t[2]), MONTHS[t[1]], int(t[0]))
+        if style == "pna_pub":
+            # pna.py:66-78: 'Published MonthFull D, YYYY, H:MM AM/PM' —
+            # fixed token positions, PM adds 12 unconditionally (the
+            # reference renders 12 PM as hour 24 into a raw string; that
+            # unrepresentable datetime degrades to fallback-now here).
+            parts = raw.split(",")
+            head = parts[0].split(" ")
+            t = parts[-1].split(" ")
+            hh, mm = t[-2].split(":")
+            hh = int(hh) + 12 if t[-1] == "PM" else int(hh)
+            return datetime(int(parts[1]), MONTHS[head[1]], int(head[2]),
+                            hh, int(mm))
         if style == "mdy_hm_ampm_c":
             # khulasaa.py:13-16: 'MonthFull D, YYYY, H:MM am/pm' through
             # one strptime.
@@ -573,7 +591,11 @@ def _sel_scalar(tree, spec: dict) -> str | None:
     if not nodes:
         return None
     if spec.get("join"):
-        return "".join(n.text() for n in nodes)
+        # ``join: True`` concatenates bare (apkaakhbar's strong-concat);
+        # a string join value is the separator (khulasaa.py:74-77's
+        # h3 heads joined with newlines)
+        sep = spec["join"] if isinstance(spec["join"], str) else ""
+        return sep.join(n.text() for n in nodes)
     try:
         n = nodes[spec.get("index", 0)]
     except IndexError:
@@ -953,11 +975,18 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                 # the node's attr (default 'href'), label = its normalized
                 # text (or the group's fixed label, link text as label2).
                 fixed = spec.get("label")
+                # an EXPLICIT ``label: None`` is a group whose category1
+                # is unset — pravakta.py:37-46 schedules its sub-menu
+                # links before category1 is ever assigned (the shared-item
+                # race collapsed to per-request lineage, the
+                # divyahimachal convention)
+                has_fixed = "label" in spec
                 if spec.get("label_from"):
                     # the group's fixed label read off the PAGE itself —
                     # journal.py:36-40 labels its submenu with the page's
                     # own archive title
                     fixed = _sel_scalar(dom(), spec["label_from"])
+                    has_fixed = True
                 nodes = htmlsel.select(dom(), spec["sel"])
                 # ``labels_from``: a PARALLEL selector zipped by position —
                 # dailyhindinews.py:35-41 pairs h4.widget-title texts with
@@ -1025,6 +1054,12 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                         href = spec["href_prefix"] + href
                     text = (text_override if text_override is not None
                             else link.text())
+                    if spec.get("label_from_href") == "last_segment" \
+                            and href is not None:
+                        # the category label is the href's LAST path
+                        # segment, not the link text — pna.py:32's
+                        # href.split('/')[-1]
+                        text = href.split("/")[-1]
                     if zip_labels is not None:
                         text = (zip_labels[zi] if zi < len(zip_labels)
                                 else text)
@@ -1095,7 +1130,7 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                     if children and spec.get("children_shared_meta"):
                         shared_last = children[-1].text()
                     if not (children and spec.get("children_suppress_parent")):
-                        if fixed is None:
+                        if not has_fixed:
                             # ``label2_const``: a spider-hardcoded second
                             # label on every menu link — newswing.py:32's
                             # category2 = '' (empty STRING, stored as such,
@@ -1292,6 +1327,12 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
             return _cond_scalar(dom, html, r)
 
         out["next"] = scalar("next")
+        if out["next"] is not None and rules.get("next_rel_prefix") \
+                and not re.match(r"http", out["next"]):
+            # pressnote.py:55-61: a next URL mined out of an onclick is
+            # bolted onto a FIXED host when it isn't absolute (a DIFFERENT
+            # host than the start URL, so urljoin can't stand in)
+            out["next"] = rules["next_rel_prefix"] + out["next"]
         if out["next"] is None and rules.get("next_alt_all"):
             # no primary next link — EVERY pagination anchor is scheduled
             # (inextlive.py:44-48: '.last a' if present, else all
@@ -1396,7 +1437,9 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
             }
 
         para_ids = ids_of("para_sel")
+        fb_paras = False
         if not para_ids and block.get("para_sel_fallback"):
+            fb_paras = True
             # Selector fallback CHAIN — the second selector is used only
             # when the first matches nothing (newstracklive.py:108-112's
             # sec-info p else carousel-caption p;
@@ -1462,13 +1505,19 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
             # positional paragraph skip — politics.py:82's body_list[1:]
             para_start = int(block["para_skip"])
             paras = paras[para_start:]
-        if block.get("para_slice"):
+        # ``para_fallback_slice``: a slice applied ONLY when the fallback
+        # selector fired — sachkaujala.py:86's div walk drops its wrapper
+        # first div and blank last while the p/h3 branch keeps everything
+        eff_slice = block.get("para_slice") or (
+            block.get("para_fallback_slice") if fb_paras else None
+        )
+        if eff_slice:
             # positional paragraph slice — sunstar.py:59-60 stores ONLY
             # the first .col-sm-11 paragraph as both body and abstract
-            sl = slice(*block["para_slice"])
+            sl = slice(*eff_slice)
             para_start += sl.start or 0
             paras = paras[sl]
-        if para_start or block.get("para_slice"):
+        if para_start or eff_slice:
             # re-anchor images onto the KEPT paragraph range (the
             # reference stores images as a separate list, so position is
             # a span-model concern only): shift by the dropped head,

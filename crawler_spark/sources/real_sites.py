@@ -10428,6 +10428,647 @@ def _build_nhandan(g: _G) -> None:
            lst(["/economy-story-0"], None, [BASE_DT], None), host)
 
 
+PINOYTECH_RULES = {
+    # pinoytechblog.py: flat menu with category2 hardcoded '' (py:31-38);
+    # grid entries yielded ungated (py:42-45); the page gate is the
+    # page's FIRST entry-date through format_time2 (py:48-50), pagination
+    # only while a.next.page-numbers exists (py:53-58); the article
+    # re-reads title/pub and takes body/abstract/images from one
+    # container (py:65-92).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "extract": {
+        "category": {"sel": "#menu-main-1 > li > a", "label2_const": ""},
+        "entry": {"sel": "h2.entry-title.grid-title",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "page_time": {"sel": "time.entry-date.published"},
+        "next": {"sel": "a.next.page-numbers", "attr": "href"},
+        "title": {"sel": "h1.post-title.single-post-title.entry-title"},
+        "pub": {"sel": "time.entry-date.published"},
+        "block": {"para_sel": ".inner-post-entry.entry-content p",
+                  "img_sel": ".inner-post-entry.entry-content img"},
+    },
+}
+
+
+def _build_pinoytechblog(g: _G) -> None:
+    host, base = "www.pinoytechblog.com", "https://www.pinoytechblog.com"
+    wid = 1245
+    g.registry[wid] = dict(PINOYTECH_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1866})
+    g.page(base + "/", "menu",
+           f'<html><ul id="menu-main-1">'
+           f'<li><a href="{base}/gadgets/">Gadgets</a></li>'
+           f'<li><a href="{base}/telcos/">Telcos</a></li>'
+           f"</ul></html>", host)
+
+    def _fz(dt: datetime) -> str:
+        return f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+
+    def art(tag: str, dt: datetime) -> str:
+        return (f'<html><h1 class="post-title single-post-title '
+                f'entry-title">PT {tag}</h1>'
+                f'<time class="entry-date published">{_fz(dt)}</time>'
+                f'<div class="inner-post-entry entry-content">'
+                f"<p>pt first {tag}.</p><p>pt second.</p>"
+                f'<img src="{base}/i/{tag}.jpg"></div></html>')
+
+    def lst(rows: list[str], page_dt: datetime,
+            nxt: str | None) -> str:
+        grid = "".join(
+            f'<h2 class="entry-title grid-title"><a href="{u}">t</a></h2>'
+            for u in rows
+        )
+        nav = (f'<a class="next page-numbers" href="{nxt}">»</a>'
+               if nxt else "")
+        return (f'<html><time class="entry-date published">'
+                f"{_fz(page_dt)}</time>{grid}{nav}</html>")
+
+    # gadgets: page 1's first stamp fresh → page 2 stale-stamped with a
+    # next link present but never followed (rows still stored — ungated)
+    r1 = [f"{base}/gadgets-post-1{e}/" for e in range(2)]
+    for e, u in enumerate(r1):
+        g.page(u, "article",
+               art(f"g1{e}", BASE_DT - timedelta(hours=e * 9)), host)
+    g.page(base + "/gadgets/", "list",
+           lst(r1, BASE_DT, f"{base}/gadgets/page/2/"), host)
+    r2 = [f"{base}/gadgets-post-20/"]
+    g.page(r2[0], "article",
+           art("g20", BASE_DT - timedelta(hours=80)), host)
+    g.page(base + "/gadgets/page/2/", "list",
+           lst(r2, BASE_DT - timedelta(hours=80),
+               f"{base}/gadgets/page/3/"), host)
+    # telcos: fresh single page, no next anchor
+    rt = [f"{base}/telcos-post-0/"]
+    g.page(rt[0], "article", art("t0", BASE_DT), host)
+    g.page(base + "/telcos/", "list", lst(rt, BASE_DT, None), host)
+
+
+PNA_RULES = {
+    # pna.py: sibling menu [4:] with the category LABEL taken from the
+    # href's last path segment (py:29-33); media-body rows gate
+    # per-entry on a fuzzy .date with break (py:45-53); pagination takes
+    # the page-nav's SECOND-TO-LAST anchor (py:55); the article byline
+    # 'Published MonthFull D, YYYY, H:MM AM/PM' is rebuilt from fixed
+    # tokens with PM adding 12 unconditionally (py:66-78); page-content
+    # images and paragraphs (py:80-89); category2 None (py:61).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "article_pub_style": "pna_pub",
+    "cat2_meta_off": True,
+    "extract": {
+        "category": {"sel": "li.active ~ li a", "skip": 4,
+                     "label_from_href": "last_segment",
+                     "href_prefix": "https://www.pna.gov.ph"},
+        "entry": {"sel": ".media-body",
+                  "fields": {"href": {"sel": "a", "attr": "href"},
+                             "time": {"sel": ".date"}}},
+        "next": {"sel": ".pagination a", "index": -2, "attr": "href"},
+        "title": {"sel": "div.page-header h1"},
+        "pub": {"sel": "span.date"},
+        "block": {"para_sel": "div.page-content > p",
+                  "img_sel": "div.page-content img"},
+    },
+}
+
+
+def _build_pna(g: _G) -> None:
+    host, base = "www.pna.gov.ph", "https://www.pna.gov.ph"
+    wid = 179
+    g.registry[wid] = dict(PNA_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1866})
+    links = "".join(
+        f'<li><a href="/categories/{s}">{s.title()}</a></li>'
+        for s in ("about", "contact", "ads", "help",  # [4:] slices these
+                  "national", "provincial")
+    )
+    g.page(base + "/", "menu",
+           f'<html><ul><li class="active"><a href="/">Home</a></li>'
+           f"{links}</ul></html>", host)
+
+    def _fz(dt: datetime) -> str:
+        return (f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}, "
+                f"{dt.hour % 12 or 12}:{dt.minute:02d} "
+                f"{'PM' if dt.hour >= 12 else 'AM'}")
+
+    def art(tag: str, dt: datetime) -> str:
+        return (f'<html><div class="page-header"><h1>PNA {tag}</h1>'
+                f"</div>"
+                f'<span class="date">Published {_fz(dt)}</span>'
+                f'<div class="page-content">'
+                f'<img src="{base}/i/{tag}.jpg">'
+                f"<p>pna first {tag}.</p><p>pna second.</p></div></html>")
+
+    def lst(rows: list[tuple[str, datetime]], nxt: str,
+            back: str) -> str:
+        media = "".join(
+            f'<div class="media-body"><a href="{u}">t</a>'
+            f'<span class="date">{_fz(dt)}</span></div>'
+            for u, dt in rows
+        )
+        # on a last page the [-2] anchor points BACK at an already-seen
+        # page — the reference's fetch dies in the dupefilter
+        nav = (f'<ul class="pagination"><li><a href="{back}">1</a></li>'
+               f'<li><a href="{nxt}">2</a></li>'
+               f'<li><a href="{back}">»»</a></li></ul>')
+        return f"<html>{media}{nav}</html>"
+
+    # national: page 1 fresh → [-2] anchor → page 2's second row stale →
+    # break (page 2's own [-2] points back at page 1 — the dupefilter
+    # would end the chain even without the gate)
+    r1 = []
+    for e in range(2):
+        dt = BASE_DT - timedelta(hours=e * 4)
+        aurl = f"/national-story-1{e}"
+        g.page(base + aurl, "article", art(f"n1{e}", dt), host)
+        r1.append((aurl, dt))
+    g.page(base + "/categories/national", "list",
+           lst(r1, "/categories/national?p=2", "/categories/national"),
+           host)
+    r2 = []
+    for e, age in enumerate((20.0, 85.0)):
+        dt = BASE_DT - timedelta(hours=age)
+        aurl = f"/national-story-2{e}"
+        g.page(base + aurl, "article", art(f"n2{e}", dt), host)
+        r2.append((aurl, dt))
+    g.page(base + "/categories/national?p=2", "list",
+           lst(r2, "/categories/national?p=3", "/categories/national"),
+           host)
+    # provincial: single fresh page; its [-2] anchor points back at page
+    # 1 (the already-seen page 2 slot) — dupefilter ends the chain
+    dt = BASE_DT - timedelta(hours=2)
+    g.page(base + "/provincial-story-0", "article", art("p0", dt), host)
+    g.page(base + "/categories/provincial", "list",
+           lst([("/provincial-story-0", dt)], "/categories/provincial",
+               "/categories/provincial"), host)
+
+
+PRAVAKTA_RULES = {
+    # pravakta.py: sub-menu links scheduled BEFORE category1 exists
+    # (py:37-46 — an explicit label:None group; the shared-item race
+    # collapsed to per-request lineage, the divyahimachal convention)
+    # with category2 = the link text's comma prefix (py:44) and the LAST
+    # sub-menu (about-us) skipped (py:40-41); top links [1:-1] minus '#'
+    # (py:50-58), the /news/ hub routed to a category-menu hop whose
+    # links[2:-1] stamp category2 (py:59-66); lists gate page-level on
+    # the last article stamp (py:77-82); article body appends a
+    # wp-block-code tail and the abstract is the first danda segment
+    # (py:95-101); single lazy-load figure image (py:94).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "abstract_split": {"sep": "।", "take": 1},
+    "menu_child_kind_re": [
+        {"match": r"https://www\.pravakta\.com/news/$", "kind": "menu2"},
+    ],
+    "extract": {
+        "category": [
+            # the about-us sub-menu renders LAST; its single link is the
+            # [0,-1] slice's tail (the reference keys on sub_ul[-1])
+            {"sel": "ul.sub-menu li > a", "slice": [0, -1],
+             "label": None, "label_re": r"([^,]*)"},
+            {"sel": "ul.menu > li > a", "slice": [1, -1],
+             "exclude_hrefs": ["#"]},
+        ],
+        "category2": {"sel": "ul.menu li > a", "slice": [2, -1]},
+        "entry": {"sel": ".data-bg-hover.data-bg.data-bg-categorised",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "page_time": {"sel": "article span.item-metadata.posts-date",
+                      "index": -1},
+        "next": {"sel": "a.next.page-numbers", "attr": "href"},
+        "title": {"sel": "h1.entry-title"},
+        "pub": {"sel": "span.item-metadata.posts-date"},
+        "block": {"para_sel": [".entry-content p",
+                               ".entry-content pre.wp-block-code"],
+                  "img_sel": ".entry-content figure.wp-block-image"
+                             ".size-large img",
+                  "img_attr": "data-src"},
+    },
+}
+
+
+def _build_pravakta(g: _G) -> None:
+    host, base = "www.pravakta.com", "https://www.pravakta.com"
+    wid = 1076
+    g.registry[wid] = dict(PRAVAKTA_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f"<html>"
+           f'<ul class="menu">'
+           f'<li><a href="{base}/">होम</a></li>'
+           f'<li><a href="{base}/news/">समाचार</a></li>'
+           f'<li><a href="#">ड्रॉपडाउन</a></li>'
+           f'<li><a href="{base}/vichar/">विचार</a></li>'
+           f'<li><a href="{base}/video/">वीडियो</a></li>'  # [1:-1] tail
+           f"</ul>"
+           f'<ul class="sub-menu">'
+           f'<li><a href="{base}/dharm/">धर्म, संस्कृति</a></li></ul>'
+           f'<ul class="sub-menu">'
+           f'<li><a href="{base}/about/">हमारे बारे में</a></li></ul>'
+           f"</html>", host)
+    # the /news/ hub re-renders the top menu; [2:-1] are its sections
+    g.page(base + "/news/", "menu2",
+           f'<html><ul class="menu">'
+           f'<li><a href="{base}/">होम</a></li>'
+           f'<li><a href="{base}/news/">समाचार</a></li>'
+           f'<li><a href="{base}/desh/">देश</a></li>'
+           f'<li><a href="{base}/videsh/">विदेश</a></li>'
+           f'<li><a href="{base}/video/">वीडियो</a></li>'
+           f"</ul></html>", host)
+
+    def _fz(dt: datetime) -> str:
+        return f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+
+    def art(tag: str, dt: datetime, code: bool = False) -> str:
+        tail = ('<pre class="wp-block-code">pv कोड अंश</pre>'
+                if code else "")
+        return (f'<html><h1 class="entry-title">PV {tag}</h1>'
+                f'<span class="item-metadata posts-date">{_fz(dt)}'
+                f"</span>"
+                f'<div class="entry-content">'
+                f'<figure class="wp-block-image size-large">'
+                f'<img data-src="{base}/i/{tag}.jpg"></figure>'
+                f"<p>pv पहला {tag}। pv शेष।</p>{tail}</div></html>")
+
+    def lst(rows: list[tuple[str, datetime]], nxt: str | None) -> str:
+        divs = "".join(
+            f'<div class="data-bg-hover data-bg data-bg-categorised">'
+            f'<a href="{u}">t</a></div>'
+            f'<article><span class="item-metadata posts-date">{_fz(dt)}'
+            f"</span></article>"
+            for u, dt in rows
+        )
+        nav = (f'<a class="next page-numbers" href="{nxt}">»</a>'
+               if nxt else "")
+        return f"<html>{divs}{nav}</html>"
+
+    # dharm (sub-menu lineage, category1 None): fresh single page
+    dt = BASE_DT - timedelta(hours=1)
+    g.page(f"{base}/dharm-katha-0/", "article",
+           art("dh0", dt, code=True), host)
+    g.page(f"{base}/dharm/", "list",
+           lst([(f"{base}/dharm-katha-0/", dt)], None), host)
+    # desh (news section): page 1 fresh → page 2 stale tail → stop
+    r1 = []
+    for e in range(2):
+        dt = BASE_DT - timedelta(hours=e * 6)
+        aurl = f"{base}/desh-khabar-1{e}/"
+        g.page(aurl, "article", art(f"de1{e}", dt), host)
+        r1.append((aurl, dt))
+    g.page(f"{base}/desh/", "list",
+           lst(r1, f"{base}/desh/page/2/"), host)
+    dt = BASE_DT - timedelta(hours=82)
+    aurl = f"{base}/desh-khabar-20/"
+    g.page(aurl, "article", art("de20", dt), host)
+    g.page(f"{base}/desh/page/2/", "list", lst([(aurl, dt)], None),
+           host)
+    # videsh (news section) + vichar (top link): single fresh pages
+    for cslug, tag in (("videsh", "vi"), ("vichar", "vc")):
+        dt = BASE_DT - timedelta(hours=3)
+        aurl = f"{base}/{cslug}-khabar-0/"
+        g.page(aurl, "article", art(f"{tag}0", dt), host)
+        g.page(f"{base}/{cslug}/", "list", lst([(aurl, dt)], None),
+               host)
+
+
+PRESSNOTE_RULES = {
+    # pressnote.py: #mainmenu categories (py:30-35); EVERY entry of a
+    # page inherits the page's ONE .post-info stamp (re-ordered
+    # 'Mon D Y', py:41-42) and its .post-content text as the title
+    # (py:43 — page_entry_title); per-entry break gate; the next URL is
+    # mined out of the last NavigationButton's onclick and bolted onto a
+    # FIXED host when relative (py:53-61); #DivContents body/abstract/
+    # images (py:70-75).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "date_style": "dmy_sp",
+    "extract": {
+        "category": {"sel": "#mainmenu a"},
+        "entry": {"sel": ".fbt-col-lg-12.col-md-4.col-xs-6"
+                         ".padding-reset",
+                  "fields": {"href": {"sel": ".post-content a",
+                                      "attr": "href"}}},
+        "page_entry_time": {"sel": ".post-info"},
+        "page_entry_title": {"sel": ".post-content"},
+        "next": {"if_count": {"sel": '.NavigationButton[value="Next"]',
+                              "ge": 1},
+                 "then": {"sel": '.NavigationButton[value="Next"]',
+                          "index": -1, "attr": "onclick",
+                          "re": r"window\.location='(.*)'"},
+                 "else": {"const": None}},
+        "next_rel_prefix": "https://www.pressnote.in/",
+        "abstract": {"sel": "#DivContents p"},
+        "block": {"para_sel": "#DivContents p",
+                  "img_sel": "#DivContents img"},
+    },
+}
+
+
+def _build_pressnote(g: _G) -> None:
+    host, base = "pressnote.in", "http://pressnote.in"
+    wid = 1045
+    g.registry[wid] = dict(PRESSNOTE_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><div id="mainmenu">'
+           f'<a href="{base}/rajasthan.php">राजस्थान</a>'
+           f'<a href="{base}/desh.php">देश</a>'
+           f"</div></html>", host)
+
+    def _pd(dt: datetime) -> str:
+        return f"{dt.day} {_MON_ABBR[dt.month - 1]} {dt.year}"
+
+    def art(tag: str) -> str:
+        return (f'<html><div id="DivContents">'
+                f"<p>pn पहला {tag}।</p><p>pn दूसरा।</p>"
+                f'<img src="{base}/i/{tag}.jpg"></div></html>')
+
+    def lst(rows: list[str], stamp: datetime, nxt: str | None,
+            nxt_abs: bool = False) -> str:
+        blocks = "".join(
+            f'<div class="fbt-col-lg-12 col-md-4 col-xs-6 '
+            f'padding-reset"><div class="post-content">'
+            f'<a href="{u}">t</a></div></div>' for u in rows
+        )
+        first = (f'<div class="post-info">{_pd(stamp)}</div>'
+                 f'<div class="post-content">शीर्षक '
+                 f"{rows[0].rsplit('/', 1)[-1]}</div>")
+        if nxt:
+            loc = nxt if nxt_abs else nxt.lstrip("/")
+            nav = (f'<input class="NavigationButton" value="Next" '
+                   f"onclick=\"window.location='{loc}';\">")
+        else:
+            nav = ('<input class="NavigationButton" value="First" '
+                   "onclick=\"window.location='x.php';\">")
+        return f"<html>{first}{blocks}{nav}</html>"
+
+    # rajasthan: RELATIVE onclick → the fixed-www prefix (page 2 lives on
+    # the www host); page 2 ABSOLUTE onclick back… but stale → stop
+    r1 = [f"{base}/rajasthan-khabar-1{e}.php" for e in range(2)]
+    for u in r1:
+        g.page(u, "article", art(u.rsplit("/", 1)[-1][:-4]), host)
+    g.page(base + "/rajasthan.php", "list",
+           lst(r1, BASE_DT, "rajasthan-p2.php"), host)
+    r2 = [f"{base}/rajasthan-khabar-20.php"]
+    g.page(r2[0], "article", art("rajasthan-khabar-20"), host)
+    g.page("https://www.pressnote.in/rajasthan-p2.php", "list",
+           lst(r2, BASE_DT - timedelta(hours=80),
+               f"{base}/rajasthan-p3.php", nxt_abs=True),
+           "www.pressnote.in")
+    # desh: fresh single page whose last button reads 'First' → no next
+    rd = [f"{base}/desh-khabar-0.php"]
+    g.page(rd[0], "article", art("desh-khabar-0"), host)
+    g.page(base + "/desh.php", "list", lst(rd, BASE_DT, None), host)
+
+
+SACHKAUJALA_RULES = {
+    # sachkaujala.py: menu a[1:-1] with category2 hardcoded '' (py:32-37);
+    # TWO entry groups — herald-section thumbnails and herald-posts h2
+    # links (py:43-53); the page gate reads the posts grid's LAST
+    # .updated fuzzily, a missing grid defaulting to the epoch (py:55);
+    # pagination follows the anchor READING 'Older Entries' (py:60);
+    # article body = entry-content p/h3 runs else its div walk sliced
+    # [1:-1] (py:82-87), abstract = first danda segment (py:88),
+    # data:-URI thumbnails skipped (py:77-80).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "abstract_split": {"sep": "।", "take": 1},
+    "extract": {
+        "category": {"sel": "ul.menu a", "slice": [1, -1],
+                     "label2_const": ""},
+        "entry": [
+            {"sel": ".herald-section.container.herald-no-sid"
+                    " a.fa-post-thumbnail"},
+            {"sel": ".row.row-eq-height.herald-posts h2",
+             "fields": {"href": {"sel": "a", "attr": "href"}}},
+        ],
+        "page_time": {"sel": ".row.row-eq-height.herald-posts"
+                             " span.updated", "index": -1},
+        "next": {"sel": "a", "text_eq": "Older Entries", "attr": "href"},
+        "title": {"sel": "h1.entry-title.h1"},
+        "pub": {"sel": "header.entry-header span.updated"},
+        "block": {"para_sel": [".entry-content.herald-entry-content p",
+                               ".entry-content.herald-entry-content h3"],
+                  "para_sel_fallback":
+                      ".entry-content.herald-entry-content div",
+                  "para_fallback_slice": [1, -1],
+                  "img_sel": ".herald-post-thumbnail"
+                             ".herald-post-thumbnail-single img",
+                  "img_skip_re": r"^data:"},
+    },
+}
+
+
+def _build_sachkaujala(g: _G) -> None:
+    host, base = "sachkaujala.com", "https://sachkaujala.com"
+    wid = 1124
+    g.registry[wid] = dict(SACHKAUJALA_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><ul class="menu">'
+           f'<li><a href="{base}/">होम</a></li>'
+           f'<li><a href="{base}/punjab/">पंजाब</a></li>'
+           f'<li><a href="{base}/desh/">देश</a></li>'
+           f'<li><a href="{base}/epaper/">ई-पेपर</a></li>'  # [1:-1] tail
+           f"</ul></html>", host)
+
+    def _fz(dt: datetime) -> str:
+        return f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+
+    def art(tag: str, dt: datetime, div_fb: bool = False) -> str:
+        body = (('<div class="entry-content herald-entry-content">'
+                 "<div>wrapper</div><div>sk घोषणा {t}। sk विवरण।</div>"
+                 "<div></div></div>").format(t=tag) if div_fb else
+                (f'<div class="entry-content herald-entry-content">'
+                 f"<p>sk पहला {tag}। sk शेष।</p><h3>sk उपशीर्षक।</h3>"
+                 f"</div>"))
+        return (f'<html><header class="entry-header">'
+                f'<h1 class="entry-title h1">SK {tag}</h1>'
+                f'<span class="updated">{_fz(dt)}</span></header>'
+                f'<div class="herald-post-thumbnail '
+                f'herald-post-thumbnail-single">'
+                f'<img src="data:image/gif;base64,x">'
+                f'<img src="{base}/i/{tag}.jpg"></div>'
+                f"{body}</html>")
+
+    def lst(top: list[str], rows: list[tuple[str, datetime]],
+            nxt: str | None) -> str:
+        thumbs = "".join(
+            f'<a class="fa-post-thumbnail" href="{u}">t</a>' for u in top
+        )
+        posts = "".join(
+            f'<h2><a href="{u}">t</a></h2>'
+            f'<span class="updated">{_fz(dt)}</span>'
+            for u, dt in rows
+        )
+        nav = f'<a href="{nxt}">Older Entries</a>' if nxt else ""
+        return (f'<html><div class="herald-section container '
+                f'herald-no-sid">{thumbs}</div>'
+                f'<div class="row row-eq-height herald-posts">{posts}'
+                f"</div>{nav}</html>")
+
+    # punjab: thumb group + grid group on page 1, fresh tail → page 2
+    # stale tail → stop (rows stored — ungated)
+    t1 = [f"{base}/punjab-top-0/"]
+    g.page(t1[0], "article",
+           art("pt0", BASE_DT, div_fb=True), host)
+    r1 = []
+    for e in range(2):
+        dt = BASE_DT - timedelta(hours=e * 5)
+        aurl = f"{base}/punjab-khabar-1{e}/"
+        g.page(aurl, "article", art(f"pk1{e}", dt), host)
+        r1.append((aurl, dt))
+    g.page(f"{base}/punjab/", "list",
+           lst(t1, r1, f"{base}/punjab/page/2/"), host)
+    dt = BASE_DT - timedelta(hours=78)
+    aurl = f"{base}/punjab-khabar-20/"
+    g.page(aurl, "article", art("pk20", dt), host)
+    g.page(f"{base}/punjab/page/2/", "list",
+           lst([], [(aurl, dt)], f"{base}/punjab/page/3/"), host)
+    # desh: fresh single page without the Older Entries anchor
+    dt = BASE_DT - timedelta(hours=2)
+    aurl = f"{base}/desh-khabar-0/"
+    g.page(aurl, "article", art("dk0", dt), host)
+    g.page(f"{base}/desh/", "list", lst([], [(aurl, dt)], None), host)
+
+
+SANDHYAPRAVAKTA_RULES = {
+    # sandhyapravakta.py: header menu [1:] where items WITH a sub-menu
+    # schedule only their second-level 'ul>li>ul>li>a' links as
+    # category2 (py:37-47, parent suppressed, dupes dropped) and
+    # childless items are excluded by label ('कोरोना अपडेट', 'e-paper',
+    # py:49-51); lists gate page-level on the grid's LAST module date
+    # (py:63); the page-nav's LAST anchor advances only while it wraps
+    # an <i> (py:64); article body = every <p> under <article>, abstract
+    # its first danda segment (py:81-84), featured images (py:89).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "abstract_split": {"sep": "।", "take": 1},
+    "extract": {
+        "category": {"sel": "#menu-td-demo-header-menu-1 > li.menu-item",
+                     "link_sel": "a", "skip": 1,
+                     "children_sel": "ul > li > ul > li > a",
+                     "children_suppress_parent": True},
+        "excluded_labels": ["कोरोना अपडेट", "e-paper"],
+        "entry": {"sel": ".td-ss-main-content"
+                         " h3.entry-title.td-module-title",
+                  "fields": {"href": {"sel": "a", "attr": "href"}}},
+        "page_time": {"sel": ".td-ss-main-content"
+                             " time.entry-date.updated.td-module-date",
+                      "index": -1},
+        "next": {"sel": "div.page-nav.td-pb-padding-side a",
+                 "index": -1, "attr": "href", "require_child": "i"},
+        "title": {"sel": "h1.entry-title"},
+        "pub": {"sel": "article time.entry-date.updated.td-module-date"},
+        "block": {"para_sel": "article p",
+                  "img_sel": ".td-post-featured-image img"},
+    },
+}
+
+
+def _build_sandhyapravakta(g: _G) -> None:
+    host, base = "sandhyapravakta.com", "https://sandhyapravakta.com"
+    wid = 1102
+    g.registry[wid] = dict(SANDHYAPRAVAKTA_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    # nested second-level ul (the reference's li.select('ul>li>ul>li>a'))
+    g.page(base + "/", "menu",
+           f'<html><ul id="menu-td-demo-header-menu-1">'
+           f'<li class="menu-item"><a href="{base}/">होम</a></li>'
+           f'<li class="menu-item"><a href="{base}/desh/">देश'
+           f'<ul class="sub-menu"><li><a href="{base}/x/">x</a>'
+           f'<ul><li><a href="{base}/up/">यूपी</a></li>'
+           f'<li><a href="{base}/bihar/">बिहार</a></li></ul>'
+           f"</li></ul></a></li>"
+           f'<li class="menu-item"><a href="{base}/corona/">कोरोना अपडेट'
+           f"</a></li>"
+           f'<li class="menu-item"><a href="{base}/vichar/">विचार</a>'
+           f"</li>"
+           f"</ul></html>", host)
+
+    def _fz(dt: datetime) -> str:
+        return f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+
+    def art(tag: str, dt: datetime) -> str:
+        return (f'<html><h1 class="entry-title">SP {tag}</h1>'
+                f'<div class="td-post-featured-image">'
+                f'<img src="{base}/i/{tag}.jpg"></div>'
+                f"<article>"
+                f'<time class="entry-date updated td-module-date">'
+                f"{_fz(dt)}</time>"
+                f"<p>sp पहला {tag}। sp शेष।</p><p>sp दूसरा।</p>"
+                f"</article></html>")
+
+    def lst(rows: list[tuple[str, datetime]], nxt: str | None,
+            chevron: bool = True) -> str:
+        mods = "".join(
+            f'<h3 class="entry-title td-module-title"><a href="{u}">t'
+            f"</a></h3>"
+            f'<time class="entry-date updated td-module-date">{_fz(dt)}'
+            f"</time>"
+            for u, dt in rows
+        )
+        nav = ""
+        if nxt:
+            tail = (f'<a href="{nxt}"><i class="next-i"></i></a>'
+                    if chevron else f'<a href="{nxt}">last</a>')
+            nav = (f'<div class="page-nav td-pb-padding-side">'
+                   f'<a href="{base}/p1/">1</a>{tail}</div>')
+        return (f'<html><div class="td-ss-main-content">{mods}</div>'
+                f"{nav}</html>")
+
+    # up: page 1 fresh chevron → page 2 whose last-a has NO <i> → stop
+    # even though its dates are fresh
+    r1 = []
+    for e in range(2):
+        dt = BASE_DT - timedelta(hours=e * 4)
+        aurl = f"{base}/up-khabar-1{e}/"
+        g.page(aurl, "article", art(f"u1{e}", dt), host)
+        r1.append((aurl, dt))
+    g.page(f"{base}/up/", "list",
+           lst(r1, f"{base}/up/page/2/"), host)
+    r2 = []
+    dt = BASE_DT - timedelta(hours=8)
+    aurl = f"{base}/up-khabar-20/"
+    g.page(aurl, "article", art("u20", dt), host)
+    r2.append((aurl, dt))
+    g.page(f"{base}/up/page/2/", "list",
+           lst(r2, f"{base}/up/page/3/", chevron=False), host)
+    # bihar: stale tail on page 1 → gate stops its chain
+    r3 = []
+    for e, age in enumerate((10.0, 80.0)):
+        dt = BASE_DT - timedelta(hours=age)
+        aurl = f"{base}/bihar-khabar-{e}/"
+        g.page(aurl, "article", art(f"b{e}", dt), host)
+        r3.append((aurl, dt))
+    g.page(f"{base}/bihar/", "list",
+           lst(r3, f"{base}/bihar/page/2/"), host)
+    # vichar (childless, not excluded): single fresh page
+    dt = BASE_DT - timedelta(hours=1)
+    aurl = f"{base}/vichar-khabar-0/"
+    g.page(aurl, "article", art("v0", dt), host)
+    g.page(f"{base}/vichar/", "list", lst([(aurl, dt)], None), host)
+
+
 SITE_BUILDERS = {
     "zeenews": _build_zeenews,
     "aajtak": _build_aajtak,
@@ -10533,6 +11174,12 @@ SITE_BUILDERS = {
     "nayalook": _build_nayalook,
     "newswing": _build_newswing,
     "nhandan": _build_nhandan,
+    "pinoytechblog": _build_pinoytechblog,
+    "pna": _build_pna,
+    "pravakta": _build_pravakta,
+    "pressnote": _build_pressnote,
+    "sachkaujala": _build_sachkaujala,
+    "sandhyapravakta": _build_sandhyapravakta,
 }
 
 

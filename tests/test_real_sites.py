@@ -56,6 +56,7 @@ def test_all_sites_produce_documents(sim):
         1007, 970, 1127, 183, 189, 1051,
         489, 182, 1055, 932, 967, 1057,
         926, 1111, 1062, 934, 1047, 1249,
+        1245, 179, 1076, 1045, 1124, 1102,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -1919,6 +1920,136 @@ def test_nhandan_cjk_dates_two_entry_groups(sim):
     assert p10["abstract"] == "nd 第一段 p10。"
     imgs = [s["media_ref"] for s in p10["spans"] if s["kind"] == "image"]
     assert imgs == ["https://cn.nhandan.com.vn/i/p10.jpg"]  # prefixed
+
+
+def test_pinoytechblog_first_stamp_gate(sim):
+    """pinoytechblog.py: grid entries ungated (py:42-45), the page gate
+    reading the page's FIRST entry-date (py:48-50); category2 hardcoded
+    '' (py:32); next only while a.next.page-numbers renders (py:53)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1245]}
+    fetched = [u for _b, u in sim["crawl_log"] if "pinoytechblog" in u]
+    assert any("gadgets/page/2" in u for u in fetched)
+    assert not any("gadgets/page/3" in u for u in fetched)
+    g20 = docs["https://www.pinoytechblog.com/gadgets-post-20/"]
+    assert g20["pub_time"] == "2021-05-27 00:00:00"  # stale yet stored
+    g10 = docs["https://www.pinoytechblog.com/gadgets-post-10/"]
+    assert (g10["category1"], g10["category2"]) == ("Gadgets", "")
+    assert g10["abstract"] == "pt first g10."
+    assert [s["kind"] for s in g10["spans"]] == ["text", "text", "image"]
+
+
+def test_pna_slug_labels_pm_bug_second_to_last_nav(sim):
+    """pna.py: menu [4:] with labels from the href's LAST path segment
+    (py:29-33); per-entry fuzzy break gate (py:45-53); the page-nav's
+    SECOND-TO-LAST anchor chains (py:55); the byline's PM branch adds 12
+    unconditionally (py:71-73) — noon renders hour 24, unrepresentable,
+    degrading to fallback-now here."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[179]}
+    fetched = [u for _b, u in sim["crawl_log"] if "pna.gov.ph" in u]
+    assert not any("/categories/about" in u for u in fetched)  # [4:]
+    assert any(u.endswith("national?p=2") for u in fetched)
+    assert not any("p=3" in u for u in fetched)  # break killed the nav
+    assert not any("national-story-21" in u for u in fetched)  # break
+    n10 = docs["https://www.pna.gov.ph/national-story-10"]
+    assert n10["category1"] == "national"  # href slug, not link text
+    assert n10["pub_time"] == "2021-06-01 00:00:00"  # 12:00 PM → 24 → now
+    n20 = docs["https://www.pna.gov.ph/national-story-20"]
+    assert n20["pub_time"] == "2021-05-29 16:00:00"  # 4:00 PM + 12
+    assert n10["abstract"] == "pna first n10."
+
+
+def test_pravakta_null_label_group_and_news_hub(sim):
+    """pravakta.py: sub-menu links scheduled with category1 UNSET and
+    category2 = the text's comma prefix (py:37-46), the about-us tail
+    sliced away (py:40-41); the /news/ hub re-mines the top menu [2:-1]
+    as category2 sections (py:59-66); page-level gate on the last
+    article stamp (py:77); body appends the wp-block-code tail and the
+    abstract is the first danda segment (py:95-101)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1076]}
+    fetched = [u for _b, u in sim["crawl_log"] if "pravakta" in u]
+    assert not any("/about/" in u for u in fetched)  # sub_ul[-1]
+    assert not any(u.endswith("/video/") for u in fetched)  # [1:-1]
+    dh = docs["https://www.pravakta.com/dharm-katha-0/"]
+    assert dh["category1"] is None  # scheduled before category1 existed
+    assert dh["category2"] == "धर्म"  # comma prefix
+    de = docs["https://www.pravakta.com/desh-khabar-10/"]
+    assert (de["category1"], de["category2"]) == ("समाचार", "देश")
+    assert any("pravakta.com/desh/page/2" in u for u in fetched)
+    assert not any("pravakta" in u and "page/3" in u for u in fetched)
+    # the code-block tail lands as the last text span
+    assert [s["text"] for s in dh["spans"] if s["kind"] == "text"] == [
+        "pv पहला dh0। pv शेष।", "pv कोड अंश"]
+    assert dh["abstract"] == "pv पहला dh0"  # danda split
+
+
+def test_pressnote_onclick_pagination_fixed_prefix(sim):
+    """pressnote.py: every entry inherits the page's ONE .post-info
+    stamp and .post-content title (py:41-43); the next URL is regexed
+    out of the last NavigationButton's onclick ONLY when it reads Next,
+    and a relative target is bolted onto the FIXED www host (py:53-61);
+    a stale page-2 stamp breaks before any of its entries fetch."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1045]}
+    fetched = [u for _b, u in sim["crawl_log"] if "pressnote" in u]
+    # the relative onclick target landed on the FIXED www host
+    assert any(u == "https://www.pressnote.in/rajasthan-p2.php"
+               for u in fetched)
+    assert not any("rajasthan-p3" in u for u in fetched)  # stale break
+    assert not any("rajasthan-khabar-20" in u for u in fetched)
+    r10 = docs["http://pressnote.in/rajasthan-khabar-10.php"]
+    r11 = docs["http://pressnote.in/rajasthan-khabar-11.php"]
+    assert r10["title"] == r11["title"]  # page-level title
+    assert r10["pub_time"] == "2021-05-30 00:00:00"  # D Mon Y reorder
+    d0 = docs["http://pressnote.in/desh-khabar-0.php"]
+    assert d0["abstract"] == "pn पहला desh-khabar-0।"
+    # the 'First' button page never paginates
+    assert not any(u.endswith("/x.php") for u in fetched)
+
+
+def test_sachkaujala_two_groups_div_fallback_slice(sim):
+    """sachkaujala.py: thumbnail + grid entry groups (py:43-53);
+    category2 hardcoded '' (py:36); 'Older Entries' text-matched
+    pagination (py:60); data:-URI thumbnails skipped (py:79); the div
+    body fallback sliced [1:-1] while p/h3 articles keep everything
+    (py:82-87)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1124]}
+    fetched = [u for _b, u in sim["crawl_log"] if "sachkaujala" in u]
+    assert any("punjab/page/2" in u for u in fetched)
+    assert not any("punjab/page/3" in u for u in fetched)
+    pt = docs["https://sachkaujala.com/punjab-top-0/"]  # thumb group
+    assert pt["category2"] == ""
+    # div fallback: wrapper and blank divs sliced away → ONE text span
+    assert [s["kind"] for s in pt["spans"]] == ["image", "text"]
+    assert pt["spans"][1]["text"].startswith("sk घोषणा")
+    pk = docs["https://sachkaujala.com/punjab-khabar-10/"]
+    # p/h3 article keeps both runs; the data: thumb never lands
+    assert [s["kind"] for s in pk["spans"]] == ["image", "text", "text"]
+    assert pk["spans"][0]["media_ref"].endswith("/i/pk10.jpg")
+    pk20 = docs["https://sachkaujala.com/punjab-khabar-20/"]  # ungated
+    assert pk20["pub_time"] == "2021-05-27 00:00:00"
+    assert pk["abstract"] == "sk पहला pk10"  # danda split
+
+
+def test_sandhyapravakta_second_level_only_chevron_nav(sim):
+    """sandhyapravakta.py: items WITH a sub-menu schedule ONLY their
+    second-level links (py:37-47, parent suppressed), childless items
+    excluded by label (py:49-51); the page-nav's last anchor advances
+    only while it wraps an <i> (py:64); page-level gate on the grid's
+    last module date (py:63)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1102]}
+    fetched = [u for _b, u in sim["crawl_log"] if "sandhyapravakta" in u]
+    assert not any(u.endswith("/desh/") for u in fetched)  # parent
+    assert not any(u.endswith("/x/") for u in fetched)  # first level
+    assert not any("/corona/" in u for u in fetched)  # excluded label
+    assert any("up/page/2" in u for u in fetched)
+    # page 2's fresh dates don't matter — its last-a has no <i>
+    assert not any("up/page/3" in u for u in fetched)
+    assert not any("bihar/page/2" in u for u in fetched)  # stale gate
+    u10 = docs["https://sandhyapravakta.com/up-khabar-10/"]
+    assert u10["category1"] == "देशxयूपीबिहार"  # nested anchor .text
+    assert u10["category2"] == "यूपी"
+    v0 = docs["https://sandhyapravakta.com/vichar-khabar-0/"]
+    assert (v0["category1"], v0["category2"]) == ("विचार", None)
+    assert u10["abstract"] == "sp पहला u10"  # danda split
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,
