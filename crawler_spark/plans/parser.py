@@ -389,6 +389,56 @@ def parse_site_date(raw: str | None, style: str | None,
             return (as_of - timedelta(seconds=float(t[0]) * fac)).replace(
                 microsecond=0
             )
+        if style == "si_hindi_mdy":
+            # sinceindependence.py:12-26: '<Hindi month> D, YYYY' via the
+            # clean table + the 'सितम्बर' variant spelling (the reference
+            # indexes tokens [1]/[2] because its raw byline leads with a
+            # space; this side sees whitespace-normalized text, same
+            # fields).
+            t = re.split(" |,", raw.strip())
+            months = dict(_HNF_HINDI_MONTHS, **{"सितम्बर": 9})
+            return datetime(int(t[-1]), months[t[0]], int(t[1]))
+        if style == "si_mdy_slash":
+            # sinceindependence.py:29-38: 'M/D/YY H:MM <Hindi am/pm>' —
+            # the am/pm token is read and DISCARDED (no 12-hour shift,
+            # bug-faithful: 12:20 अपराह्न stays 12:20).
+            mo, d, y, hh, mm, _ap = re.split("/| |:", raw.strip())
+            return datetime(2000 + int(y), int(mo), int(d),
+                            int(hh), int(mm))
+        if style == "swat_colort":
+            # swatantraawaz.py:62-64,112-114: the headline byline
+            # 'Weekday D MonthFull YYYY H:M:S AM/PM' re-ordered into
+            # format_time2; the watchvid byline is an already-normalized
+            # Y-m-d stamp stored raw (py:66,117) — the reference
+            # dispatches on URL shape, disambiguated here by content.
+            if re.match(r"\d{4}-", raw.strip()):
+                return datetime.strptime(raw.strip(),
+                                         "%Y-%m-%d %H:%M:%S")
+            t = raw.split()
+            return format_time2_py(
+                f"{t[2]} {t[1]} {t[3]} {t[4]} {t[5]}", as_of)
+        if style == "tv9_pub":
+            # tv9hindi.py:14-17: 'Publish Date -\n\t\tH:MM am, Wkd, D
+            # MonthFull YY' through one strptime whose %H ignores the
+            # am/pm marker — PM times collapse onto the AM clock,
+            # bug-faithful.
+            return datetime.strptime(
+                raw, "Publish Date -\n\t\t%H:%M %p, %a, %d %B %y")
+        if style == "univarta_list":
+            # univarta.py:62-63: the '|'-trailed byline's first segment
+            # 'D <Hindi month> YYYY' re-ordered 'Mon D Y' into
+            # format_time2 (whose Hindi pre-translation maps the month).
+            t = raw.split("|")[0].strip().split()
+            return format_time2_py(f"{t[1]} {t[0]} {t[2]}", as_of)
+        if style == "virarjun_dt":
+            # virarjun.py:59-62,78-81: 'D Mon YYYY H:MM am/pm GMT' with
+            # an abbreviated-else-full month strptime pair.
+            try:
+                return datetime.strptime(raw.strip(),
+                                         "%d %b %Y %I:%M %p GMT")
+            except ValueError:
+                return datetime.strptime(raw.strip(),
+                                         "%d %B %Y %I:%M %p GMT")
         if style == "dmy_sp":
             # pressnote.py:41-42: 'D Mon YYYY' whitespace tokens
             # re-ordered 'Mon D YYYY' into format_time2 — a plain
@@ -616,6 +666,10 @@ def _sel_scalar(tree, spec: dict) -> str | None:
     if val is not None and spec.get("re"):
         m = re.search(spec["re"], val)
         val = m.group(1) if m else None
+    if val is not None and spec.get("suffix"):
+        # literal tail appended to the value — virarjun.py:101 bolts
+        # three backspace characters onto category1, bug-faithful
+        val = val + spec["suffix"]
     return val
 
 
@@ -1267,6 +1321,12 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                     else:
                         vals = {"href": node.attr(espec.get("attr", "href")),
                                 "title": node.text() or None}
+                    if espec.get("require_field") \
+                            and vals.get(espec["require_field"]) is None:
+                        # a row missing this field is SKIPPED outright —
+                        # tempo.py:44-47's try/except continue around the
+                        # .entryDate read
+                        continue
                     alt = espec.get("href_alt_if")
                     if alt and vals.get("href") == alt["eq"]:
                         # one sentinel href swaps in an alternate pick —
@@ -1453,6 +1513,7 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
         src_attr = block.get("img_attr", "src")
         skip_re = block.get("img_skip_re")
         stop_re = block.get("para_stop_re")
+        drop_re = block.get("para_drop_re")
         stopped_paras = False
         for n in htmlsel.walk(dom()):
             if id(n) in para_ids:
@@ -1464,6 +1525,11 @@ def extract_payload(kind: str, html: str, rules: dict, url: str = "",
                 # india' cutoff) — the sentinel itself is dropped
                 if stop_re and re.match(stop_re, t):
                     stopped_paras = True
+                    continue
+                # ``para_drop_re``: matching paragraphs are skipped, the
+                # loop continues — tv9hindi.py:111-117's blue-span ad
+                # filter, virarjun.py:90-92's empty-paragraph removal
+                if drop_re and re.match(drop_re, t):
                     continue
                 paras.append(t)
             elif id(n) in img_ids:
@@ -2207,9 +2273,24 @@ def parse_page(
                 {"title": pe.get("title"),
                  "pub_time_raw": pe.get("pub_time_raw"),
                  "lead_img": pe.get("img"),
+                 "abstract": pe.get("abstract"),
                  "next_url": urljoin(url, payload["next"])}
             )
             emit(pe["href"], "probe", pmeta, dont_filter=True)
+        elif payload.get("probe_entry") and site.get("probe_fallback_entry"):
+            # ``probe_fallback_entry``: on a page with NO next link the
+            # probe member degrades to a NORMAL article request —
+            # swatantraawaz.py:88-92's except branch (vs bhadas4media,
+            # which drops its probe member entirely).
+            pe = payload["probe_entry"]
+            pmeta = dict(meta)
+            pmeta.update(
+                {"title": pe.get("title"),
+                 "pub_time_raw": pe.get("pub_time_raw"),
+                 "lead_img": pe.get("img"),
+                 "abstract": pe.get("abstract")}
+            )
+            emit(pe["href"], "article", pmeta)
         # Page-level time gate (philboxing.py:67-95, yehey.py:92-101):
         # pagination is decided by a page-level date, not per entry; no
         # parseable page date → no next page (philboxing's `if time and`).
@@ -2346,11 +2427,15 @@ def parse_page(
                     page = int(meta.get("page", "1")) + 1
                     nmeta = dict(meta)
                     nmeta["page"] = str(page)
+                    # ``next_value_raw``: the value is a URL FRAGMENT
+                    # concatenated verbatim (univarta.py:80's cate_url +
+                    # '?page=N' href), not a timestamp to quote
                     emit(
                         site["next_value_tpl"].format(
                             base=meta.get("list_url", ""),
                             slug=meta.get("cat_slug", ""),
-                            value=quote(str(nv)),
+                            value=(str(nv) if site.get("next_value_raw")
+                                   else quote(str(nv))),
                             page=page,
                         ),
                         kind, nmeta,

@@ -11069,6 +11069,713 @@ def _build_sandhyapravakta(g: _G) -> None:
     g.page(f"{base}/vichar/", "list", lst([(aurl, dt)], None), host)
 
 
+SINCEINDEP_RULES = {
+    # sinceindependence.py: taxonomy menu items [0:11] regexed out of the
+    # header nav (py:74-82 — a class selector here); thumb entries
+    # yielded ungated (py:87-93); the page gate reads the LAST article's
+    # Hindi 'Month D, YYYY' meta date (py:12-26,96-98) and follows
+    # a.page_nav.next (py:99-105); the article byline 'M/D/YY H:MM
+    # <Hindi am/pm>' never shifts the 12-hour clock (py:29-38,
+    # bug-faithful); the body stops at the Like-and-Follow ad block
+    # (py:40-51); lazy-load featured images (py:119-123); category1 from
+    # the breadcrumb's last link (py:132-133).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "date_style": "si_hindi_mdy",
+    "article_pub_style": "si_mdy_slash",
+    "cat2_meta_off": True,
+    "extract": {
+        "category": {"sel": ".jeg_header.normal"
+                            " li.menu-item-type-taxonomy",
+                     "link_sel": "a", "slice": [0, 11]},
+        "entry": {"sel": ".jnews_category_content_wrapper"
+                         " .jeg_block_container article",
+                  "fields": {"href": {"sel": ".jeg_thumb a",
+                                      "attr": "href"}}},
+        "page_time": {"sel": ".jnews_category_content_wrapper"
+                             " .jeg_block_container article"
+                             " .jeg_meta_date", "index": -1},
+        "next": {"sel": ".jeg_block_navigation a.page_nav.next",
+                 "attr": "href"},
+        "title": {"sel": ".entry-header .jeg_post_title"},
+        "abstract": {"sel": ".entry-header .jeg_post_subtitle"},
+        "pub": {"sel": ".jeg_meta_container .jeg_meta_date"},
+        "cat1": {"sel": "#breadcrumbs .breadcrumb_last_link"},
+        "block": {"para_sel": ".content-inner p",
+                  "para_stop_re": r"^(Like and Follow us on :|Twitter)",
+                  "img_sel": ".jeg_featured.featured_image"
+                             " .thumbnail-container img",
+                  "img_attr": "data-src"},
+    },
+}
+
+_SI_HI = ["जनवरी", "फ़रवरी", "मार्च", "अप्रैल", "मई", "जून", "जुलाई",
+          "अगस्त", "सितंबर", "अक्टूबर", "नवंबर", "दिसंबर"]
+
+
+def _build_sinceindependence(g: _G) -> None:
+    host = "hindi.sinceindependence.com"
+    base = "https://hindi.sinceindependence.com"
+    wid = 925
+    g.registry[wid] = dict(SINCEINDEP_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    lis = [f'<li class="menu-item menu-item-type-taxonomy">'
+           f'<a href="{base}/desh/">देश</a></li>',
+           f'<li class="menu-item menu-item-type-taxonomy">'
+           f'<a href="{base}/khel/">खेल</a></li>']
+    # a 12th taxonomy item falls off the [0:11] slice
+    lis += [f'<li class="menu-item menu-item-type-taxonomy">'
+            f'<a href="{base}/desh/">dup{i}</a></li>' for i in range(9)]
+    lis += [f'<li class="menu-item menu-item-type-taxonomy">'
+            f'<a href="{base}/never/">x</a></li>']
+    g.page(base + "/", "menu",
+           f'<html><div class="jeg_header normal"><ul>{"".join(lis)}'
+           f"</ul></div></html>", host)
+
+    def art(tag: str, dt: datetime, ad: bool = False) -> str:
+        tail = "<p>Like and Follow us on :</p><p>Twitter</p>" if ad \
+            else ""
+        h12 = dt.hour % 12 or 12
+        ap = "अपराह्न" if dt.hour >= 12 else "पूर्वाह्न"
+        return (f'<html><div class="entry-header">'
+                f'<h1 class="jeg_post_title">SI {tag}</h1>'
+                f'<div class="jeg_post_subtitle">si उपशीर्षक {tag}</div>'
+                f"</div>"
+                f'<div class="jeg_meta_container"><div class="jeg_meta_'
+                f'date">{dt.month:02d}/{dt.day}/{dt:%y} {h12}:'
+                f"{dt.minute:02d} {ap}</div></div>"
+                f'<div class="jeg_featured featured_image">'
+                f'<div class="thumbnail-container animate-lazy">'
+                f'<img data-src="{base}/i/{tag}.jpg"></div></div>'
+                f'<div class="content-inner">'
+                f"<p>si पहला {tag}।</p><p>si दूसरा।</p>{tail}</div>"
+                f'<div id="breadcrumbs"><a class="breadcrumb_last_link"'
+                f' href="#">देश</a></div></html>')
+
+    def _sd(dt: datetime) -> str:
+        return f"{_SI_HI[dt.month - 1]} {dt.day}, {dt.year}"
+
+    def lst(rows: list[tuple[str, datetime]], nxt: str | None) -> str:
+        arts = "".join(
+            f'<article><div class="jeg_thumb"><a href="{u}">t</a></div>'
+            f'<div class="jeg_meta_date">{_sd(dt)}</div></article>'
+            for u, dt in rows
+        )
+        nav = (f'<div class="jeg_block_navigation">'
+               f'<a class="page_nav next" href="{nxt}">»</a></div>'
+               if nxt else '<div class="jeg_block_navigation"></div>')
+        return (f'<html><div class="jnews_category_content_wrapper">'
+                f'<div class="jeg_block_container">{arts}</div></div>'
+                f"{nav}</html>")
+
+    # desh: page 1 fresh (one ad-trimmed body, one 12:20 अपराह्न byline
+    # kept on the 12-hour clock) → page 2 stale tail → stop
+    r1 = []
+    for e in range(2):
+        dt = BASE_DT - timedelta(hours=e * 3)
+        aurl = f"{base}/desh-khabar-1{e}/"
+        g.page(aurl, "article", art(f"d1{e}", dt, ad=(e == 0)), host)
+        r1.append((aurl, dt))
+    g.page(base + "/desh/", "list",
+           lst(r1, f"{base}/desh/page/2/"), host)
+    dt = BASE_DT - timedelta(hours=80)
+    aurl = f"{base}/desh-khabar-20/"
+    g.page(aurl, "article", art("d20", dt), host)
+    g.page(base + "/desh/page/2/", "list", lst([(aurl, dt)], None),
+           host)
+    # khel: fresh single page with an EMPTY nav block
+    dt = BASE_DT - timedelta(hours=2)
+    aurl = f"{base}/khel-khabar-0/"
+    g.page(aurl, "article", art("k0", dt), host)
+    g.page(base + "/khel/", "list", lst([(aurl, dt)], None), host)
+
+
+SWATANTRAAWAZ_RULES = {
+    # swatantraawaz.py: THREE menu groups — two footer blocks filtered on
+    # 'category' hrefs (py:26-41) plus the header's [1:-1] items with the
+    # shared-meta child mutation (py:43-57); every list row but the last
+    # rides title/abstract/image meta (py:75-82), the LAST row being the
+    # dont_filter pagination PROBE when a next link exists (py:84-92 —
+    # probe_fallback_entry: without one it degrades to a normal article);
+    # the probe gates on the article page's OWN byline, dispatched by URL
+    # shape (py:59-73): headline pages re-order a 'Weekday D Month YYYY
+    # H:M:S AM/PM' stamp, watchvid pages store their normalized stamp
+    # raw, photo pages fall back to now; bodies differ per shape
+    # (py:103-120).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "article_pub_priority": "page",
+    "date_style": "swat_colort",
+    "probe_fallback_entry": True,
+    "probe_next_url": True,  # pagination is probe-decided (py:69-70)
+    "extract": {
+        "category": [
+            {"sel": ".cat a", "href_re": r".*category"},
+            {"sel": ".cat_txt a", "href_re": r".*category"},
+            {"sel": "#menu > ul > li", "link_sel": "a",
+             "slice": [1, -1], "children_sel": "ul > li > a",
+             "children_shared_meta": True},
+        ],
+        "entry": {"sel": ".news_sa",
+                  "fields": {"href": {"sel": ".new_hed a",
+                                      "attr": "href"},
+                             "title": {"sel": ".new_hed a"},
+                             "abstract": {"sel": "p"},
+                             "img": {"sel": "img", "attr": "src"}},
+                  "probe_last_member": True},
+        "next": {"sel": ".numac ~ a", "attr": "href"},
+        # photo pages are the base shape: byline absent → fallback-now
+        "pub": {"const": None},
+        "block": {"para_sel": ".news_saa > p"},
+        "variants": [
+            {"match": r"headline",
+             "pub": {"sel": ".colort"},
+             "block": {"para_sel": [".dit > p > b", ".dit > p > span"]}},
+            {"match": r"watchvid",
+             "pub": {"sel": ".colort"},
+             "block": {"para_sel": ".dit > p"}},
+        ],
+    },
+}
+
+
+def _build_swatantraawaz(g: _G) -> None:
+    host, base = "www.swatantraawaz.com", "https://www.swatantraawaz.com"
+    wid = 1043
+    g.registry[wid] = dict(SWATANTRAAWAZ_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f"<html>"
+           f'<div class="cat"><a href="/category/desh.php">देश</a>'
+           f'<a href="/epaper.php">ई-पेपर</a></div>'  # no 'category'
+           f'<div class="cat_txt"><a href="/category/khel.php">खेल</a>'
+           f"</div>"
+           f'<div id="menu"><ul>'
+           f"<li><a href=\"/\">होम</a></li>"
+           f'<li><a href="/category/rajya.php">राज्य'
+           f'<ul><li><a href="/category/up.php">यूपी</a></li>'
+           f'<li><a href="/category/mp.php">मप्र</a></li></ul></a></li>'
+           f'<li><a href="/video.php">वीडियो</a></li>'  # [1:-1] tail
+           f"</ul></div></html>", host)
+
+    def headline_art(tag: str, dt: datetime) -> str:
+        h12 = dt.hour % 12 or 12
+        ap = "PM" if dt.hour >= 12 else "AM"
+        return (f'<html><div class="colort">Wednesday {dt.day} '
+                f"{_MON_FULL[dt.month - 1]} {dt.year} "
+                f"{h12:02d}:{dt.minute:02d}:00 {ap}</div>"
+                f'<div class="dit"><p><b>sw मुख्य {tag}।</b>'
+                f"<b>sw दूसरा।</b><span>sw पूँछ।</span></p></div></html>")
+
+    def photo_art(tag: str) -> str:
+        return (f'<html><div class="news_saa"><p>sw चित्र {tag}।</p>'
+                f"</div></html>")
+
+    def vid_art(tag: str, dt: datetime) -> str:
+        return (f'<html><div class="colort">{dt:%Y-%m-%d %H:%M:%S}'
+                f'</div><div class="dit"><p>sw वीडियो {tag}।</p></div>'
+                f"</html>")
+
+    def lst(rows: list[str], nxt: str | None) -> str:
+        blocks = "".join(
+            f'<div class="news_sa"><div class="new_hed">'
+            f'<a href="{u}">SW {u.rsplit("/", 1)[-1][:-4]}</a></div>'
+            f"<p>sw सार {u.rsplit('/', 1)[-1][:-4]}</p>"
+            f'<img src="{base}/i/{u.rsplit("/", 1)[-1][:-4]}.jpg"></div>'
+            for u in rows
+        )
+        nav = (f'<span class="numac">1</span><a href="{nxt}">2</a>'
+               if nxt else "")
+        return f"<html>{blocks}{nav}</html>"
+
+    # desh: page 1's probe (a headline article, fresh) → page 2, whose
+    # probe is STALE → no page 3; the probe article itself is re-fetched
+    # normally after deciding (maharashtratimes semantics)
+    r1 = [f"/headline-d1{e}.php" for e in range(3)]
+    for e, u in enumerate(r1):
+        g.page(base + u, "article",
+               headline_art(f"d1{e}", BASE_DT - timedelta(hours=e * 2)),
+               host)
+    g.page(base + "/category/desh.php", "list",
+           lst(r1, "/category/desh-p2.php"), host)
+    r2 = [f"/headline-d2{e}.php" for e in range(2)]
+    g.page(base + r2[0], "article",
+           headline_art("d20", BASE_DT - timedelta(hours=5)), host)
+    g.page(base + r2[1], "article",
+           headline_art("d21", BASE_DT - timedelta(hours=90)), host)
+    g.page(base + "/category/desh-p2.php", "list",
+           lst(r2, "/category/desh-p3.php"), host)
+    # khel: last row is a PHOTO page (fallback-now gate passes) but the
+    # list has NO next link → the probe degrades to a normal article
+    rk = ["/headline-k0.php", "/photonews-k1.php"]
+    g.page(base + rk[0], "article",
+           headline_art("k0", BASE_DT - timedelta(hours=1)), host)
+    g.page(base + rk[1], "article", photo_art("k1"), host)
+    g.page(base + "/category/khel.php", "list", lst(rk, None), host)
+    # up: single watchvid row with a next link → probed, fresh, page 2
+    # carries one stale headline whose probe stops the chain
+    ru = ["/watchvid-u0.php"]
+    g.page(base + ru[0], "article",
+           vid_art("u0", BASE_DT - timedelta(hours=4)), host)
+    g.page(base + "/category/up.php", "list",
+           lst(ru, "/category/up-p2.php"), host)
+    ru2 = ["/headline-u1.php"]
+    g.page(base + ru2[0], "article",
+           headline_art("u1", BASE_DT - timedelta(hours=85)), host)
+    g.page(base + "/category/up-p2.php", "list", lst(ru2, None), host)
+    # mp: plain single page, no nav
+    rm = ["/headline-m0.php"]
+    g.page(base + rm[0], "article",
+           headline_art("m0", BASE_DT - timedelta(hours=2)), host)
+    g.page(base + "/category/mp.php", "list", lst(rm, None), host)
+
+
+TEMPO_RULES = {
+    # tempo.py: sibling menu off the current-cat li (py:28-30);
+    # #container children [1:-2] are the rows, a row MISSING its
+    # .entryDate skipped outright by the try/except (py:42-47 —
+    # require_field); per-entry fuzzy break gate; .pagi-next first, else
+    # EVERY numbered-pagination anchor fans out (py:54-59 — the
+    # inextlive shape); the article reads both categories off #bcrum
+    # (py:64-66), its TITLE doubles as the abstract (py:67,70), and the
+    # body walks sibling-div paragraphs AND ordered lists (py:71-76).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "extract": {
+        "category": {"sel": "li.current-cat ~ li a"},
+        "entry": {"sel": "#container > div", "slice": [1, -2],
+                  "fields": {"href": {"sel": "a", "attr": "href"},
+                             "time": {"sel": ".entryDate"}},
+                  "require_field": "time"},
+        "next": {"sel": ".pagi-next", "attr": "href"},
+        "next_alt_all": {"sel": ".numbered-pagination a"},
+        "title": {"sel": "h1.entry_title"},
+        "abstract": {"sel": "h1.entry_title"},
+        "pub": {"sel": "span.postDate"},
+        "cat1": {"sel": "#bcrum > a", "index": 1},
+        "cat2": {"sel": "#bcrum > a", "index": 2},
+        "block": {"para_sel": ["#bcrum ~ div > p", "#bcrum ~ div > ol"],
+                  "img_sel": "#bcrum ~ div > p > a > img"},
+    },
+}
+
+
+def _build_tempo(g: _G) -> None:
+    host, base = "tempo.com.ph", "http://tempo.com.ph"
+    wid = 197
+    g.registry[wid] = dict(TEMPO_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1866})
+    g.page(base + "/", "menu",
+           f'<html><ul><li class="current-cat"><a href="{base}/">Home'
+           f"</a></li>"
+           f'<li><a href="{base}/news/">News</a></li>'
+           f'<li><a href="{base}/sports/">Sports</a></li></ul></html>',
+           host)
+
+    def _fz(dt: datetime) -> str:
+        return f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+
+    def art(tag: str, dt: datetime, cat2: str) -> str:
+        return (f'<html><div id="bcrum"><a href="#">Home</a>'
+                f'<a href="#">News</a><a href="#">{cat2}</a></div>'
+                f"<h1 class=\"entry_title\">TM {tag}</h1>"
+                f'<span class="postDate">{_fz(dt)}</span>'
+                f"<div><p>tm first {tag}.</p>"
+                f'<p><a href="#"><img src="{base}/i/{tag}.jpg"></a></p>'
+                f"<ol>tm list item.</ol></div></html>")
+
+    def lst(rows: list[tuple[str, datetime | None]], nxt: str | None,
+            alts: list[str] | None = None) -> str:
+        divs = "<div>header</div>" + "".join(
+            f'<div><a href="{u}">t</a>'
+            + (f'<span class="entryDate">{_fz(dt)}</span>' if dt else "")
+            + "</div>"
+            for u, dt in rows
+        ) + "<div>widget</div><div>footer</div>"
+        nav = ""
+        if nxt:
+            nav = f'<a class="pagi-next" href="{nxt}">»</a>'
+        elif alts:
+            nav = ('<div class="numbered-pagination">'
+                   + "".join(f'<a href="{a}">n</a>' for a in alts)
+                   + "</div>")
+        return f'<html><div id="container">{divs}{nav}</div></html>'
+
+    # news: page 1 (one undated row SKIPPED, fresh rows kept) →
+    # .pagi-next → page 2: NO pagi-next, numbered fan-out (one dupe, one
+    # new) → page 3 stale first row → break
+    r1 = [(f"{base}/news-story-10/", BASE_DT),
+          (f"{base}/news-undated/", None),
+          (f"{base}/news-story-11/", BASE_DT - timedelta(hours=6))]
+    for u, dt in r1:
+        if dt:
+            g.page(u, "article",
+                   art(u.rsplit("/", 2)[-2], dt, "National"), host)
+    g.page(base + "/news/", "list", lst(r1, f"{base}/news/page/2/"),
+           host)
+    r2 = [(f"{base}/news-story-20/", BASE_DT - timedelta(hours=12))]
+    g.page(r2[0][0], "article", art("news-story-20", r2[0][1],
+                                    "National"), host)
+    g.page(base + "/news/page/2/", "list",
+           lst(r2, None, alts=[f"{base}/news/", f"{base}/news/page/3/"]),
+           host)
+    r3 = [(f"{base}/news-story-30/", BASE_DT - timedelta(hours=90))]
+    g.page(r3[0][0], "article", art("news-story-30", r3[0][1],
+                                    "National"), host)
+    g.page(base + "/news/page/3/", "list", lst(r3, None), host)
+    # sports: fresh single page, no nav at all
+    dt = BASE_DT - timedelta(hours=2)
+    su = f"{base}/sports-story-0/"
+    g.page(su, "article", art("sports-story-0", dt, "Sports"), host)
+    g.page(base + "/sports/", "list", lst([(su, dt)], None), host)
+
+
+TV9HINDI_RULES = {
+    # tv9hindi.py: the topic menu re-ordered [2:] + [0] plus the trend
+    # strip (py:42-50 — two sliced groups and a third, in that order);
+    # page 1 lists mine the top component AND the last newsTop9's
+    # ComListing while /page/N pages mine only the listing (py:59-72 —
+    # URL variants + the [-1] scope); the gate reads the last listing
+    # stamp fuzzily (py:75) and follows a.next.page-numbers (py:76-77;
+    # the dead requests.get pingback probe, py:78-79, has no behavioral
+    # effect and is not carried); the article byline goes through a
+    # strptime whose %H ignores its am/pm marker (py:14-17,
+    # bug-faithful), blue-span ad paragraphs are dropped (py:111-117),
+    # the SECOND content paragraph is the abstract (py:107), and the
+    # breadcrumb's last two links are the categories (py:118-120).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "article_pub_style": "tv9_pub",
+    "extract": {
+        "category": [
+            {"sel": ".top9MenuBox.flex .top9MenuLink a",
+             "slice": [2, None]},
+            {"sel": ".top9MenuBox.flex .top9MenuLink a",
+             "slice": [0, 1]},
+            {"sel": ".TrendStrip.flex .TrendStripLink a"},
+        ],
+        "entry": [
+            {"sel": ".newsTop9 .topNewscomp ul h3.h3",
+             "fields": {"href": {"sel": "a", "attr": "href"}}},
+            {"scope": {"sel": ".newsTop9", "index": -1},
+             "sel": ".col2.ComListing li h3 a"},
+        ],
+        "page_time": {"sel": ".col2.ComListing .catTime.flex span",
+                      "index": -1},
+        "next": {"sel": "a.next.page-numbers", "attr": "href"},
+        "title": {"sel": ".detailBody .LeftCont.content h1"},
+        "abstract": {"sel": ".LeftCont.content p", "index": 1},
+        "pub": {"sel": ".LeftCont.content ul.AuthorInfo li",
+                "index": -1, "raw": True},
+        "cat1": {"sel": "#breadcrumbs a", "index": -2},
+        "cat2": {"sel": "#breadcrumbs a", "index": -1},
+        "block": {"para_sel": ".ArticleBodyCont p",
+                  "para_drop_re": "^ये भी पढ़ें",
+                  "img_sel": ".ArticleBodyCont .articleImg img",
+                  "img_attr": "data-src"},
+        "variants": [
+            {"match": r"/page/\d+$",
+             "entry": {"scope": {"sel": ".newsTop9", "index": -1},
+                       "sel": ".col2.ComListing li h3 a"}},
+        ],
+    },
+}
+
+
+def _build_tv9hindi(g: _G) -> None:
+    host, base = "www.tv9hindi.com", "https://www.tv9hindi.com"
+    wid = 923
+    g.registry[wid] = dict(TV9HINDI_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><div class="top9MenuBox flex">'
+           f'<div class="top9MenuLink">'
+           f'<a href="/latest/">Latest</a>'  # [0] → re-appended LAST
+           f'<a href="/live/">Live</a>'  # [1] dropped
+           f'<a href="/india/">India</a>'
+           f'<a href="/world/">World</a></div></div>'
+           f'<div class="TrendStrip flex"><div class="TrendStripLink">'
+           f'<a href="/trending/">Trend</a></div></div></html>', host)
+
+    def art(tag: str, dt: datetime) -> str:
+        ampm = "pm" if dt.hour >= 12 else "am"
+        h12 = dt.hour % 12 or 12
+        byline = (f"Publish Date -\n\t\t{h12}:{dt.minute:02d} {ampm}, "
+                  f"{dt:%a}, {dt.day} {_MON_FULL[dt.month - 1]} "
+                  f"{dt:%y}")
+        return (f'<html><div class="detailBody">'
+                f'<div class="LeftCont content"><h1>TV9 {tag}</h1>'
+                f"<p>tv9 पहला {tag}।</p><p>tv9 सार {tag}।</p>"
+                f'<ul class="AuthorInfo"><li>लेखक</li>'
+                f"<li>{byline}</li></ul></div></div>"
+                f'<div class="ArticleBodyCont">'
+                f'<div class="articleImg">'
+                f'<img data-src="{base}/i/{tag}.jpg"></div>'
+                f"<p>tv9 मुख्य {tag}।</p><p>ये भी पढ़ें: विज्ञापन</p>"
+                f"<p>tv9 दूसरा।</p></div>"
+                f'<div class="breadcrum"><nav id="breadcrumbs">'
+                f'<a href="#">होम</a><a href="#">देश</a>'
+                f'<a href="#">राज्य</a></nav></div></html>')
+
+    def lst(top: list[str], rows: list[tuple[str, datetime]],
+            nxt: str | None) -> str:
+        topc = ("".join(
+            f'<div class="topNewscomp"><ul><h3 class="h3">'
+            f'<a href="{u}">t</a></h3></ul></div>' for u in top
+        ))
+        mods = "".join(
+            f'<li><h3><a href="{u}">t</a></h3></li>'
+            f'<div class="catTime flex"><span>'
+            f"{_MON_FULL[dt.month - 1]} {dt.day}, {dt.year}</span></div>"
+            for u, dt in rows
+        )
+        nav = (f'<a class="next page-numbers" href="{nxt}">»</a>'
+               if nxt else "")
+        return (f'<html><div class="newsTop9">{topc}</div>'
+                f'<div class="newsTop9"><div class="col2 ComListing">'
+                f"<ul>{mods}</ul></div></div>{nav}</html>")
+
+    # india: page 1 (top + listing) fresh → page 2 (listing ONLY — its
+    # top component ignored by the /page/N variant) stale tail → stop
+    top1 = [f"{base}/india-top-0"]
+    g.page(top1[0], "article", art("it0", BASE_DT), host)
+    r1 = []
+    for e in range(2):
+        dt = BASE_DT - timedelta(hours=e * 4 + 14)  # pm→am-clock bylines
+        aurl = f"{base}/india-story-1{e}"
+        g.page(aurl, "article", art(f"i1{e}", dt), host)
+        r1.append((aurl, dt))
+    g.page(base + "/india/", "list",
+           lst(top1, r1, f"{base}/india/page/2"), host)
+    top2 = [f"{base}/india-top-2"]  # never scheduled on /page/2
+    r2 = [(f"{base}/india-story-20", BASE_DT - timedelta(hours=80))]
+    g.page(r2[0][0], "article", art("i20", r2[0][1]), host)
+    g.page(base + "/india/page/2", "list",
+           lst(top2, r2, f"{base}/india/page/3"), host)
+    # world + latest + trending: single fresh pages, no next
+    for cslug, tag in (("world", "w"), ("latest", "l"),
+                       ("trending", "t")):
+        dt = BASE_DT - timedelta(hours=3)
+        aurl = f"{base}/{cslug}-story-0"
+        g.page(aurl, "article", art(f"{tag}0", dt), host)
+        g.page(f"{base}/{cslug}/", "list", lst([], [(aurl, dt)], None),
+               host)
+
+
+UNIVARTA_RULES = {
+    # univarta.py: two-level menu over ONE shared meta dict (py:45-56 —
+    # children_shared_meta; the shared cate_url mutation is collapsed to
+    # per-request list bases, the divyahimachal convention); list rows
+    # carry title/image/abstract meta and gate per-entry on the
+    # '|'-trailed Hindi byline's re-ordered first segment (py:61-77);
+    # the next URL is the category base + the '.jp-current ~ a' href
+    # fragment, concatenated verbatim (py:78-83); the article only
+    # contributes its whole-container story body (py:94-97).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "date_style": "univarta_list",
+    "menu_carry_list_url": True,
+    "next_value_tpl": "{base}{value}",
+    "next_value_raw": True,
+    "extract": {
+        "category": {"sel": "#ctl00_category1_sectionmenu > li",
+                     "link_sel": "a", "children_sel": "ul > li > a",
+                     "children_shared_meta": True},
+        "entry": {"sel": ".CatNewsFirst_FirstNews",
+                  "fields": {"href": {"sel": "a", "attr": "href"},
+                             "title": {"sel": "a"},
+                             "time": {"sel": "h1 ~ span"},
+                             "abstract": {"sel": "h1 ~ p"},
+                             "img": {"sel": "img", "attr": "src"}}},
+        "next_value": {"sel": ".jp-current ~ a", "attr": "href"},
+        "block": {},
+        "body_fallback": {"sel": ".storydetails"},
+    },
+}
+
+_UNI_HI = ["जनवरी", "फ़रवरी", "जुलूस", "अप्रैल", "मई", "जून", "जुलाई",
+           "अगस्त", "सितंबर", "अक्टूबर", "नवंबर", "दिसंबर"]
+
+
+def _build_univarta(g: _G) -> None:
+    host, base = "www.univarta.com", "http://www.univarta.com"
+    wid = 1041
+    g.registry[wid] = dict(UNIVARTA_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    # nested ul inside the anchor (the shared-meta menu shape)
+    g.page(base + "/", "menu",
+           f'<html><ul id="ctl00_category1_sectionmenu">'
+           f'<li><a href="/india">भारत'
+           f'<ul><li><a href="/up">यूपी</a></li>'
+           f'<li><a href="/bihar">बिहार</a></li></ul></a></li>'
+           f'<li><a href="/sports">खेल</a></li>'
+           f"</ul></html>", host)
+
+    def _ud(dt: datetime) -> str:
+        return (f"{dt.day} {_UNI_HI[dt.month - 1]} {dt.year} | "
+                f"समय {dt:%H:%M}")
+
+    def art(tag: str) -> str:
+        return (f'<html><div class="storydetails">uv पूरी कथा {tag}। '
+                f"uv शेष।</div></html>")
+
+    def lst(rows: list[tuple[str, datetime]], nxt: str | None) -> str:
+        blocks = "".join(
+            f'<div class="CatNewsFirst_FirstNews">'
+            f'<a href="/{u}">UV {u}</a><h1>h</h1>'
+            f"<span>{_ud(dt)}</span><p>uv सार {u}</p>"
+            f'<img src="{base}/i/{u}.jpg"></div>'
+            for u, dt in rows
+        )
+        nav = (f'<span class="jp-current">1</span><a href="{nxt}">2</a>'
+               if nxt else "")
+        return f"<html>{blocks}{nav}</html>"
+
+    # india: page 1 fresh → '?page=2' bolted onto the CATEGORY base →
+    # page 2 stale first row → break
+    r1 = [("india-khabar-10", BASE_DT),
+          ("india-khabar-11", BASE_DT - timedelta(hours=7))]
+    for u, _dt in r1:
+        g.page(f"{base}/{u}", "article", art(u), host)
+    g.page(base + "/india", "list", lst(r1, "?page=2"), host)
+    r2 = [("india-khabar-20", BASE_DT - timedelta(hours=88))]
+    g.page(f"{base}/{r2[0][0]}", "article", art(r2[0][0]), host)
+    g.page(base + "/india?page=2", "list", lst(r2, "?page=3"), host)
+    # up/bihar/sports: single fresh pages without navs
+    for cslug, tag in (("up", "uk"), ("bihar", "bk"), ("sports", "sk")):
+        dt = BASE_DT - timedelta(hours=2)
+        u = f"{tag}-khabar-0"
+        g.page(f"{base}/{u}", "article", art(u), host)
+        g.page(f"{base}/{cslug}", "list", lst([(u, dt)], None), host)
+
+
+VIRARJUN_RULES = {
+    # virarjun.py: menu pop()+pop(0) (py:36-38 — drop_seq [-1, 0]);
+    # entries yielded ungated (py:49-55); the page gate reads the LAST
+    # convert-to-localtime stamp through the abbreviated-else-full month
+    # strptime pair (py:58-63); pagination requires the pager's icon-text
+    # span and follows the anchor reading 'Next' (py:65-69 — the
+    # reference compares against 'Next  ' with trailing spaces that
+    # whitespace normalization collapses); the article drops empty body
+    # paragraphs (py:88-96), prefixes its h2 images onto the site host
+    # (py:82-87), and appends three backspace characters to category1
+    # (py:101, bug-faithful).
+    "rule": NEXT_LINK,
+    "format": "html",
+    "entry_gate": False,
+    "title_priority": "page",
+    "article_pub_priority": "page",
+    "date_style": "virarjun_dt",
+    "cat2_meta_off": True,
+    "extract": {
+        "category": {"sel": "ul.main-menu li", "link_sel": "a",
+                     "drop_seq": [-1, 0]},
+        "entry": {"sel": "div.article-header h2 a"},
+        "page_time": {"sel": "div.article-content"
+                             " span.convert-to-localtime", "index": -1},
+        "next": {"if_count": {"sel": "div.page-pager a span.icon-text",
+                              "ge": 1},
+                 "then": {"sel": "div.page-pager a", "text_eq": "Next",
+                          "attr": "href"},
+                 "else": {"const": None}},
+        "title": {"sel": "h1.article-title"},
+        "pub": {"sel": "span.convert-to-localtime"},
+        "cat1": {"sel": "div.tag-block a", "index": 1,
+                 "suffix": "\b\b\b"},
+        "block": {"para_sel": ".details-content-story.shortcode-content"
+                              " p",
+                  "para_drop_re": r"^\s*$",
+                  "img_sel": "h2 img",
+                  "img_prefix": "http://www.virarjun.com/"},
+    },
+}
+
+
+def _build_virarjun(g: _G) -> None:
+    host, base = "www.virarjun.com", "http://www.virarjun.com"
+    wid = 994
+    g.registry[wid] = dict(VIRARJUN_RULES)
+    g.seeds.append({"url": base + "/", "website_id": wid,
+                    "language_id": 1930})
+    g.page(base + "/", "menu",
+           f'<html><ul class="main-menu">'
+           f'<li><a href="/">होम</a></li>'  # pop(0)
+           f'<li><a href="/desh">देश</a></li>'
+           f'<li><a href="/khel">खेल</a></li>'
+           f'<li><a href="/epaper">ई-पेपर</a></li>'  # pop()
+           f"</ul></html>", host)
+
+    def _vd(dt: datetime, full: bool) -> str:
+        mon = (_MON_FULL if full else _MON_ABBR)[dt.month - 1]
+        h12 = dt.hour % 12 or 12
+        ap = "PM" if dt.hour >= 12 else "AM"
+        return f"{dt.day:02d} {mon} {dt.year} {h12}:{dt.minute:02d} {ap} GMT"
+
+    def art(tag: str, dt: datetime, full: bool = False) -> str:
+        return (f'<html><h1 class="article-title">VA {tag}</h1>'
+                f'<span class="convert-to-localtime">{_vd(dt, full)}'
+                f"</span>"
+                f'<h2><img src="i/{tag}.jpg"></h2>'
+                f'<div class="details-content-story shortcode-content">'
+                f"<p> </p><p>va पहला {tag}।</p><p>va दूसरा।</p></div>"
+                f'<div class="tag-block"><a href="#">टैग</a>'
+                f'<a href="#">देश</a></div></html>')
+
+    def lst(rows: list[tuple[str, datetime]], nxt: str | None,
+            icon: bool = True) -> str:
+        arts = "".join(
+            f'<div class="article-header"><h2><a href="/{u}">t</a></h2>'
+            "</div>"
+            f'<div class="article-content">'
+            f'<span class="convert-to-localtime">{_vd(dt, False)}</span>'
+            "</div>"
+            for u, dt in rows
+        )
+        nav = ""
+        if nxt:
+            # the chevron span is an EMPTY icon element, so the anchor's
+            # text stays 'Next  ' (normalized 'Next')
+            mark = '<span class="icon-text"></span>' if icon else ""
+            nav = (f'<div class="page-pager"><a href="{base}/p1">Prev'
+                   f'</a><a href="{nxt}">Next  {mark}</a></div>')
+        return f"<html>{arts}{nav}</html>"
+
+    # desh: page 1 fresh (one FULL-month byline exercising the fallback
+    # strptime) → page 2 stale tail with a pager missing its icon-text
+    r1 = []
+    for e in range(2):
+        dt = BASE_DT - timedelta(hours=e * 6)
+        u = f"desh-khabar-1{e}"
+        g.page(f"{base}/{u}", "article", art(f"d1{e}", dt, full=(e == 1)),
+               host)
+        r1.append((u, dt))
+    g.page(base + "/desh", "list",
+           lst(r1, f"{base}/desh?page=2"), host)
+    dt = BASE_DT - timedelta(hours=84)
+    u = "desh-khabar-20"
+    g.page(f"{base}/{u}", "article", art("d20", dt), host)
+    g.page(base + "/desh?page=2", "list",
+           lst([(u, dt)], f"{base}/desh?page=3", icon=False), host)
+    # khel: fresh single page without a pager
+    dt = BASE_DT - timedelta(hours=3)
+    u = "khel-khabar-0"
+    g.page(f"{base}/{u}", "article", art("k0", dt), host)
+    g.page(base + "/khel", "list", lst([(u, dt)], None), host)
+
+
 SITE_BUILDERS = {
     "zeenews": _build_zeenews,
     "aajtak": _build_aajtak,
@@ -11180,6 +11887,12 @@ SITE_BUILDERS = {
     "pressnote": _build_pressnote,
     "sachkaujala": _build_sachkaujala,
     "sandhyapravakta": _build_sandhyapravakta,
+    "sinceindependence": _build_sinceindependence,
+    "swatantraawaz": _build_swatantraawaz,
+    "tempo": _build_tempo,
+    "tv9hindi": _build_tv9hindi,
+    "univarta": _build_univarta,
+    "virarjun": _build_virarjun,
 }
 
 

@@ -57,6 +57,7 @@ def test_all_sites_produce_documents(sim):
         489, 182, 1055, 932, 967, 1057,
         926, 1111, 1062, 934, 1047, 1249,
         1245, 179, 1076, 1045, 1124, 1102,
+        925, 1043, 197, 923, 1041, 994,
     }
     assert all(len(v) >= 2 for v in by_site.values())
 
@@ -2050,6 +2051,148 @@ def test_sandhyapravakta_second_level_only_chevron_nav(sim):
     v0 = docs["https://sandhyapravakta.com/vichar-khabar-0/"]
     assert (v0["category1"], v0["category2"]) == ("विचार", None)
     assert u10["abstract"] == "sp पहला u10"  # danda split
+
+
+def test_sinceindependence_slice_adstop_no_ampm_shift(sim):
+    """sinceindependence.py: taxonomy menu [0:11] (py:81); Hindi
+    'Month D, YYYY' page gate (py:12-26,96-98); the article byline's
+    Hindi am/pm token is read and DISCARDED — 12:20 अपराह्न stays 12:20
+    (py:29-38); the body stops at the Like-and-Follow ad block
+    (py:40-51); the subtitle is the abstract (py:114-115)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[925]}
+    fetched = [u for _b, u in sim["crawl_log"]
+               if "sinceindependence" in u]
+    assert not any("/never/" in u for u in fetched)  # [0:11] slice
+    assert sum(u.endswith("/desh/") for u in fetched) == 1  # dup menu
+    assert any("desh/page/2" in u for u in fetched)
+    assert not any("sinceindependence" in u and "page/3" in u
+                   for u in fetched)
+    d10 = docs["https://hindi.sinceindependence.com/desh-khabar-10/"]
+    assert d10["pub_time"] == "2021-05-30 12:00:00"  # अपराह्न unshifted
+    # the ad-block tail never reaches the spans
+    assert [s["text"] for s in d10["spans"] if s["kind"] == "text"] == [
+        "si पहला d10।", "si दूसरा।"]
+    assert d10["abstract"] == "si उपशीर्षक d10"
+    d20 = docs["https://hindi.sinceindependence.com/desh-khabar-20/"]
+    assert d20["pub_time"] == "2021-05-27 04:00:00"  # ungated, stored
+
+
+def test_swatantraawaz_probe_shapes_and_fallback(sim):
+    """swatantraawaz.py: three menu groups with the shared-meta child
+    mutation (py:26-57); the LAST list row is a dont_filter probe that
+    gates pagination off its own article page, dispatched by URL shape
+    (py:59-92) — headline bylines re-ordered, watchvid stamps raw, photo
+    pages fallback-now; with NO next link the probe degrades to a
+    normal article."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1043]}
+    fetched = [u for _b, u in sim["crawl_log"] if "swatantraawaz" in u]
+    assert not any("epaper" in u for u in fetched)  # no 'category'
+    assert not any("video.php" in u for u in fetched)  # [1:-1]
+    assert any("desh-p2.php" in u for u in fetched)
+    assert not any("desh-p3" in u for u in fetched)  # stale probe
+    # the stale probe article is still stored (self-refetch)
+    d21 = docs["https://www.swatantraawaz.com/headline-d21.php"]
+    assert d21["pub_time"] == "2021-05-26 06:00:00"
+    # photo-shape probe without a next link: normal article, pub = now
+    k1 = docs["https://www.swatantraawaz.com/photonews-k1.php"]
+    assert k1["pub_time"] == "2021-06-01 00:00:00"
+    assert [s["text"] for s in k1["spans"] if s["kind"] == "text"] == [
+        "sw चित्र k1।"]
+    # watchvid probe: raw normalized stamp, video body shape
+    u0 = docs["https://www.swatantraawaz.com/watchvid-u0.php"]
+    assert u0["pub_time"] == "2021-05-30 08:00:00"
+    # shared-meta mutation across the राज्य group
+    m0 = docs["https://www.swatantraawaz.com/headline-m0.php"]
+    assert (m0["category1"], m0["category2"]) == ("राज्ययूपीमप्र", "मप्र")
+    # headline body: bold runs then the span tail
+    d10 = docs["https://www.swatantraawaz.com/headline-d10.php"]
+    assert [s["text"] for s in d10["spans"] if s["kind"] == "text"] == [
+        "sw मुख्य d10।", "sw दूसरा।", "sw पूँछ।"]
+
+
+def test_tempo_require_field_and_nav_fanout(sim):
+    """tempo.py: rows missing .entryDate are skipped by the try/except
+    (py:44-47); [1:-2] row slice; .pagi-next first else EVERY numbered
+    anchor (py:54-59); the article title doubles as its abstract
+    (py:67,70)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[197]}
+    fetched = [u for _b, u in sim["crawl_log"] if "tempo" in u]
+    assert not any("news-undated" in u for u in fetched)  # require_field
+    assert any("news/page/2" in u for u in fetched)  # pagi-next
+    assert any("news/page/3" in u for u in fetched)  # numbered fan-out
+    assert "http://tempo.com.ph/news-story-30/" not in docs  # stale
+    n10 = docs["http://tempo.com.ph/news-story-10/"]
+    assert n10["abstract"] == n10["title"] == "TM news-story-10"
+    assert (n10["category1"], n10["category2"]) == ("News", "National")
+
+
+def test_tv9hindi_menu_reorder_scope_pm_collapse(sim):
+    """tv9hindi.py: topic menu re-ordered [2:] + [0], the [1] link never
+    fetched (py:42-45); /page/N pages mine ONLY the last newsTop9's
+    listing (py:59-64 — the top component's links never schedule);
+    the byline strptime's %H ignores its am/pm marker so PM times
+    collapse onto the AM clock (py:14-17); blue-span ad paragraphs
+    dropped (py:111-117); abstract = the SECOND content paragraph
+    (py:107)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[923]}
+    fetched = [u for _b, u in sim["crawl_log"] if "tv9hindi" in u]
+    assert not any("/live/" in u for u in fetched)  # the dropped [1]
+    assert any(u.endswith("/latest/") for u in fetched)  # [0] kept
+    assert any("india/page/2" in u for u in fetched)
+    assert not any("india/page/3" in u for u in fetched)
+    assert not any("india-top-2" in u for u in fetched)  # variant scope
+    i10 = docs["https://www.tv9hindi.com/india-story-10"]
+    # 10:00 PM byline parsed onto the AM clock — bug-faithful
+    assert i10["pub_time"] == "2021-05-29 10:00:00"
+    assert i10["abstract"] == "tv9 सार i10।"  # second paragraph
+    # the ad paragraph never reaches the spans
+    assert [s["text"] for s in i10["spans"] if s["kind"] == "text"] == [
+        "tv9 मुख्य i10।", "tv9 दूसरा।"]
+    assert (i10["category1"], i10["category2"]) == ("देश", "राज्य")
+
+
+def test_univarta_shared_meta_verbatim_next_fragment(sim):
+    """univarta.py: two-level shared-meta menu (py:45-56); the next URL
+    is the category base + the pager href concatenated VERBATIM
+    (py:78-83 — '?page=2' must not be percent-quoted); list rows carry
+    title/image/abstract meta with a re-ordered Hindi byline gate
+    (py:61-77); whole-container story bodies (py:94-97)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[1041]}
+    fetched = [u for _b, u in sim["crawl_log"] if "univarta" in u]
+    assert any(u.endswith("/india?page=2") for u in fetched)  # verbatim
+    assert not any("%3F" in u for u in fetched)  # never quoted
+    assert not any("page=3" in u for u in fetched)  # stale break
+    i10 = docs["http://www.univarta.com/india-khabar-10"]
+    assert i10["category1"] == "भारतयूपीबिहार"  # nested anchor .text
+    assert i10["category2"] == "बिहार"  # shared last child
+    assert i10["title"] == "UV india-khabar-10"
+    assert i10["abstract"] == "uv सार india-khabar-10"
+    assert [s["kind"] for s in i10["spans"]] == ["image", "text"]
+
+
+def test_virarjun_popped_menu_backspace_category(sim):
+    """virarjun.py: menu pop() + pop(0) (py:36-38); ungated entries with
+    a dual-strptime GMT page gate (py:58-63); pagination needs the
+    icon-text span AND the 'Next'-reading anchor (py:65-69); empty body
+    paragraphs dropped (py:88-96); category1 carries three appended
+    backspace characters (py:101, bug-faithful)."""
+    docs = {d["request_url"]: d for d in _docs_by_site(sim)[994]}
+    fetched = [u for _b, u in sim["crawl_log"] if "virarjun" in u]
+    assert not any(u.endswith("/epaper") for u in fetched)  # pop()
+    assert any("desh?page=2" in u for u in fetched)
+    assert not any("desh?page=3" in u for u in fetched)  # no icon-text
+    d10 = docs["http://www.virarjun.com/desh-khabar-10"]
+    assert d10["category1"] == "देश\b\b\b"  # the backspace bug
+    assert d10["pub_time"] == "2021-05-30 12:00:00"
+    d11 = docs["http://www.virarjun.com/desh-khabar-11"]  # %B fallback
+    assert d11["pub_time"] == "2021-05-30 06:00:00"
+    # the leading blank paragraph never reaches the spans
+    assert [s["text"] for s in d10["spans"] if s["kind"] == "text"] == [
+        "va पहला d10।", "va दूसरा।"]
+    imgs = [s["media_ref"] for s in d10["spans"] if s["kind"] == "image"]
+    assert imgs == ["http://www.virarjun.com/i/d10.jpg"]  # host prefix
+    d20 = docs["http://www.virarjun.com/desh-khabar-20"]  # ungated
+    assert d20["pub_time"] == "2021-05-27 00:00:00"
 
 
 def test_engine_matches_simulator_on_real_sites(spark, graph, sim,

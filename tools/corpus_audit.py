@@ -273,6 +273,19 @@ def main() -> int:
         "",
         ", ".join(ported) + ".",
         "",
+        "Two inventory notes (established by diffing the registry against",
+        "`demo/已部署/*.py` + `demo/no_pass/cloudfare/hatawtabloid.py`):",
+        "",
+        "- `start.bat` invokes `scrapy crawl thejanmat`, but NO `thejanmat`",
+        "  spider exists anywhere in the reference tree — the deploy script",
+        "  points at a spider that was never committed. There is nothing to",
+        "  port.",
+        "- `已部署/demo_spider.py` is the blank template every spider is",
+        "  copied from (`parse` is literally `pass`, website_id = -1) — no",
+        "  behavior to port. The portable corpus is therefore 115 real",
+        "  spiders; with `no_pass/cloudfare/hatawtabloid.py` (ported) the",
+        f"  {len(names)} count above holds.",
+        "",
         f"Remaining {len(remaining)} (each listed with the non-universal"
         " mechanics it uses; all are fixtured by ported sites):",
         "",
