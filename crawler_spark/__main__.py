@@ -178,6 +178,19 @@ def cmd_report(args) -> int:
         out["workbook"] = write_report_workbook(
             args.xls, daily, cumulative, daily_total, total
         )
+    if args.eml:
+        from crawler_spark.operators.report import render_report_email
+
+        if not out.get("workbook"):
+            print("--eml requires --xls (the message attaches the "
+                  "workbook, baogao.py:115)", file=sys.stderr)
+            return 2
+        with open(args.eml, "w", encoding="utf-8") as fh:
+            fh.write(render_report_email(
+                out["workbook"], out["date"],
+                receivers=args.email_to or [],
+            ))
+        out["eml"] = args.eml
     print(json.dumps(out, default=str))
     return 0
 
@@ -209,6 +222,13 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--xls", default=None, metavar="PATH",
                    help="also write the baogao.py two-sheet workbook "
                         "(.xls if xlwt is importable, else CSV twins)")
+    r.add_argument("--eml", default=None, metavar="PATH",
+                   help="render the baogao.py report email (subject + "
+                        "empty body + workbook attachments) to an RFC-822 "
+                        "file instead of sending it")
+    r.add_argument("--email-to", action="append", default=None,
+                   metavar="ADDR", help="receiver for the --eml To header "
+                                        "(repeatable)")
 
     args = p.parse_args(argv)
     if args.cmd == "list-sites":

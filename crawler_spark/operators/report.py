@@ -140,3 +140,42 @@ def cumulative_report(
         .select(*_REPORT_COLS)
         .orderBy("website_id")
     )
+
+
+def render_report_email(
+    attachment_paths: list[str],
+    report_date: str,
+    sender: str = "reports@localhost",
+    receivers: list[str] | None = None,
+) -> str:
+    """The baogao.py:91-103 message, rendered instead of sent.
+
+    Assembles the same MIME structure the reference hands to smtplib: a
+    multipart root whose Subject is ``数据部每日报告 <date>``, ``To`` the
+    comma-joined receiver list, one EMPTY utf-8 text part first, then
+    each workbook as a MIMEApplication attachment named by its basename
+    (baogao.py:101 splits on ``\\`` because it runs on Windows; basename
+    is the portable equivalent). Returns the RFC-822 string — the caller
+    persists it (``report --eml``). The SMTP_SSL login+send side effect
+    (baogao.py:104-111) is deliberately out of scope: no credentials, no
+    network.
+    """
+    import os
+    from email.mime.application import MIMEApplication
+    from email.mime.multipart import MIMEMultipart
+    from email.mime.text import MIMEText
+
+    msg = MIMEMultipart()
+    msg["Subject"] = "数据部每日报告 " + report_date
+    msg["From"] = sender
+    msg["To"] = ",".join(receivers or [])
+    msg.attach(MIMEText("", _charset="utf-8"))
+    for path in attachment_paths:
+        part = MIMEApplication(open(path, "rb").read())
+        part.add_header(
+            "Content-Disposition",
+            "attachment",
+            filename=os.path.basename(path),
+        )
+        msg.attach(part)
+    return msg.as_string()

@@ -31,10 +31,26 @@ def test_crawl_then_report(spark, capsys, tmp_path):
     assert summary["docs"] > 0 and summary["fetched"] >= summary["docs"]
     assert summary["docs_per_site"] == {"184": summary["docs"]}
 
-    rc, out = _run(capsys, ["report", "--checkpoint", ckpt])
+    xls = str(tmp_path / "report.xls")
+    eml = str(tmp_path / "report.eml")
+    rc, out = _run(capsys, ["report", "--checkpoint", ckpt,
+                            "--xls", xls, "--eml", eml,
+                            "--email-to", "ops@localhost"])
     assert rc == 0
     rep = json.loads(out[-1])
     assert rep["total"] == summary["docs"]
+    assert rep["eml"] == eml
+    import email
+    import email.policy
+    import os
+    msg = email.message_from_string(
+        open(eml, encoding="utf-8").read(), policy=email.policy.default
+    )
+    assert msg["Subject"] == "数据部每日报告 " + rep["date"]
+    # the rendered message attaches every workbook file --xls produced
+    names = [p.get_filename() for p in msg.iter_parts()
+             if p.get_filename()]
+    assert names == [os.path.basename(p) for p in rep["workbook"]]
     daily = {r["website_id"]: r for r in rep["daily"]}
     assert daily[184]["c_name"] == "shangbao"
     assert daily[184]["language"] == "Chinese"

@@ -121,3 +121,41 @@ def test_cumulative_report_and_broadcast_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_report_email_mime_structure(tmp_path):
+    """render_report_email builds baogao.py:91-103's exact message shape:
+    Subject '数据部每日报告 <date>', comma-joined To, an EMPTY utf-8 text
+    part FIRST, then one base64 application attachment per workbook file
+    carrying its basename — parsed back with the stdlib to prove it is
+    well-formed RFC-822, not string-matched."""
+    import email
+    import email.policy
+
+    from crawler_spark.operators.report import render_report_email
+
+    a = tmp_path / "2021-05-31.daily.csv"
+    a.write_bytes("website_id,num\n1000,2\n".encode())
+    b = tmp_path / "2021-05-31.cumulative.csv"
+    b.write_bytes("website_id,num\n1000,5\n".encode())
+    raw = render_report_email(
+        [str(a), str(b)], "2021-05-31",
+        receivers=["ops@localhost", "data@localhost"],
+    )
+    # the raw header carries baogao.py:95's exact ','.join (no space);
+    # policy.default refolds addresses, so assert it on the wire form
+    assert "To: ops@localhost,data@localhost" in raw
+    msg = email.message_from_string(raw, policy=email.policy.default)
+    assert msg["Subject"] == "数据部每日报告 2021-05-31"
+    parts = list(msg.iter_parts())
+    assert len(parts) == 3
+    # baogao.py:97-98: the empty text part is attached before the files
+    assert parts[0].get_content_type() == "text/plain"
+    assert parts[0].get_content() in ("", "\n")
+    names = [p.get_filename() for p in parts[1:]]
+    assert names == ["2021-05-31.daily.csv", "2021-05-31.cumulative.csv"]
+    # attachments round-trip byte-for-byte through the base64 encoding
+    assert parts[1].get_payload(decode=True) == a.read_bytes()
+    assert parts[2].get_payload(decode=True) == b.read_bytes()
+    # no SMTP material anywhere in the rendered message
+    assert "smtp" not in raw.lower() and "password" not in raw.lower()
