@@ -52,6 +52,7 @@ from crawler_spark.operators.dedup import (
 )
 from crawler_spark.operators.curation import (
     decontaminate,
+    dsir_weights,
     repetition_stats,
     sequence_pack,
     stratified_sample,
@@ -795,6 +796,16 @@ def q_decontaminate(spark, sf_dir):
 # Training-data pipeline: similarity search (embeddings table)
 # ---------------------------------------------------------------------------
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    multinomials target-vs-raw, per-doc integer-micro log-ratio weights,
+    deterministic top-50 selection. Target = doc_id % 23 == 0 pseudo-slice
+    (the decontaminate convention)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs).orderBy("rank")
+
+
 def q_sequence_pack(spark, sf_dir):
     """Concat-and-chunk sequence-packing manifest (GPT-3 §2.2 packing):
     per-language running token total → 2048-token pack id + offset per
@@ -1175,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
         "sequence_pack": q_sequence_pack,
+        "dsir_weights": q_dsir_weights,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "similarity_lsh": q_similarity_lsh,
@@ -2121,6 +2133,43 @@ def oracle_sql() -> dict[str, str]:
                    cast((height * 224) // greatest(width, height) AS int)
                      AS out_height
             FROM fr ORDER BY doc_id, frame_idx
+        """,
+        "dsir_weights": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id, unnest(
+                w || list_transform(
+                  range(1, greatest(len(w) - 1, 0) + 1),
+                  i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS g
+              FROM toks),
+            feats AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 15))::bigint % 8192 AS b
+              FROM grams),
+            bc AS (
+              SELECT b,
+                     sum(CASE WHEN doc_id % 23 = 0 THEN 1 ELSE 0 END) AS ct,
+                     sum(CASE WHEN doc_id % 23 <> 0 THEN 1 ELSE 0 END) AS cr
+              FROM feats GROUP BY b),
+            tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM bc),
+            lr AS (
+              SELECT b,
+                     round(ln(((ct + 1.0) / (cr + 1.0))
+                              * ((tr + 8192.0) / (tt + 8192.0))) * 1e6,
+                           0)::bigint AS lrm
+              FROM bc, tot),
+            dc AS (
+              SELECT doc_id, b, count(*) AS c FROM feats
+              WHERE doc_id % 23 <> 0 GROUP BY 1, 2),
+            wt AS (
+              SELECT doc_id, cast(sum(c * lrm) AS bigint) AS weight_micro
+              FROM dc JOIN lr USING (b) GROUP BY 1)
+            SELECT doc_id, weight_micro,
+                   cast(row_number() OVER (
+                     ORDER BY weight_micro DESC, doc_id) AS int) AS rank
+            FROM wt QUALIFY rank <= 50
+            ORDER BY rank
         """,
         "sequence_pack": """
             WITH toks AS (

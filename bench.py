@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "budget_allocation",
     "revisit_schedule",
     "sequence_pack",
+    "dsir_weights",
 ]
 # The five crawl_* queries are deliberately absent: each is a projection of
 # the same fixture crawl the `crawl` section below times end-to-end.

@@ -250,3 +250,113 @@ def sequence_pack(
         (F.col("_start") % seq_len).alias("pack_offset"),
         F.expr(f"(_start + n_tokens - 1) div {seq_len}").alias("end_pack"),
     )
+
+
+# DSIR hashed-feature space: the paper (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling") hashes word n-grams into
+# a fixed bucket space and fits one multinomial per corpus over it. Bucket
+# count and the deterministic target-slice modulus are inlined as literals
+# into both engines' plans.
+DSIR_BUCKETS = 8192
+DSIR_TARGET_MOD = 23
+
+
+def dsir_weights(
+    docs: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    target_mod: int = DSIR_TARGET_MOD,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights + deterministic top-k selection.
+
+    Data Selection via Importance Resampling (Xie et al. 2023): hash each
+    document's word unigrams+bigrams into ``buckets`` features, fit two
+    add-one-smoothed multinomials over the feature space — one on the
+    TARGET corpus (the domain you want more of; here the deterministic
+    pseudo-slice ``id % target_mod == 0``, the decontaminate convention —
+    a real deployment swaps in the actual target DataFrame, plan shape
+    unchanged), one on the RAW pool — and weight every raw document by
+    its log importance ratio
+
+        log w(x) = Σ_b  c_b(x) · [ log p_target(b) − log p_raw(b) ]
+
+    then keep the top-k (the paper resamples with Gumbel noise; the
+    noiseless variant here IS its zero-temperature limit and re-run
+    stable, which the selection manifest of a training pipeline needs).
+
+    Cross-engine exactness: the per-bucket log-ratio is ONE libm ln of a
+    product/quotient of IEEE-exact integer-valued doubles, scaled to
+    integer micros (round half-up) — per-doc weights are then SUMS OF
+    BIGINTS, order-free and bit-identical in any engine; ranking ties
+    break on doc id.
+
+    Scale shape (100 TB): gram explode → two partial-agg groupBys (per
+    bucket: B rows out; per (doc,bucket): the only corpus-sized shuffle)
+    → broadcast join of the B-row log-ratio table (B=8192 ≈ 64 KB) → one
+    more partial-agg groupBy per doc → global top-k via
+    TakeOrderedAndProject (no full sort). Corpus totals are one-row
+    broadcast scalars, never a driver collect.
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("w")
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(F.col("w"), shingles_of(F.col("w"), 2))
+        ).alias("g"),
+    )
+    feats = grams.select(
+        F.col(id_col), (md5_long60(F.col("g")) % buckets).alias("b")
+    )
+    is_target = (F.col(id_col) % target_mod) == 0
+    bucket_counts = feats.groupBy("b").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_target, 0).otherwise(1)).alias("cr"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    # ln( (ct+1)/(cr+1) · (tr+B)/(tt+B) ) in integer micros. The two
+    # quotients and their product are correctly-rounded IEEE basic ops
+    # (identical in Spark and DuckDB); only the single ln is libm, and it
+    # feeds a round-to-integer, not a comparison.
+    lr = bucket_counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("ct") + F.lit(1.0)) / (F.col("cr") + F.lit(1.0)))
+                * (
+                    (F.col("tr") + F.lit(float(buckets)))
+                    / (F.col("tt") + F.lit(float(buckets)))
+                )
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("lrm"),
+    )
+    doc_counts = (
+        feats.filter(~is_target)
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    weights = (
+        doc_counts.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("c") * F.col("lrm")).alias("weight_micro"))
+    )
+    from pyspark.sql import Window
+
+    topk = weights.orderBy(
+        F.col("weight_micro").desc(), F.col(id_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("weight_micro").desc(), F.col(id_col).asc())
+    return topk.select(
+        id_col,
+        "weight_micro",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -217,3 +217,46 @@ def test_sequence_pack_deterministic_under_partitioning(spark):
     b = sequence_pack(_docs(spark, rows).repartition(13), seq_len=8).collect()
     key = lambda r: r.doc_id
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    """DSIR (Xie et al. 2023) semantics on a constructed corpus: raw docs
+    written in the target slice's vocabulary must outrank raw docs written
+    in a disjoint vocabulary, singleton grams cancel via smoothing, and
+    the weight is re-run stable."""
+    from crawler_spark.operators.curation import dsir_weights
+
+    # target slice = doc_id % 23 == 0 → ids 0, 23 are TARGET
+    target_text = "alpha beta gamma delta alpha beta gamma delta"
+    offdomain = "zeta eta theta iota kappa lam mu nu"
+    rows = [
+        (0, target_text, "en"), (23, target_text, "en"),
+        (1, target_text, "en"),          # raw, target-like
+        (2, offdomain, "en"),            # raw, off-domain
+        (3, "alpha beta zeta eta theta iota kappa lam", "en"),  # mixed
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = dsir_weights(docs, k=10).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert set(by_id) == {1, 2, 3}                 # target docs excluded
+    assert by_id[1].weight_micro > by_id[3].weight_micro > by_id[2].weight_micro
+    assert by_id[1].weight_micro > 0 > by_id[2].weight_micro
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] == [1, 3, 2]
+    # deterministic across re-runs (the selection manifest property)
+    again = {r.doc_id: r.weight_micro
+             for r in dsir_weights(docs, k=10).collect()}
+    assert again == {i: r.weight_micro for i, r in by_id.items()}
+
+
+def test_dsir_plan_shape(spark):
+    """The 8192-row log-ratio table must broadcast (no corpus-side
+    SortMergeJoin) and the whole plan stays JVM-side."""
+    from crawler_spark.operators.curation import dsir_weights
+
+    docs = _docs(spark, [(i, f"w{i} w{i+1} w{i+2} common token", "en")
+                         for i in range(60)])
+    plan = dsir_weights(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
