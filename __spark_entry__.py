@@ -51,6 +51,7 @@ from crawler_spark.operators.dedup import (
     winnow_near_dup_pairs,
 )
 from crawler_spark.operators.curation import (
+    ccnet_perplexity,
     decontaminate,
     dsir_weights,
     repetition_stats,
@@ -796,6 +797,16 @@ def q_decontaminate(spark, sf_dir):
 # Training-data pipeline: similarity search (embeddings table)
 # ---------------------------------------------------------------------------
 
+def q_ccnet_perplexity(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020):
+    hashed-unigram LM fit on the target pseudo-slice, per-doc cross-entropy
+    in integer micros, cutoffs from the deterministic 10% sample's ntile
+    boundaries."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return ccnet_perplexity(docs).orderBy("doc_id")
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     multinomials target-vs-raw, per-doc integer-micro log-ratio weights,
@@ -1187,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "sequence_pack": q_sequence_pack,
         "dsir_weights": q_dsir_weights,
+        "ccnet_perplexity": q_ccnet_perplexity,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "similarity_lsh": q_similarity_lsh,
@@ -2133,6 +2145,49 @@ def oracle_sql() -> dict[str, str]:
                    cast((height * 224) // greatest(width, height) AS int)
                      AS out_height
             FROM fr ORDER BY doc_id, frame_idx
+        """,
+        "ccnet_perplexity": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            feats AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 15))::bigint % 8192 AS b
+              FROM (SELECT doc_id, unnest(w) AS g FROM toks)),
+            tc AS (
+              SELECT b, count(*) AS ct FROM feats
+              WHERE doc_id % 23 = 0 GROUP BY b),
+            ttot AS (SELECT sum(ct) AS tt FROM tc),
+            nlp AS (
+              SELECT f.b,
+                     round(-ln((coalesce(tc.ct, 0) + 1.0)
+                               / (ttot.tt + 8192.0)) * 1e6, 0)::bigint
+                       AS nlpm
+              FROM (SELECT DISTINCT b FROM feats) f
+              LEFT JOIN tc USING (b), ttot),
+            dc AS (
+              SELECT doc_id, b, count(*) AS c FROM feats
+              WHERE doc_id % 23 <> 0 GROUP BY 1, 2),
+            ce AS (
+              SELECT doc_id,
+                     round(cast(sum(c * nlpm) AS double)
+                           / cast(sum(c) AS double), 0)::bigint AS ce_micro
+              FROM dc JOIN nlp USING (b) GROUP BY 1),
+            sample AS (
+              SELECT ce_micro,
+                     ntile(3) OVER (ORDER BY ce_micro, doc_id) AS tile
+              FROM ce
+              WHERE ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))
+                      ::bigint % 10000 < 1000),
+            cuts AS (
+              SELECT max(CASE WHEN tile = 1 THEN ce_micro END) AS cut1,
+                     max(CASE WHEN tile <= 2 THEN ce_micro END) AS cut2
+              FROM sample)
+            SELECT doc_id, ce_micro,
+                   CASE WHEN ce_micro <= cut1 THEN 'head'
+                        WHEN ce_micro <= cut2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ce, cuts
+            ORDER BY doc_id
         """,
         "dsir_weights": """
             WITH toks AS (

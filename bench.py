@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "revisit_schedule",
     "sequence_pack",
     "dsir_weights",
+    "ccnet_perplexity",
 ]
 # The five crawl_* queries are deliberately absent: each is a projection of
 # the same fixture crawl the `crawl` section below times end-to-end.

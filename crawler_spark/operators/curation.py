@@ -360,3 +360,135 @@ def dsir_weights(
         "weight_micro",
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+# CCNet cutoff-sample rate: head/middle/tail cutoffs are computed over the
+# deterministic md5-bucket sample (bucket < CCNET_SAMPLE of 10 000 = 10%),
+# the scale-honest stand-in for the paper's "sort a sample" percentiles.
+CCNET_SAMPLE = 1_000
+
+
+def ccnet_perplexity(
+    docs: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    target_mod: int = DSIR_TARGET_MOD,
+    sample_buckets: int = CCNET_SAMPLE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality bucketing (Wenzek et al. 2020).
+
+    CCNet scores every document by the perplexity of a small LM trained on
+    a high-quality target corpus and splits the crawl into head / middle /
+    tail at the 1/3 and 2/3 perplexity percentiles — head goes to
+    training, tail to the bin. Here the LM is the add-one-smoothed
+    hashed-unigram multinomial fit on the deterministic target pseudo-
+    slice ``id % target_mod == 0`` (the decontaminate/DSIR convention; a
+    real deployment swaps in its curated corpus), and the score is the
+    per-token cross-entropy in nats, kept in integer micros:
+
+        ce(x) = Σ_b c_b(x) · ⌈−ln p_target(b)·10⁶⌋  /  Σ_b c_b(x)
+
+    Numerator and denominator are bigint sums (order-free, engine-exact);
+    the one division is a correctly-rounded IEEE op rounded back to
+    micros. Cutoffs are the ntile(3) boundaries of the deterministic
+    md5-bucket sample (``sample_bucket(id) < sample_buckets`` — the same
+    sample every run, every engine), exactly the paper's sorted-sample
+    percentile recipe made re-run stable; the ntile window sorts ONLY the
+    sample, never the corpus.
+
+    Output: ``id, ce_micro, bucket`` (head = lowest cross-entropy) for
+    every raw (non-target) document.
+
+    Scale shape (100 TB): explode → per-bucket agg (B rows, broadcast) →
+    per-(doc,bucket) partial-agg shuffle → per-doc agg; the sample is
+    filtered map-side BEFORE its tiny global window, and the two cutoff
+    scalars come back as a one-row broadcast, never a driver collect.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("w")
+    )
+    feats = toks.select(
+        F.col(id_col),
+        F.explode(F.col("w")).alias("g"),
+    ).select(F.col(id_col), (md5_long60(F.col("g")) % buckets).alias("b"))
+    is_target = (F.col(id_col) % target_mod) == 0
+    # LM fit: target-slice bucket counts + total, negative log-prob micros
+    tc = (
+        feats.filter(is_target)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    ttot = tc.agg(F.sum("ct").alias("tt"))
+    # every bucket needs a prob (unseen buckets get the smoothing floor);
+    # build the full B-row table from the distinct buckets the corpus uses
+    nlp = (
+        feats.select("b").distinct()
+        .join(F.broadcast(tc), "b", "left")
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "b",
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tt") + F.lit(float(buckets)))
+                )
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("nlpm"),
+        )
+    )
+    doc_counts = (
+        feats.filter(~is_target)
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ce = (
+        doc_counts.join(F.broadcast(nlp), "b")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("c") * F.col("nlpm"))
+                / F.sum(F.col("c")),
+                0,
+            )
+            .cast("long")
+            .alias("ce_micro")
+        )
+    )
+    # cutoffs from the deterministic sample: ntile(3) over (ce, id), then
+    # the max ce inside tiles 1 and 2 — the paper's sorted-sample
+    # percentile boundaries, re-run stable in both engines
+    sample = ce.filter(
+        sample_bucket(F.col(id_col)) < sample_buckets
+    )
+    # the sample is percent-scale by construction, so one partition is
+    # fine; the explicit partition key documents that and keeps the plan
+    # free of the unpartitioned-window warning
+    tile = F.ntile(3).over(
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.col("ce_micro").asc(), F.col("_id").asc())
+    )
+    cuts = (
+        sample.select("ce_micro", F.col(id_col).alias("_id"))
+        .withColumn("tile", tile)
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("tile") == 1, F.col("ce_micro")))
+            .alias("cut1"),
+            F.max(F.when(F.col("tile") <= 2, F.col("ce_micro")))
+            .alias("cut2"),
+        )
+    )
+    return ce.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        "ce_micro",
+        F.when(F.col("ce_micro") <= F.col("cut1"), F.lit("head"))
+        .when(F.col("ce_micro") <= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

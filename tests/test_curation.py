@@ -260,3 +260,52 @@ def test_dsir_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ccnet_perplexity_semantics(spark):
+    """CCNet bucketing (Wenzek et al. 2020) on a constructed corpus:
+    docs written in the target slice's vocabulary get LOWER cross-entropy
+    than off-domain docs, every raw doc gets a bucket, head precedes tail
+    in ce order, and re-runs are identical."""
+    from crawler_spark.operators.curation import ccnet_perplexity
+
+    target_text = "alpha beta gamma delta " * 4
+    rows = [(0, target_text.strip(), "en"), (23, target_text.strip(), "en")]
+    # 30 raw docs with a vocabulary gradient: i target-vocab words out
+    # of 10 (never multiples of 23 → all raw)
+    for i in range(1, 31):
+        n_t = i % 11
+        words = (["alpha", "beta", "gamma", "delta"] * 3)[:n_t] + [
+            f"rare{i}_{j}" for j in range(10 - n_t)
+        ]
+        rows.append((i if i % 23 else i + 100, " ".join(words), "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ccnet_perplexity(docs).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == 30 and 0 not in by_id and 23 not in by_id
+    assert set(r.bucket for r in out) == {"head", "middle", "tail"}
+    # all-target-vocab docs (n_t == 10 → i in {10, 21}) must be head;
+    # all-rare docs (n_t == 0 → i = 11, 22) must be tail
+    assert by_id[10].bucket == "head" and by_id[21].bucket == "head"
+    assert by_id[11].bucket == "tail" and by_id[22].bucket == "tail"
+    # bucket order is consistent with ce order
+    max_head = max(r.ce_micro for r in out if r.bucket == "head")
+    min_tail = min(r.ce_micro for r in out if r.bucket == "tail")
+    assert max_head < min_tail
+    again = {(r.doc_id, r.ce_micro, r.bucket)
+             for r in ccnet_perplexity(docs).collect()}
+    assert again == {(r.doc_id, r.ce_micro, r.bucket) for r in out}
+
+
+def test_ccnet_plan_shape(spark):
+    """LM table and cutoff scalars broadcast; corpus never sort-merge
+    joined; whole plan JVM-side; the ntile window sees only the sample
+    (its input is the filtered ce frame, not the corpus explode)."""
+    from crawler_spark.operators.curation import ccnet_perplexity
+
+    docs = _docs(spark, [(i, f"w{i} w{i+1} shared tok", "en")
+                         for i in range(60)])
+    plan = ccnet_perplexity(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
