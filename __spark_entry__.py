@@ -70,6 +70,7 @@ from crawler_spark.operators.linkgraph import (
     pagerank_sql,
 )
 from crawler_spark.operators.revisit import revisit_schedule, revisit_sql
+from crawler_spark.operators.traps import detect_traps
 from crawler_spark.operators.politeness import (
     admit_per_host,
     apply_robots,
@@ -202,6 +203,34 @@ def _raw_urls(spark, sf_dir):
         .otherwise(F.concat(F.lit("HTTPS://site"), h, F.lit(".example.com/o?id="), k, F.lit("#x")))
     )
     return o.select("o_orderkey", raw.alias("raw_url"))
+
+
+def q_trap_detection(spark, sf_dir):
+    """Spider-trap host detection (IRLbot/Heritrix heuristics): per-host
+    deep-path, looping-path, and template-dominance signals over a
+    synthesized frontier with one calendar mill, one self-link loop, and
+    one single-template mill among normal multi-template hosts."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    k = F.col("o_orderkey")
+    hg = F.pmod(F.col("o_custkey"), F.lit(20))
+    cats = F.array(*[F.lit(c) for c in
+                     ("news", "sports", "life", "tech", "world", "biz")])
+    path = (
+        F.when(hg == 7, F.concat(
+            F.lit("/archive/2021/"), (F.lit(1) + F.pmod(k, F.lit(12))).cast("string"),
+            F.lit("/"), (F.lit(1) + F.pmod(k, F.lit(28))).cast("string"),
+            F.lit("/"), k.cast("string"), F.lit("/view/print/mobile")))
+        .when(hg == 13, F.concat(F.lit("/f/o/f/o/f/o/"), k.cast("string")))
+        .when(hg == 3, F.concat(F.lit("/p/"), k.cast("string")))
+        .otherwise(F.concat(
+            F.lit("/"), F.element_at(cats, (F.pmod(k, F.lit(6)) + 1).cast("int")),
+            F.lit("/story-"), k.cast("string")))
+    )
+    urls = o.select(F.concat(
+        F.lit("http://site"), hg.cast("string"), F.lit(".example.com"), path
+    ).alias("url"))
+    return detect_traps(urls).orderBy("host")
 
 
 def q_url_canonicalize(spark, sf_dir):
@@ -1165,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "report_cumulative": q_report_cumulative,
         "report_totals": q_report_totals,
         "url_canonicalize": q_url_canonicalize,
+        "trap_detection": q_trap_detection,
         "url_seen_antijoin": q_url_seen_antijoin,
         "url_seen_cuckoo": q_url_seen_cuckoo,
         "frontier_dedup": q_frontier_dedup,
@@ -1470,6 +1500,65 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT o_custkey) AS distinct_customers,
                    cast(sum(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) AS total_cents
             FROM orders
+        """,
+        "trap_detection": """
+            WITH u AS (
+              SELECT o_orderkey AS k, o_custkey % 20 AS hg FROM orders),
+            p AS (
+              SELECT k, hg,
+                     CASE
+                       WHEN hg = 7 THEN '/archive/2021/' || (1 + k % 12)
+                         || '/' || (1 + k % 28) || '/' || k
+                         || '/view/print/mobile'
+                       WHEN hg = 13 THEN '/f/o/f/o/f/o/' || k
+                       WHEN hg = 3 THEN '/p/' || k
+                       ELSE '/' || (['news','sports','life','tech','world',
+                                     'biz'])[(k % 6) + 1] || '/story-' || k
+                     END AS path
+              FROM u),
+            per_url AS (
+              SELECT 'site' || hg || '.example.com' AS host,
+                     len(list_filter(string_split(path, '/'),
+                                     s -> s <> '')) AS depth,
+                     len(list_filter(string_split(path, '/'),
+                                     s -> s <> ''))
+                       - len(list_distinct(list_filter(
+                           string_split(path, '/'), s -> s <> ''))) AS rep,
+                     regexp_replace(path, '[0-9]+', 'N', 'g') AS template
+              FROM p),
+            by_tmpl AS (
+              SELECT host, template, count(*) AS cnt,
+                     sum(CASE WHEN depth >= 8 THEN 1 ELSE 0 END) AS deep,
+                     sum(CASE WHEN rep >= 3 THEN 1 ELSE 0 END) AS loop
+              FROM per_url GROUP BY 1, 2),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY host ORDER BY cnt DESC, template) AS rn
+              FROM by_tmpl),
+            hosts AS (
+              SELECT host,
+                     cast(sum(cnt) AS bigint) AS n_urls,
+                     count(*) AS n_templates,
+                     cast(sum(deep) AS bigint) AS n_deep,
+                     cast(sum(loop) AS bigint) AS n_loop,
+                     max(CASE WHEN rn = 1 THEN template END) AS top_template,
+                     cast(max(CASE WHEN rn = 1 THEN cnt END) AS bigint)
+                       AS top_count
+              FROM ranked GROUP BY 1),
+            shared AS (
+              SELECT *, cast(floor(10000 * top_count / n_urls) AS bigint)
+                          AS top_share_bp
+              FROM hosts)
+            SELECT host, n_urls, n_templates, n_deep, n_loop, top_template,
+                   top_count, top_share_bp,
+                   CASE WHEN n_deep * 2 >= n_urls THEN 'deep'
+                        WHEN n_loop * 2 >= n_urls THEN 'loop'
+                        ELSE 'dominance' END AS reason
+            FROM shared
+            WHERE n_urls >= 50
+              AND (n_deep * 2 >= n_urls OR n_loop * 2 >= n_urls
+                   OR top_share_bp >= 6000)
+            ORDER BY host
         """,
         "url_canonicalize": """
             WITH u AS (

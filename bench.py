@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "sequence_pack",
     "dsir_weights",
     "ccnet_perplexity",
+    "trap_detection",
 ]
 # The five crawl_* queries are deliberately absent: each is a projection of
 # the same fixture crawl the `crawl` section below times end-to-end.
