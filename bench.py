@@ -248,10 +248,15 @@ def main() -> None:
     mult = int(os.environ.get("SPARK_GRAFT_FRONTIER_MULT", "10"))
 
     qs = entrymod.queries()
+    # SPARK_GRAFT_QUERIES=a,b,c restricts the suite (addendum re-measures
+    # of a few queries fit a short clean window a full sweep would miss)
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    names = ([q for q in subset.split(",") if q] if subset
+             else BENCH_QUERIES)
     timings: dict[str, float] = {}
     total = 0.0
     if not frontier_only:
-        for name in BENCH_QUERIES:
+        for name in names:
             # Construction is inside the timed window: iterative operators
             # (host_pagerank) materialize supersteps eagerly at build time,
             # and excluding that work would under-report them.
@@ -261,9 +266,12 @@ def main() -> None:
             timings[name] = round(dt, 3)
             total += dt
 
-    frontier = frontier_throughput(spark, sf_dir, mult=mult)
-    total += frontier["sec"]
-    crawl = {} if frontier_only else crawl_bench(spark)
+    skip_frontier = os.environ.get("SPARK_GRAFT_NO_FRONTIER") == "1"
+    frontier = ({} if skip_frontier
+                else frontier_throughput(spark, sf_dir, mult=mult))
+    total += frontier.get("sec", 0.0)
+    crawl = ({} if frontier_only or skip_frontier or subset
+             else crawl_bench(spark))
     total += crawl.get("sec", 0.0)
 
     print(json.dumps({
