@@ -1151,6 +1151,19 @@ def q_crawl_prioritized_log(spark, sf_dir):
     return oracle_crawl.engine_prioritized_log(spark)
 
 
+def q_crawl_trap_guard_log(spark, sf_dir):
+    """Trap-GUARDED crawl end-to-end (IRLbot-style quarantine): engine
+    pass 1 crawls a fixture with a calendar-mill host, detect_traps flags
+    it from the admitted log (deep-path signal), pass 2 clamps the flagged
+    host's admission via the host_budgets seam — ordered log byte-identical
+    to the simulator fed detect_traps_py."""
+    from crawler_spark import oracle_crawl
+
+    _prep(spark)
+    oracle_crawl.ensure_sim_outputs()
+    return oracle_crawl.engine_trap_guard_log(spark)
+
+
 def q_crawl_recrawl_log(spark, sf_dir):
     """W5+ multi-run recrawl: pass 2 from the seeds on the same checkpoint
     after evicting a deterministic subset — the per-run dupefilter resets
@@ -1246,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_metrics": q_crawl_metrics,
         "crawl_categories": q_crawl_categories,
         "crawl_prioritized_log": q_crawl_prioritized_log,
+        "crawl_trap_guard_log": q_crawl_trap_guard_log,
         "crawl_recrawl_log": q_crawl_recrawl_log,
         "crawl_recrawl_docs": q_crawl_recrawl_docs,
     }
@@ -2382,6 +2396,11 @@ def oracle_sql() -> dict[str, str]:
         "crawl_prioritized_log": f"""
             SELECT rank, batch_id, url, host, method, body, attempt, ua
             FROM read_parquet('{_SIM_ORACLE_DIR}/sim_prioritized_log.parquet')
+            ORDER BY rank
+        """,
+        "crawl_trap_guard_log": f"""
+            SELECT rank, batch_id, url, host, method, body, attempt, ua
+            FROM read_parquet('{_SIM_ORACLE_DIR}/sim_trap_guard_log.parquet')
             ORDER BY rank
         """,
         "crawl_recrawl_log": f"""

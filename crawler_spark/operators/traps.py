@@ -118,3 +118,78 @@ def detect_traps(
         "top_share_bp",
         reason.alias("reason"),
     )
+
+
+def detect_traps_py(
+    urls: list[str],
+    max_depth: int = MAX_DEPTH,
+    rep_k: int = REP_K,
+    dominance_bp: int = DOMINANCE_BP,
+    min_urls: int = MIN_URLS,
+) -> list[dict]:
+    """Pure-Python mirror of :func:`detect_traps` — same rows, same
+    values, no Spark. The reference-semantics simulator uses it to build
+    the trap-guard budgets so the engine-vs-simulator crawl parity gate
+    covers the guard end-to-end (the allocate_budget_py pattern,
+    operators/linkgraph.py). Equality with the Spark operator is pinned
+    by tests/test_traps.py."""
+    import re
+    from collections import Counter, defaultdict
+
+    per_host: dict[str, list] = defaultdict(list)
+    for u in urls:
+        m = re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]+)", u)
+        host = m.group(1).lower() if m else ""
+        pm = re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*(/[^?#]*)", u)
+        path = pm.group(1) if pm else ""
+        segs = [s for s in path.split("/") if s != ""]
+        per_host[host].append(
+            (len(segs), len(segs) - len(set(segs)),
+             re.sub(r"[0-9]+", "N", path))
+        )
+    out = []
+    for host in sorted(per_host):
+        rows = per_host[host]
+        n_urls = len(rows)
+        tmpl = Counter(t for _, _, t in rows)
+        deep_by_t: Counter = Counter()
+        loop_by_t: Counter = Counter()
+        for depth, rep, t in rows:
+            if depth >= max_depth:
+                deep_by_t[t] += 1
+            if rep >= rep_k:
+                loop_by_t[t] += 1
+        top_template = min(
+            tmpl, key=lambda t: (-tmpl[t], t)
+        )
+        top_count = tmpl[top_template]
+        n_deep = sum(deep_by_t.values())
+        n_loop = sum(loop_by_t.values())
+        top_share_bp = (10_000 * top_count) // n_urls
+        if n_urls < min_urls:
+            continue
+        if not (
+            n_deep * 2 >= n_urls
+            or n_loop * 2 >= n_urls
+            or top_share_bp >= dominance_bp
+        ):
+            continue
+        reason = (
+            "deep" if n_deep * 2 >= n_urls
+            else "loop" if n_loop * 2 >= n_urls
+            else "dominance"
+        )
+        out.append(
+            {
+                "host": host,
+                "n_urls": n_urls,
+                "n_templates": len(tmpl),
+                "n_deep": n_deep,
+                "n_loop": n_loop,
+                "top_template": top_template,
+                "top_count": top_count,
+                "top_share_bp": top_share_bp,
+                "reason": reason,
+            }
+        )
+    return out

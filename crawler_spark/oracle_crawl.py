@@ -78,7 +78,7 @@ REAL_FIXTURE_SITES = [
     "aajtak", "maharashtratimes", "interaksyon", "boholchronicle",
     "latestnews1", "apkaakhbar", "udaybulletin",
 ]
-_FIXTURE_VERSION = 8  # bump when fixture composition/output shape changes
+_FIXTURE_VERSION = 9  # bump when fixture composition/output shape changes
 
 # The recrawl pass (crawl_recrawl_* rows): after pass 1 the first
 # RECRAWL_EVICT_N stored request_urls (sorted) are evicted, then a second
@@ -134,6 +134,27 @@ def fixture_host_edges() -> list[tuple[str, str]]:
     ]
     edges += [(h, hub) for h in hosts[1:]]
     return sorted(set(edges))
+
+
+# Trap-guard fixture (crawl_trap_guard_log): the fixture graph plus a
+# calendar-mill host (mock_web.add_trap_site — every URL 8 segments deep).
+# Pass 1 crawls unguarded; detect_traps over its admitted URLs flags the
+# mill by the DEEP signal alone (fixture thresholds: the volume floor sits
+# above every legit fixture host, dominance is disabled because bounded
+# JSON sites legitimately serve one template); pass 2 clamps flagged
+# hosts' admission to TRAP_GUARD_BUDGET per batch — IRLbot's
+# reputation-throttled quarantine, not a blacklist. Engine uses the Spark
+# operator, the simulator its pure-Python mirror; the pass-2 ordered log
+# must match byte-for-byte.
+TRAP_GUARD_MIN_URLS = 20
+TRAP_GUARD_DOMINANCE_BP = 10_001  # > 10000 = disabled at fixture scale
+TRAP_GUARD_BUDGET = 2
+
+
+def fixture_trap_graph() -> dict:
+    from crawler_spark.sources.mock_web import add_trap_site
+
+    return add_trap_site(fixture_graph())
 
 
 # ---------------------------------------------------------------------------
@@ -284,6 +305,25 @@ def ensure_sim_outputs(out_dir: str = SIM_ORACLE_DIR) -> str:
     pq.write_table(
         _log_table(sim3), os.path.join(tmp, "sim_prioritized_log.parquet")
     )
+    # trap-guard pass: unguarded crawl of the trap-augmented fixture, the
+    # pure-Python trap detector over its admitted URLs, then the guarded
+    # re-crawl with flagged hosts clamped.
+    from crawler_spark.operators.traps import detect_traps_py
+
+    tg = fixture_trap_graph()
+    sim4 = simulate_crawl(tg)
+    flagged = detect_traps_py(
+        [r["url"] for r in sim4["crawl_log_full"]],
+        min_urls=TRAP_GUARD_MIN_URLS,
+        dominance_bp=TRAP_GUARD_DOMINANCE_BP,
+    )
+    sim5 = simulate_crawl(
+        tg,
+        host_budgets={f["host"]: TRAP_GUARD_BUDGET for f in flagged},
+    )
+    pq.write_table(
+        _log_table(sim5), os.path.join(tmp, "sim_trap_guard_log.parquet")
+    )
     with open(os.path.join(tmp, "_COMPLETE"), "w") as fh:
         fh.write("ok")
     # Atomic publish: another process may be racing; first rename wins.
@@ -367,6 +407,51 @@ def engine_prioritized_log(spark: SparkSession) -> DataFrame:
         "batch_id", "url", "host", "method", "body", "attempt", "ua",
     )
     _ENGINE_CACHE["rp"] = out
+    return out
+
+
+def engine_trap_guard_log(spark: SparkSession) -> DataFrame:
+    """The trap-GUARDED crawl's ordered log: engine pass 1 crawls the
+    trap-augmented fixture unguarded, detect_traps (the Spark operator)
+    flags the calendar mill from that log's admitted URLs, and pass 2
+    re-crawls with the flagged hosts' admission clamped to
+    TRAP_GUARD_BUDGET per batch via the host_budgets seam — byte-identical
+    to the simulator fed detect_traps_py."""
+    if "tg" in _ENGINE_CACHE:
+        return _ENGINE_CACHE["tg"]  # type: ignore[return-value]
+    from crawler_spark.operators.traps import detect_traps
+
+    graph = fixture_trap_graph()
+
+    def run_once(host_budgets):
+        ckpt = tempfile.mkdtemp(prefix="crawl_oracle_trap_ckpt_")
+        eng = CrawlEngine(
+            spark,
+            site_graph=site_graph_df(spark, graph),
+            registry=graph["registry"],
+            seeds=seeds_df(spark, graph),
+            cutoff_epoch=graph["cutoff_epoch"],
+            as_of=graph["as_of"],
+            checkpoint_dir=ckpt,
+            host_budgets=host_budgets,
+        )
+        return eng.run()
+
+    res1 = run_once(None)
+    flagged = detect_traps(
+        res1["crawl_log"].select("url"),
+        min_urls=TRAP_GUARD_MIN_URLS,
+        dominance_bp=TRAP_GUARD_DOMINANCE_BP,
+    )
+    budgets = flagged.select(
+        "host", F.lit(TRAP_GUARD_BUDGET).alias("budget")
+    ).persist()
+    res2 = run_once(budgets)
+    out = _canonical_rank(res2["crawl_log"]).select(
+        "rank",
+        "batch_id", "url", "host", "method", "body", "attempt", "ua",
+    )
+    _ENGINE_CACHE["tg"] = out
     return out
 
 

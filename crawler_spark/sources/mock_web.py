@@ -393,3 +393,72 @@ def site_graph_df(spark: SparkSession, graph: dict) -> DataFrame:
 def seeds_df(spark: SparkSession, graph: dict) -> DataFrame:
     rows = [(s["url"], s["website_id"], s["language_id"]) for s in graph["seeds"]]
     return spark.createDataFrame(rows, SEEDS_SCHEMA)
+
+
+def add_trap_site(
+    graph: dict,
+    n_lists: int = 8,
+    entries_per_page: int = 3,
+    website_id: int = 1999,
+    language_id: int = 1930,
+) -> dict:
+    """Append a calendar-mill trap host to a built site graph (in place).
+
+    The host serves a bounded stand-in for an unbounded archive mill:
+    NEXT_LINK-chained list pages and their articles all live 8 path
+    segments deep (/cal/2021/5/<d>/view/print/mobile/...) and every entry
+    is fresh enough to pass any fixture cutoff — exactly the shape whose
+    real-web version never terminates, and the deep-path signal
+    operators/traps.py:detect_traps flags. Used by the trap-guard
+    lifecycle oracle (oracle_crawl.py): pass 1 crawls it freely, pass 2
+    clamps flagged hosts' admission.
+    """
+    host = "trap.example.com"
+    pages, seeds, registry = (
+        graph["pages"], graph["seeds"], graph["registry"]
+    )
+    registry[website_id] = {"rule": NEXT_LINK}
+    menu_url = f"http://{host}/"
+    seeds.append({"url": menu_url, "website_id": website_id,
+                  "language_id": language_id})
+
+    def put(url, kind, payload):
+        pages[page_key(url)] = {
+            "url": url, "method": "GET", "body": "",
+            "response_url": url, "kind": kind, "payload": payload,
+            "source": None, "host": host,
+            "bytes": 500 + len(json.dumps(payload)),
+            "fail_times": 0, "required_cookie": None,
+        }
+
+    def list_url(p: int) -> str:
+        return f"http://{host}/cal/2021/5/{p + 1}/view/print/mobile/{p}"
+
+    for p in range(n_lists):
+        entries = []
+        for e in range(entries_per_page):
+            pub_dt = BASE_DT - timedelta(minutes=p * entries_per_page + e)
+            a_url = (
+                f"http://{host}/cal/2021/5/{p + 1}/art/{e}/view/print"
+            )
+            put(a_url, "article", {
+                "title": f"Calendar {p}-{e}",
+                "paras": [f"calendar mill body {p}-{e}."],
+                "imgs": [],
+                "pub_time_raw": _fmt_pub(pub_dt),
+                "abstract": None,
+            })
+            entries.append({
+                "href": a_url,
+                "title": f"Cal entry {p}-{e}",
+                "pub_time_raw": _fmt_pub(pub_dt),
+                "img": None,
+            })
+        payload = {"entries": entries, "category1_echo": "calendar"}
+        payload["next"] = list_url(p + 1) if p + 1 < n_lists else None
+        put(list_url(p), "list", payload)
+
+    put(menu_url, "menu", {"categories": [
+        {"label": "calendar", "href": list_url(0)}
+    ]})
+    return graph

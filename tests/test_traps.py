@@ -80,3 +80,46 @@ def test_detect_traps_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_detect_traps_py_mirror_equality(spark):
+    """The pure-Python mirror the simulator uses must produce exactly the
+    Spark operator's rows — same hosts, counts, templates, reasons — on a
+    mixed corpus exercising every signal and the tie-break."""
+    from crawler_spark.operators.traps import detect_traps_py
+
+    rows = []
+    for i in range(60):
+        rows.append(
+            f"http://cal.example.com/archive/2021/{i % 12}/{i % 28}/{i}"
+            "/view/print/mobile"
+        )
+        rows.append(f"http://loop.example.com/f/o/f/o/f/o/{i}")
+        rows.append(f"http://mill.example.com/p/{i}")
+        rows.append(
+            "http://ok.example.com/"
+            f"{['news', 'sports', 'life'][i % 3]}/story-{i}"
+        )
+    spark_rows = sorted(
+        (r.asDict() for r in detect_traps(_urls(spark, rows)).collect()),
+        key=lambda d: d["host"],
+    )
+    py_rows = detect_traps_py(rows)
+    assert spark_rows == py_rows
+
+
+def test_trap_guard_clamps_admission(spark):
+    """The guarded fixture crawl admits at most TRAP_GUARD_BUDGET
+    trap-host requests per batch, still fetches the whole (bounded) mill
+    eventually, and leaves every other host's row multiset unchanged."""
+    from collections import Counter
+
+    from crawler_spark import oracle_crawl
+
+    log = oracle_crawl.engine_trap_guard_log(spark).collect()
+    trap = [r for r in log if r.host == "trap.example.com"]
+    assert trap, "trap host must still be crawled (quarantine, not ban)"
+    per_batch = Counter(r.batch_id for r in trap)
+    assert max(per_batch.values()) <= oracle_crawl.TRAP_GUARD_BUDGET
+    # unguarded pass-1 admits the mill much faster than the clamp allows
+    assert len(per_batch) > len(trap) / 4
