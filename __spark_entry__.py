@@ -50,6 +50,7 @@ from crawler_spark.operators.dedup import (
     winnow_fingerprints,
     winnow_near_dup_pairs,
 )
+from crawler_spark.operators.semdedup import semdedup, semdedup_sql
 from crawler_spark.operators.curation import (
     ccnet_perplexity,
     decontaminate,
@@ -891,6 +892,21 @@ def q_similarity_lsh(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): fixed-point Lloyd
+    k-means over the embeddings table (integer-micro arithmetic — every
+    round bit-identical across engines and parallelism) + within-cluster
+    peripheral-first cosine pruning. The pair stage is an equi-self-join
+    on the cluster id (cluster-bounded quadratic — the paper's own cost
+    model); the oracle unrolls the identical Lloyd rounds as CTEs."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(
+        emb, dim=64, k=8, iters=2, tau=0.40,
+        id_col="vec_id", vec_col="embedding",
+    ).orderBy("vec_id")
+
+
 def q_similarity_ivf(spark, sf_dir):
     """IVF-style ANN top-k (inverted coarse cells, nprobe=2) — the
     alternative sub-quadratic scale path to sign-LSH. Deterministic
@@ -1246,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
+        "semdedup": q_semdedup,
         "event_hourly_agg": q_event_hourly_agg,
         "interleaved_spans": q_interleaved_spans,
         "multimodal_features": q_multimodal_features,
@@ -1964,6 +1981,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh": _similarity_lsh_sql(k=5, n_planes=8, dim=64),
         "similarity_ivf": _similarity_ivf_sql(k=5, n_cells=8, nprobe=2,
                                               dim=64),
+        "semdedup": semdedup_sql(dim=64, k=8, iters=2, tau=0.40),
         "token_stats": f"""
             SELECT doc_id,
                    cast(len(string_split(text, ' ')) AS bigint) AS n_ws_tokens,

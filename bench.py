@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "ccnet_perplexity",
     "trap_detection",
+    "semdedup",
 ]
 # The five crawl_* queries are deliberately absent: each is a projection of
 # the same fixture crawl the `crawl` section below times end-to-end.
