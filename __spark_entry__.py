@@ -55,9 +55,11 @@ from crawler_spark.operators.curation import (
     ccnet_perplexity,
     decontaminate,
     dsir_weights,
+    paragraph_dedup,
     repetition_stats,
     sequence_pack,
     stratified_sample,
+    url_quality_filter,
 )
 from crawler_spark.operators.multimodal import (
     attach_fake_media,
@@ -892,6 +894,41 @@ def q_similarity_lsh(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet §3.1 cross-document paragraph-hash dedup (C4 §2.2's span
+    rule): canonical occurrence = min(doc_id, pos) per md5, realized as a
+    partial-agg min-struct (no hot-key window), reassembly order-exact.
+    The synthetic corpus has no newlines, so segments are fixed 12-word
+    chunks (the operator takes any ordered segment array)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w_arr", F.split("text", " ")
+    )
+    segs = F.expr(
+        "transform(sequence(0, cast(ceil(size(w_arr)/12.0) as int) - 1),"
+        " i -> array_join(slice(w_arr, i*12+1, 12), ' '))"
+    )
+    return paragraph_dedup(docs, segs).orderBy("doc_id")
+
+
+def q_url_quality(spark, sf_dir):
+    """RefinedWeb §3.1.2 URL-level filtering: hard domain blocklist +
+    soft word-score over the URL string + depth penalty, all integer
+    basis points — the pre-fetch filter, map-side only."""
+    _prep(spark)
+    u = _raw_urls(spark, sf_dir)
+    urls = u.select(
+        F.col("raw_url").alias("url"),
+        host_of(F.col("raw_url")).alias("host"),
+    )
+    return url_quality_filter(
+        urls,
+        blocklist_hosts=["site7.example.com", "site23.example.com"],
+        scored_words=[("?id=", 150), ("/order/", 60), ("#frag", 80),
+                      ("casino", 500)],
+    ).orderBy("url")
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): fixed-point Lloyd
     k-means over the embeddings table (integer-micro arithmetic — every
@@ -1263,6 +1300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "semdedup": q_semdedup,
+        "paragraph_dedup": q_paragraph_dedup,
+        "url_quality": q_url_quality,
         "event_hourly_agg": q_event_hourly_agg,
         "interleaved_spans": q_interleaved_spans,
         "multimodal_features": q_multimodal_features,
@@ -1982,6 +2021,71 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf": _similarity_ivf_sql(k=5, n_cells=8, nprobe=2,
                                               dim=64),
         "semdedup": semdedup_sql(dim=64, k=8, iters=2, tau=0.40),
+        "paragraph_dedup": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            ch AS (
+              SELECT doc_id, w,
+                     unnest(range(0, cast(ceil(len(w)/12.0) AS bigint)))
+                       AS pos
+              FROM toks),
+            segs AS (
+              SELECT doc_id, cast(pos AS int) AS pos,
+                     array_to_string(w[(pos*12+1):(pos*12+12)], ' ') AS seg
+              FROM ch),
+            hs AS (SELECT doc_id, pos, seg, md5(seg) AS h FROM segs),
+            canon AS (
+              SELECT h, doc_id, pos FROM hs
+              QUALIFY row_number() OVER (PARTITION BY h
+                                         ORDER BY doc_id, pos) = 1),
+            kept AS (
+              SELECT hs.doc_id, hs.pos, hs.seg
+              FROM hs JOIN canon c
+                ON hs.h = c.h AND hs.doc_id = c.doc_id AND hs.pos = c.pos),
+            agg AS (
+              SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT t.doc_id,
+                   cast(ceil(len(t.w)/12.0) AS bigint) AS n_segments,
+                   coalesce(a.n_kept, 0) AS n_kept,
+                   coalesce(a.text_dedup, '') AS text_dedup
+            FROM toks t LEFT JOIN agg a USING (doc_id)
+            ORDER BY t.doc_id
+        """,
+        "url_quality": """
+            WITH u AS (
+              SELECT cast(o_custkey % 50 AS varchar) AS h,
+                     cast(o_orderkey AS varchar) AS k,
+                     o_orderkey % 4 AS m
+              FROM orders),
+            r AS (
+              SELECT CASE m
+                       WHEN 0 THEN 'HTTP://Site' || h || '.Example.COM:80/order/' || k || '?q=1#frag'
+                       WHEN 1 THEN 'https://SITE' || h || '.example.com:443/ORDER/' || k
+                       WHEN 2 THEN 'http://site' || h || '.EXAMPLE.com'
+                       ELSE 'HTTPS://site' || h || '.example.com/o?id=' || k || '#x'
+                     END AS url,
+                     'site' || h || '.example.com' AS host
+              FROM u),
+            s AS (
+              SELECT url, host,
+                     cast((CASE WHEN contains(lower(url), '?id=') THEN 150 ELSE 0 END
+                         + CASE WHEN contains(lower(url), '/order/') THEN 60 ELSE 0 END
+                         + CASE WHEN contains(lower(url), '#frag') THEN 80 ELSE 0 END
+                         + CASE WHEN contains(lower(url), 'casino') THEN 500 ELSE 0 END
+                         + greatest(len(string_split(regexp_replace(lower(url),
+                               '^[a-z]+://[^/]+', ''), '/')) - 7, 0) * 10)
+                       AS bigint) AS score_bp
+              FROM r)
+            SELECT url, host, score_bp,
+                   CASE WHEN host IN ('site7.example.com', 'site23.example.com')
+                          THEN 'drop'
+                        WHEN score_bp >= 300 THEN 'drop'
+                        WHEN score_bp >= 100 THEN 'flag'
+                        ELSE 'keep' END AS action
+            FROM s ORDER BY url
+        """,
         "token_stats": f"""
             SELECT doc_id,
                    cast(len(string_split(text, ' ')) AS bigint) AS n_ws_tokens,

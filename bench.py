@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "ccnet_perplexity",
     "trap_detection",
     "semdedup",
+    "paragraph_dedup",
+    "url_quality",
 ]
 # The five crawl_* queries are deliberately absent: each is a projection of
 # the same fixture crawl the `crawl` section below times end-to-end.

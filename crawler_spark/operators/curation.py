@@ -492,3 +492,119 @@ def ccnet_perplexity(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet paragraph-hash dedup (Wenzek et al. 2020 §3.1)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(
+    docs: DataFrame,
+    segments: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document paragraph-hash dedup (CCNet, Wenzek et al. 2020
+    §3.1: paragraphs are hashed and every duplicated occurrence removed;
+    C4, Raffel et al. 2020 §2.2 applies the same rule to three-sentence
+    spans). ``segments`` is the document split into an ordered
+    ``array<string>`` of paragraphs — the caller owns the segmentation
+    (real corpora split on newlines; the synthetic fixture chunks fixed
+    word windows).
+
+    Keep rule: the canonical occurrence of a paragraph hash is the one
+    with the smallest ``(doc_id, pos)``; all other occurrences are
+    dropped, and the document is reassembled from its surviving segments
+    in original order.
+
+    Scale shape: the canonical pick is ``min(struct(doc_id, pos))``
+    grouped by hash — a partial-agg (map-side combine) aggregation, NOT a
+    window, so a boilerplate paragraph repeated 10^9 times costs one
+    combiner cell per task instead of one hot window partition; the join
+    back is an equi-join on the uniform md5 key (AQE splits any residual
+    skew). Reassembly is one groupBy(doc_id) with sort_array — the same
+    order-preserving collect the span assembler uses."""
+    seg = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(segments).alias("pos", "seg"),
+    ).withColumn("h", F.md5("seg"))
+    canon = seg.groupBy("h").agg(
+        F.min(F.struct("_id", "pos")).alias("first_occ")
+    )
+    kept = (
+        seg.join(canon, on="h")
+        .filter(
+            (F.col("_id") == F.col("first_occ._id"))
+            & (F.col("pos") == F.col("first_occ.pos"))
+        )
+        .groupBy("_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(pos, seg)))"
+                       ", x -> x.seg)"),
+                " ",
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(segments).cast("bigint").alias("n_segments"),
+    )
+    return (
+        base.join(kept, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL-level quality filtering (RefinedWeb §3.1.2)
+# ---------------------------------------------------------------------------
+
+def url_quality_filter(
+    urls: DataFrame,
+    blocklist_hosts: list[str],
+    scored_words: list[tuple[str, int]],
+    flag_bp: int = 100,
+    drop_bp: int = 300,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """RefinedWeb-style URL filtering (Penedo et al. 2023 §3.1.2): a hard
+    domain blocklist plus a soft word-score over the URL string, before
+    any fetch — the cheapest filter in the pipeline, so it runs first.
+
+    Score (integer basis points, engine-exact): sum of weights of scored
+    words contained in the lowercased URL, plus a depth penalty of 10 bp
+    per path segment beyond 6 (trap-adjacent; mirrors the IRLbot depth
+    signal in operators/traps.py). Action: ``drop`` for blocklisted hosts
+    or score ≥ ``drop_bp``, ``flag`` for score ≥ ``flag_bp``, else
+    ``keep``. Pure JVM whens/contains — map-side only, no shuffle, no
+    Python; the blocklist is a literal isin (a production list of ~1e6
+    domains becomes a broadcast left-anti join, same plan shape)."""
+    low = F.lower(F.col(url_col))
+    word_score = None
+    for w, bp in scored_words:
+        term = F.when(low.contains(w.lower()), F.lit(bp)).otherwise(F.lit(0))
+        word_score = term if word_score is None else word_score + term
+    depth = F.greatest(
+        F.size(F.split(F.regexp_replace(low, r"^[a-z]+://[^/]+", ""), "/"))
+        - F.lit(7),
+        F.lit(0),
+    )
+    score = (word_score + depth * F.lit(10)).cast("bigint")
+    blocked = F.col(host_col).isin(blocklist_hosts)
+    return urls.select(
+        url_col,
+        host_col,
+        score.alias("score_bp"),
+        F.when(blocked, F.lit("drop"))
+        .when(score >= F.lit(drop_bp), F.lit("drop"))
+        .when(score >= F.lit(flag_bp), F.lit("flag"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )

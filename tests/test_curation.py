@@ -309,3 +309,94 @@ def test_ccnet_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# CCNet paragraph-hash dedup
+# ---------------------------------------------------------------------------
+
+def _para_out(spark, rows, width=2):
+    from crawler_spark.operators.curation import paragraph_dedup
+
+    docs = _docs(spark, rows).withColumn("w_arr", F.split("text", " "))
+    segs = F.expr(
+        f"transform(sequence(0, cast(ceil(size(w_arr)/{width}.0) as int)"
+        f" - 1), i -> array_join(slice(w_arr, i*{width}+1, {width}), ' '))"
+    )
+    return {r.doc_id: r for r in paragraph_dedup(docs, segs).collect()}
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    out = _para_out(spark, [
+        (1, "a b c d", "en"),        # segs: "a b", "c d"
+        (2, "a b x y", "en"),        # "a b" dup of doc1 pos0 -> dropped
+        (3, "c d a b", "en"),        # both segs dup -> emptied
+    ])
+    assert out[1].text_dedup == "a b c d"
+    assert (out[1].n_segments, out[1].n_kept) == (2, 2)
+    assert out[2].text_dedup == "x y"
+    assert (out[2].n_segments, out[2].n_kept) == (2, 1)
+    assert out[3].text_dedup == ""
+    assert (out[3].n_segments, out[3].n_kept) == (2, 0)
+
+
+def test_paragraph_dedup_intra_doc_and_order(spark):
+    # duplicate INSIDE one doc: first occurrence survives, order preserved
+    out = _para_out(spark, [(1, "p q a b p q z z", "en")])
+    assert out[1].text_dedup == "p q a b z z"
+    assert (out[1].n_segments, out[1].n_kept) == (4, 3)
+
+
+def test_paragraph_dedup_deterministic_and_plan(spark):
+    from crawler_spark.operators.curation import paragraph_dedup
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 9}" for j in range(10)), "en")
+            for i in range(40)]
+    docs = _docs(spark, rows).withColumn("w_arr", F.split("text", " "))
+    segs = F.expr(
+        "transform(sequence(0, cast(ceil(size(w_arr)/2.0) as int) - 1),"
+        " i -> array_join(slice(w_arr, i*2+1, 2), ' '))"
+    )
+    a = paragraph_dedup(docs.repartition(1), segs).orderBy("doc_id").collect()
+    b = paragraph_dedup(docs.repartition(7, "doc_id"), segs) \
+        .orderBy("doc_id").collect()
+    assert a == b
+    plan = paragraph_dedup(docs, segs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # canonical pick is a partial-agg min, NOT a per-hash window
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# RefinedWeb URL-level filtering
+# ---------------------------------------------------------------------------
+
+def test_url_quality_filter_actions(spark):
+    from crawler_spark.operators.curation import url_quality_filter
+
+    rows = [
+        ("http://ok.example.com/news/1", "ok.example.com"),
+        ("http://ok.example.com/CASINO/slots", "ok.example.com"),
+        ("http://ok.example.com/gamble?id=3", "ok.example.com"),
+        ("http://bad.example.com/news/1", "bad.example.com"),
+        ("http://ok.example.com/a/b/c/d/e/f/g/h/i", "ok.example.com"),
+    ]
+    urls = spark.createDataFrame(rows, "url string, host string")
+    out = {r.url: r for r in url_quality_filter(
+        urls,
+        blocklist_hosts=["bad.example.com"],
+        scored_words=[("casino", 500), ("?id=", 150)],
+        flag_bp=100, drop_bp=300,
+    ).collect()}
+    assert out["http://ok.example.com/news/1"].action == "keep"
+    assert out["http://ok.example.com/news/1"].score_bp == 0
+    # scoring is case-insensitive and drop_bp wins
+    assert out["http://ok.example.com/CASINO/slots"].action == "drop"
+    assert out["http://ok.example.com/gamble?id=3"].action == "flag"
+    # blocklist drops regardless of a zero score
+    assert out["http://bad.example.com/news/1"].action == "drop"
+    assert out["http://bad.example.com/news/1"].score_bp == 0
+    # depth penalty: 9 path segments, 3 beyond 6 -> 30 bp, still keep
+    deep = out["http://ok.example.com/a/b/c/d/e/f/g/h/i"]
+    assert deep.score_bp == 30 and deep.action == "keep"
