@@ -96,9 +96,13 @@ def kmeans_fixed_point(
     assignment frame ``(id, em: array<bigint> micros, cell)`` against the
     post-update centroids, plus those centroids (micros). Empty cells keep
     their previous centroid (coalesce — same rule in the SQL oracle)."""
+    # Materialize the micros frame once (same eager-superstep idiom as
+    # operators/linkgraph.py): every Lloyd round AND the downstream pair
+    # join re-reads it, and without the checkpoint each job re-runs the
+    # scan + micros transform from the source.
     base = emb.select(
         F.col(id_col).alias("_id"), _micros_col(vec_col).alias("em")
-    )
+    ).localCheckpoint(eager=True)
     cents = init_centroids_micros(dim, k, seed)
     for _ in range(iters):
         assigned = _assign_cell(base, cents)
