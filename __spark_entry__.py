@@ -52,15 +52,21 @@ from crawler_spark.operators.dedup import (
 )
 from crawler_spark.operators.semdedup import semdedup, semdedup_sql
 from crawler_spark.operators.curation import (
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
     ccnet_perplexity,
     decontaminate,
     dsir_weights,
+    fasttext_score,
     paragraph_dedup,
+    pii_redact,
     repetition_stats,
     sequence_pack,
     stratified_sample,
     url_quality_filter,
 )
+from crawler_spark.operators.sketches import hll_distinct, hll_distinct_sql
 from crawler_spark.operators.multimodal import (
     attach_fake_media,
     extract_media_features,
@@ -929,6 +935,63 @@ def q_url_quality(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (The Stack / ROOTS): regex count + typed-placeholder
+    redaction of emails, phones, IPv4 — map-side only. The synthetic
+    corpus carries no PII, so deterministic fake PII is appended to a
+    doc_id-keyed subset in BOTH engines before the operator runs."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0,
+                   F.concat(F.lit(" contact user"), d.cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(d % 5 == 0,
+                   F.concat(F.lit(" call +1 555-01"),
+                            F.lpad((d % 100).cast("string"), 2, "0")))
+            .otherwise(F.lit("")),
+            F.when(d % 7 == 0,
+                   F.concat(F.lit(" from 10.0."), (d % 256).cast("string"),
+                            F.lit("."), (d % 100).cast("string")))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_redact(pii).orderBy("doc_id")
+
+
+def q_fasttext_quality(spark, sf_dir):
+    """fastText-style hashed-bigram linear quality classifier inference
+    (Joulin et al. 2016; the DCLM / FineWeb-Edu filter family): derived
+    integer weight table, exact integer mean score, fast-sigmoid
+    probability — one explode + one partial-agg groupBy."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return fasttext_score(docs).orderBy("doc_id")
+
+
+def q_hll_count(spark, sf_dir):
+    """HyperLogLog per-host distinct-URL estimate (Flajolet et al. 2007)
+    with plain-column registers: md5 bucket + leading-zero rank via the
+    exact bitlen = length(bin(v)) identity, no float log, one single
+    float division per host at the very end — cross-engine exact."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    host = F.concat(F.lit("site"),
+                    F.pmod(F.col("l_suppkey"), F.lit(8)).cast("string"),
+                    F.lit(".example.com"))
+    urls = li.select(
+        host.alias("host"),
+        F.concat(host, F.lit("/item/"),
+                 F.pmod(F.col("l_orderkey"), F.lit(40000)).cast("string"))
+        .alias("url"),
+    )
+    return hll_distinct(urls).orderBy("host")
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): fixed-point Lloyd
     k-means over the embeddings table (integer-micro arithmetic — every
@@ -1302,6 +1365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "paragraph_dedup": q_paragraph_dedup,
         "url_quality": q_url_quality,
+        "pii_redact": q_pii_redact,
+        "fasttext_quality": q_fasttext_quality,
+        "hll_count": q_hll_count,
         "event_hourly_agg": q_event_hourly_agg,
         "interleaved_spans": q_interleaved_spans,
         "multimodal_features": q_multimodal_features,
@@ -2021,6 +2087,78 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf": _similarity_ivf_sql(k=5, n_cells=8, nprobe=2,
                                               dim=64),
         "semdedup": semdedup_sql(dim=64, k=8, iters=2, tau=0.40),
+        "pii_redact": """
+            WITH p AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                          THEN ' contact user' || cast(doc_id AS varchar)
+                               || '@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN ' call +1 555-01'
+                               || lpad(cast(doc_id % 100 AS varchar), 2, '0')
+                          ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN ' from 10.0.' || cast(doc_id % 256 AS varchar)
+                               || '.' || cast(doc_id % 100 AS varchar)
+                          ELSE '' END
+                       AS text
+              FROM documents)
+            SELECT doc_id,
+                   cast(len(regexp_extract_all(text, '"""
+        + PII_EMAIL_RE + """')) AS bigint) AS n_emails,
+                   cast(len(regexp_extract_all(text, '"""
+        + PII_PHONE_RE + """')) AS bigint) AS n_phones,
+                   cast(len(regexp_extract_all(text, '"""
+        + PII_IPV4_RE + """')) AS bigint) AS n_ips,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '""" + PII_EMAIL_RE + """', '<EMAIL>', 'g'),
+                     '""" + PII_PHONE_RE + """', '<PHONE>', 'g'),
+                     '""" + PII_IPV4_RE + """', '<IP>', 'g')
+                     AS text_redacted
+            FROM p ORDER BY doc_id
+        """,
+        "fasttext_quality": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i + 1])) AS g
+              FROM w),
+            b AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 15))::bigint % 4096
+                       AS bucket
+              FROM g),
+            wt AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5('ft:' || cast(bucket AS varchar)),
+                       1, 15))::bigint % 2001) - 1000 AS wt
+              FROM b),
+            agg AS (
+              SELECT doc_id, sum(wt) AS wsum, count(*) AS n
+              FROM wt GROUP BY doc_id),
+            sc AS (
+              SELECT d.doc_id,
+                     cast(coalesce(a.n, 0) AS bigint) AS n_feats,
+                     coalesce(cast(floor(a.wsum::double / a.n) AS bigint), 0)
+                       AS score_micro
+              FROM documents d LEFT JOIN agg a USING (doc_id))
+            SELECT doc_id, n_feats, score_micro,
+                   round(0.5 + score_micro::double
+                         / (2 * (1000 + abs(score_micro))), 6)
+                     AS quality_prob,
+                   score_micro >= 0 AS keep
+            FROM sc ORDER BY doc_id
+        """,
+        "hll_count": hll_distinct_sql(
+            "FROM (SELECT 'site' || cast(l_suppkey % 8 AS varchar)"
+            " || '.example.com' AS host,"
+            " 'site' || cast(l_suppkey % 8 AS varchar)"
+            " || '.example.com/item/' || cast(l_orderkey % 40000 AS varchar)"
+            " AS url FROM lineitem)"
+        ),
         "paragraph_dedup": """
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "semdedup",
     "paragraph_dedup",
     "url_quality",
+    "pii_redact",
+    "fasttext_quality",
+    "hll_count",
 ]
 # The five crawl_* queries are deliberately absent: each is a projection of
 # the same fixture crawl the `crawl` section below times end-to-end.

@@ -608,3 +608,115 @@ def url_quality_filter(
         .otherwise(F.lit("keep"))
         .alias("action"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (BigCode/The Stack; BigScience ROOTS)
+# ---------------------------------------------------------------------------
+
+# Patterns stay inside the Java-regex ∩ RE2 common subset (no lookaround,
+# no backreferences) so the DuckDB oracle runs them verbatim.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9][0-9\- ]{7,}[0-9]"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_redact(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """PII scrubbing as shipped by the open training-data pipelines (The
+    Stack / StarCoder redact emails+IPs, Kocetkov et al. 2022 §5; ROOTS
+    applies regex PII filters corpus-wide): count and redact emails,
+    international phone numbers, and IPv4 addresses with typed
+    placeholder tokens.
+
+    Pure JVM regexp_count + a regexp_replace cascade — map-side only, no
+    shuffle, whole-stage-codegen friendly; exactly the shape that runs as
+    the cheap first pass over 100 TB of text. Redaction order is fixed
+    (email → phone → ip) so counts are taken on the ORIGINAL text and the
+    cascade cannot double-redact placeholder contents."""
+    t = F.col(text_col)
+    return docs.select(
+        id_col,
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("bigint")
+        .alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("bigint")
+        .alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("bigint").alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+                PII_PHONE_RE, "<PHONE>",
+            ),
+            PII_IPV4_RE, "<IP>",
+        ).alias("text_redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fastText-style hashed linear quality classifier (inference)
+# ---------------------------------------------------------------------------
+
+FASTTEXT_BUCKETS = 4096
+FASTTEXT_W_SPAN = 2001  # weights in [-1000, 1000] micros-per-feature
+
+
+def fasttext_score(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Inference pass of a fastText-style linear text classifier (Joulin
+    et al. 2016 — hashed bigram bag averaged into a linear score), the
+    model family the DCLM and FineWeb-Edu pipelines use for model-based
+    quality filtering. Training happens offline; this operator evaluates
+    a hashed-feature linear model over the corpus.
+
+    The demo weight table is DERIVED (md5 of the bucket id → integer in
+    [-1000, 1000] micros), so no 4096-literal table rides the plan and
+    the DuckDB oracle reproduces it bit-for-bit; a real model swaps in a
+    broadcast bucket→weight map with the identical plan shape. Score =
+    mean feature weight in integer micros (exact under any partitioning:
+    bigint sum ÷ count in one partial-agg groupBy); the keep label is an
+    integer comparison, and the probability is a fast-sigmoid of the
+    exact integer score (see the inline note — no libm exp in the
+    plan)."""
+    w = docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), " ").alias("w"),
+    )
+    grams = w.select(
+        "_id",
+        F.expr(
+            "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+            " (x, i) -> concat(x, ' ', w[i + 1]))"
+        ).alias("gs"),
+    ).select("_id", F.explode_outer("gs").alias("g"))
+    bucket = F.pmod(md5_long60(F.col("g")), F.lit(FASTTEXT_BUCKETS))
+    feat = grams.withColumn(
+        "wt",
+        F.when(F.col("g").isNull(), F.lit(0)).otherwise(
+            F.pmod(
+                md5_long60(F.concat(F.lit("ft:"), bucket.cast("string"))),
+                F.lit(FASTTEXT_W_SPAN),
+            ) - F.lit(1000)
+        ).cast("long"),
+    )
+    agg = feat.groupBy("_id").agg(
+        F.sum("wt").alias("wsum"),
+        F.sum(F.when(F.col("g").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_feats"),
+    )
+    score = F.when(F.col("n_feats") > 0,
+                   F.floor(F.col("wsum") / F.col("n_feats"))) \
+        .otherwise(F.lit(0)).cast("bigint")
+    # Probability via the fast-sigmoid x/(1+|x|) instead of exp(): every
+    # op (abs, integer add/mul, one division, +0.5) is correctly rounded
+    # IEEE, so the value is bit-identical across engines — libm exp() is
+    # not. Monotone in the score, which is all a keep-threshold needs.
+    prob = F.lit(0.5) + score.cast("double") / (
+        F.lit(2) * (F.lit(1000) + F.abs(score))
+    ).cast("double")
+    return agg.select(
+        F.col("_id").alias(id_col),
+        "n_feats",
+        score.alias("score_micro"),
+        F.round(prob, 6).alias("quality_prob"),
+        (score >= 0).alias("keep"),
+    )

@@ -400,3 +400,75 @@ def test_url_quality_filter_actions(spark):
     # depth penalty: 9 path segments, 3 beyond 6 -> 30 bp, still keep
     deep = out["http://ok.example.com/a/b/c/d/e/f/g/h/i"]
     assert deep.score_bp == 30 and deep.action == "keep"
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+def test_pii_redact_counts_and_cascade(spark):
+    from crawler_spark.operators.curation import pii_redact
+
+    rows = [
+        (1, "mail bob.smith+x@news.example.org now", "en"),
+        (2, "dial +44 20-7946 0958 or +1 555-0142 today", "en"),
+        (3, "host 192.168.0.1 and 10.0.255.7 up", "en"),
+        (4, "clean text only", "en"),
+        (5, "a@b.io at 127.0.0.1 call +1 555-0100", "en"),
+    ]
+    out = {r.doc_id: r for r in pii_redact(_docs(spark, rows)).collect()}
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (1, 0, 0)
+    assert out[1].text_redacted == "mail <EMAIL> now"
+    assert out[2].n_phones == 2
+    assert out[2].text_redacted == "dial <PHONE> or <PHONE> today"
+    assert out[3].n_ips == 2
+    assert out[3].text_redacted == "host <IP> and <IP> up"
+    assert (out[4].n_emails, out[4].n_phones, out[4].n_ips) == (0, 0, 0)
+    assert out[4].text_redacted == "clean text only"
+    # mixed doc: every type redacted, counts from the ORIGINAL text
+    assert (out[5].n_emails, out[5].n_phones, out[5].n_ips) == (1, 1, 1)
+    assert out[5].text_redacted == "<EMAIL> at <IP> call <PHONE>"
+
+
+# ---------------------------------------------------------------------------
+# fastText-style hashed linear classifier
+# ---------------------------------------------------------------------------
+
+def _ft_py_score(text):
+    """Independent hashlib reference for the derived weight table."""
+    import math
+
+    ws = text.split(" ")
+    grams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    if not grams:
+        return 0, 0
+    tot = 0
+    for g in grams:
+        b = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 4096
+        tot += int(hashlib.md5(f"ft:{b}".encode()).hexdigest()[:15],
+                   16) % 2001 - 1000
+    return len(grams), math.floor(tot / len(grams))
+
+
+def test_fasttext_score_matches_hashlib_reference(spark):
+    from crawler_spark.operators.curation import fasttext_score
+
+    rows = [(i, " ".join(f"tok{(i * 3 + j) % 13}" for j in range(i % 9 + 1)),
+             "en") for i in range(30)]
+    out = {r.doc_id: r for r in
+           fasttext_score(_docs(spark, rows)).collect()}
+    for i, text, _ in rows:
+        n, score = _ft_py_score(text)
+        assert (out[i].n_feats, out[i].score_micro) == (n, score), i
+        assert out[i].keep == (score >= 0)
+        # fast-sigmoid: monotone, bounded, exact arithmetic
+        expect = round(0.5 + score / (2 * (1000 + abs(score))), 6)
+        assert out[i].quality_prob == expect
+
+
+def test_fasttext_single_word_doc_is_neutral(spark):
+    from crawler_spark.operators.curation import fasttext_score
+
+    out = fasttext_score(_docs(spark, [(1, "lonely", "en")])).collect()[0]
+    assert (out.n_feats, out.score_micro, out.quality_prob, out.keep) == \
+        (0, 0, 0.5, True)
