@@ -1267,6 +1267,18 @@ def q_crawl_prioritized_log(spark, sf_dir):
     return oracle_crawl.engine_prioritized_log(spark)
 
 
+def q_crawl_url_filter_log(spark, sf_dir):
+    """URL-filter-guarded crawl end-to-end (RefinedWeb §3.1.2 as engine
+    step 0): a blocklisted host's seed dies in batch 0, a scored word
+    hard-drops one article shard, another only flags — ordered log
+    byte-identical to the simulator fed the pure-Python mirror."""
+    from crawler_spark import oracle_crawl
+
+    _prep(spark)
+    oracle_crawl.ensure_sim_outputs()
+    return oracle_crawl.engine_url_filter_log(spark)
+
+
 def q_crawl_trap_guard_log(spark, sf_dir):
     """Trap-GUARDED crawl end-to-end (IRLbot-style quarantine): engine
     pass 1 crawls a fixture with a calendar-mill host, detect_traps flags
@@ -1382,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_categories": q_crawl_categories,
         "crawl_prioritized_log": q_crawl_prioritized_log,
         "crawl_trap_guard_log": q_crawl_trap_guard_log,
+        "crawl_url_filter_log": q_crawl_url_filter_log,
         "crawl_recrawl_log": q_crawl_recrawl_log,
         "crawl_recrawl_docs": q_crawl_recrawl_docs,
     }
@@ -2666,6 +2679,11 @@ def oracle_sql() -> dict[str, str]:
         "crawl_recrawl_log": f"""
             SELECT rank, batch_id, url, host, method, body, attempt, ua
             FROM read_parquet('{_SIM_ORACLE_DIR}/sim_recrawl_log.parquet')
+            ORDER BY rank
+        """,
+        "crawl_url_filter_log": f"""
+            SELECT rank, batch_id, url, host, method, body, attempt, ua
+            FROM read_parquet('{_SIM_ORACLE_DIR}/sim_url_filter_log.parquet')
             ORDER BY rank
         """,
         "crawl_recrawl_docs": f"""

@@ -586,28 +586,75 @@ def url_quality_filter(
     ``keep``. Pure JVM whens/contains — map-side only, no shuffle, no
     Python; the blocklist is a literal isin (a production list of ~1e6
     domains becomes a broadcast left-anti join, same plan shape)."""
+    score = url_quality_score_col(url_col, scored_words)
+    return urls.select(
+        url_col,
+        host_col,
+        score.alias("score_bp"),
+        url_quality_action_col(
+            url_col, host_col, blocklist_hosts, scored_words,
+            flag_bp=flag_bp, drop_bp=drop_bp,
+        ).alias("action"),
+    )
+
+
+def url_quality_score_col(url_col: str, scored_words) -> Column:
+    """Integer-bp URL score as a pure JVM column (see url_quality_filter)."""
     low = F.lower(F.col(url_col))
-    word_score = None
+    word_score = F.lit(0)
     for w, bp in scored_words:
-        term = F.when(low.contains(w.lower()), F.lit(bp)).otherwise(F.lit(0))
-        word_score = term if word_score is None else word_score + term
+        word_score = word_score + F.when(
+            low.contains(w.lower()), F.lit(bp)
+        ).otherwise(F.lit(0))
     depth = F.greatest(
         F.size(F.split(F.regexp_replace(low, r"^[a-z]+://[^/]+", ""), "/"))
         - F.lit(7),
         F.lit(0),
     )
-    score = (word_score + depth * F.lit(10)).cast("bigint")
-    blocked = F.col(host_col).isin(blocklist_hosts)
-    return urls.select(
-        url_col,
-        host_col,
-        score.alias("score_bp"),
-        F.when(blocked, F.lit("drop"))
+    return (word_score + depth * F.lit(10)).cast("bigint")
+
+
+def url_quality_action_col(
+    url_col: str,
+    host_col: str,
+    blocklist_hosts: list[str],
+    scored_words,
+    flag_bp: int = 100,
+    drop_bp: int = 300,
+) -> Column:
+    """keep/flag/drop action column — the form the crawl loop's opt-in
+    pre-admission filter consumes (a .filter on this column, no join)."""
+    score = url_quality_score_col(url_col, scored_words)
+    return (
+        F.when(F.col(host_col).isin(blocklist_hosts), F.lit("drop"))
         .when(score >= F.lit(drop_bp), F.lit("drop"))
         .when(score >= F.lit(flag_bp), F.lit("flag"))
         .otherwise(F.lit("keep"))
-        .alias("action"),
     )
+
+
+def url_quality_action_py(
+    url: str,
+    host: str,
+    blocklist_hosts: list[str],
+    scored_words,
+    flag_bp: int = 100,
+    drop_bp: int = 300,
+) -> str:
+    """Pure-Python mirror of url_quality_action_col (drives the
+    reference-semantics simulator in the filter-guarded crawl mode;
+    equality with the Spark column is pytest-asserted)."""
+    import re
+
+    low = url.lower()
+    score = sum(bp for w, bp in scored_words if w.lower() in low)
+    path = re.sub(r"^[a-z]+://[^/]+", "", low)
+    score += max(len(path.split("/")) - 7, 0) * 10
+    if host in blocklist_hosts or score >= drop_bp:
+        return "drop"
+    if score >= flag_bp:
+        return "flag"
+    return "keep"
 
 
 # ---------------------------------------------------------------------------

@@ -78,7 +78,7 @@ REAL_FIXTURE_SITES = [
     "aajtak", "maharashtratimes", "interaksyon", "boholchronicle",
     "latestnews1", "apkaakhbar", "udaybulletin",
 ]
-_FIXTURE_VERSION = 9  # bump when fixture composition/output shape changes
+_FIXTURE_VERSION = 10  # bump when fixture composition/output shape changes
 
 # The recrawl pass (crawl_recrawl_* rows): after pass 1 the first
 # RECRAWL_EVICT_N stored request_urls (sorted) are evicted, then a second
@@ -149,6 +149,20 @@ def fixture_host_edges() -> list[tuple[str, str]]:
 TRAP_GUARD_MIN_URLS = 20
 TRAP_GUARD_DOMINANCE_BP = 10_001  # > 10000 = disabled at fixture scale
 TRAP_GUARD_BUDGET = 2
+
+# URL-filter-guarded fixture (crawl_url_filter_log): the RefinedWeb
+# §3.1.2 pre-admission filter runs INSIDE the engine (crawl_loop step 0)
+# with the simulator fed the pure-Python mirror. The config blocklists
+# one whole mock host (its seed is dropped in batch 0 — the site never
+# crawls) and hard-drops the c=1/p=0 article shard via a scored word,
+# while "?page=" only FLAGS (kept) — so the log exercises all three
+# actions and must still match byte-for-byte.
+URL_FILTER_CFG = dict(
+    blocklist_hosts=["site3.example.com"],
+    scored_words=[("_1_0_", 300), ("?page=", 120)],
+    flag_bp=100,
+    drop_bp=300,
+)
 
 
 def fixture_trap_graph() -> dict:
@@ -324,6 +338,12 @@ def ensure_sim_outputs(out_dir: str = SIM_ORACLE_DIR) -> str:
     pq.write_table(
         _log_table(sim5), os.path.join(tmp, "sim_trap_guard_log.parquet")
     )
+    # URL-filter pass: the plain fixture crawled under the RefinedWeb
+    # pre-admission filter (pure-Python mirror drives the simulator).
+    sim6 = simulate_crawl(fixture_graph(), url_filter=URL_FILTER_CFG)
+    pq.write_table(
+        _log_table(sim6), os.path.join(tmp, "sim_url_filter_log.parquet")
+    )
     with open(os.path.join(tmp, "_COMPLETE"), "w") as fh:
         fh.write("ok")
     # Atomic publish: another process may be racing; first rename wins.
@@ -452,6 +472,34 @@ def engine_trap_guard_log(spark: SparkSession) -> DataFrame:
         "batch_id", "url", "host", "method", "body", "attempt", "ua",
     )
     _ENGINE_CACHE["tg"] = out
+    return out
+
+
+def engine_url_filter_log(spark: SparkSession) -> DataFrame:
+    """The URL-filter-guarded crawl's ordered log: the engine runs with
+    CrawlEngine(url_filter=URL_FILTER_CFG) — the RefinedWeb pre-admission
+    filter as a map-side column predicate ahead of every dedup/fetch
+    stage — byte-identical to the simulator fed url_quality_action_py."""
+    if "uf" in _ENGINE_CACHE:
+        return _ENGINE_CACHE["uf"]  # type: ignore[return-value]
+    graph = fixture_graph()
+    ckpt = tempfile.mkdtemp(prefix="crawl_oracle_uf_ckpt_")
+    eng = CrawlEngine(
+        spark,
+        site_graph=site_graph_df(spark, graph),
+        registry=graph["registry"],
+        seeds=seeds_df(spark, graph),
+        cutoff_epoch=graph["cutoff_epoch"],
+        as_of=graph["as_of"],
+        checkpoint_dir=ckpt,
+        url_filter=URL_FILTER_CFG,
+    )
+    res = eng.run()
+    out = _canonical_rank(res["crawl_log"]).select(
+        "rank",
+        "batch_id", "url", "host", "method", "body", "attempt", "ua",
+    )
+    _ENGINE_CACHE["uf"] = out
     return out
 
 

@@ -44,6 +44,7 @@ def simulate_crawl(
     autothrottle: dict | None = None,
     authority: dict[str, int] | None = None,
     host_budgets: dict[str, int] | None = None,
+    url_filter: dict | None = None,
 ) -> dict:
     """Run the reference-semantics crawl over a mock_web graph.
 
@@ -153,7 +154,29 @@ def simulate_crawl(
     fetch_count = 0
     batch_id = 0
 
+    # URL-level quality filter mirror (crawl_loop.run_batch step 0):
+    # dropped URLs never reach dedup, never count as scheduled, never
+    # fetch — the same pure function the Spark column realizes.
+    if url_filter is not None:
+        from crawler_spark.operators.curation import url_quality_action_py
+
+        def _uq_keep(r: dict) -> bool:
+            return url_quality_action_py(
+                r["url"], _host(r["url"]),
+                url_filter["blocklist_hosts"],
+                url_filter["scored_words"],
+                flag_bp=url_filter.get("flag_bp", 100),
+                drop_bp=url_filter.get("drop_bp", 300),
+            ) != "drop"
+    else:
+        def _uq_keep(r: dict) -> bool:
+            return True
+
     while frontier and batch_id < max_batches:
+        if url_filter is not None:
+            frontier = [r for r in frontier if _uq_keep(r)]
+            if not frontier:
+                break
         # --- dedup (SURVEY §2.2): intra-frontier by url keeping min seq.
         # Retry rows (attempt > 0, W3) bypass every dedup tier, like
         # Scrapy's retry middleware re-scheduling with dont_filter. ---

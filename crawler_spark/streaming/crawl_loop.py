@@ -104,6 +104,7 @@ class CrawlEngine:
         autothrottle: dict | None = None,  # W4: {} = Scrapy defaults; None = off
         authority: DataFrame | None = None,  # (host, rank_micro) priority mass
         host_budgets: DataFrame | None = None,  # (host, budget) admission cap
+        url_filter: dict | None = None,  # RefinedWeb pre-admission URL filter
     ):
         from crawler_spark.sources.fetcher import MockWebFetcher
 
@@ -190,6 +191,12 @@ class CrawlEngine:
             if authority is not None else None
         )
         self.host_budgets = host_budgets
+        # RefinedWeb §3.1.2 URL-level filter (operators/curation.py),
+        # applied to every batch's frontier BEFORE any dedup/fetch work —
+        # the cheapest filter runs first. Keys: blocklist_hosts,
+        # scored_words, flag_bp, drop_bp. The simulator mirrors it with
+        # url_quality_action_py (crawl_url_filter_log oracle row).
+        self.url_filter = url_filter
         # Running |url_seen| from per-batch manifest stats — avoids an
         # O(history) recount per batch (recomputed once on resume).
         self._seen_total = 0
@@ -457,6 +464,26 @@ class CrawlEngine:
         spark = self.spark
         url_seen = self._url_seen_state(b - 1)
         scheduled = self._scheduled_state(b - 1)
+
+        # 0. URL-level quality filter (RefinedWeb §3.1.2) — before every
+        # other stage, so dropped URLs never cost a dedup probe, a robots
+        # check, or a fetch slot (and never count as 'scheduled' in the
+        # A4 metrics, matching the simulator mirror). Map-side column
+        # predicate: no join, no shuffle.
+        if self.url_filter is not None:
+            from crawler_spark.operators.curation import (
+                url_quality_action_col,
+            )
+
+            frontier = frontier.filter(
+                url_quality_action_col(
+                    "url", "host",
+                    self.url_filter["blocklist_hosts"],
+                    self.url_filter["scored_words"],
+                    flag_bp=self.url_filter.get("flag_bp", 100),
+                    drop_bp=self.url_filter.get("drop_bp", 300),
+                ) != F.lit("drop")
+            )
 
         # 1. dedup — intra-batch, intra-run, cross-run (SURVEY §2.2).
         # Retry rows (attempt > 0, W3) bypass every dedup tier: Scrapy's

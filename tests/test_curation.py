@@ -472,3 +472,40 @@ def test_fasttext_single_word_doc_is_neutral(spark):
     out = fasttext_score(_docs(spark, [(1, "lonely", "en")])).collect()[0]
     assert (out.n_feats, out.score_micro, out.quality_prob, out.keep) == \
         (0, 0, 0.5, True)
+
+
+def test_url_quality_mirror_matches_spark_column(spark):
+    """url_quality_action_py (the simulator's mirror in the filter-guarded
+    crawl mode) equals the Spark column on every action path."""
+    from crawler_spark.operators.curation import (
+        url_quality_action_col,
+        url_quality_action_py,
+    )
+
+    cfg = dict(
+        blocklist_hosts=["bad.example.com"],
+        scored_words=[("casino", 500), ("?id=", 150), ("_1_0_", 300)],
+        flag_bp=100,
+        drop_bp=300,
+    )
+    urls = (
+        [f"http://h{i}.example.com/a/{i}_1_0_2" for i in range(5)]
+        + [f"http://h{i}.example.com/gamble?id={i}" for i in range(5)]
+        + ["http://bad.example.com/clean/path"]
+        + [f"http://ok.example.com/{'d/' * i}leaf" for i in range(12)]
+        + ["http://ok.example.com/CASINO", "http://ok.example.com/news"]
+    )
+    from crawler_spark.simulator import _host
+
+    df = spark.createDataFrame(
+        [(u, _host(u)) for u in urls], "url string, host string"
+    )
+    got = {
+        r.url: r.a
+        for r in df.select(
+            "url",
+            url_quality_action_col("url", "host", **cfg).alias("a"),
+        ).collect()
+    }
+    for u in urls:
+        assert got[u] == url_quality_action_py(u, _host(u), **cfg), u
