@@ -234,6 +234,27 @@ def crawl_bench(spark) -> dict:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _calibration_stamp() -> dict:
+    """(cpu, mem) probe seconds + best-known capacity — the congestion
+    regime this bench ran in, stamped into the JSON so the recorded
+    artifact carries its own noise evidence (the sandbox VM's neighbor
+    interference inflates timings 2-25×; see BENCH/PROTOCOL.md). ~10 s
+    overhead; only taken for full-suite runs (the gated harnesses do
+    their own gating around subset/frontier runs)."""
+    try:
+        from tools.bench_scaling import calibrate, load_cal_best
+
+        cpu, mem = calibrate()
+        cpu_best, mem_best = load_cal_best()
+        return {
+            "cpu_s": round(cpu, 2), "mem_s": round(mem, 2),
+            "cpu_best_s": round(min(cpu, cpu_best), 2),
+            "mem_best_s": round(min(mem, mem_best), 2),
+        }
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -259,6 +280,7 @@ def main() -> None:
     subset = os.environ.get("SPARK_GRAFT_QUERIES")
     names = ([q for q in subset.split(",") if q] if subset
              else BENCH_QUERIES)
+    cal_pre = ({} if (frontier_only or subset) else _calibration_stamp())
     timings: dict[str, float] = {}
     total = 0.0
     if not frontier_only:
@@ -280,7 +302,8 @@ def main() -> None:
              else crawl_bench(spark))
     total += crawl.get("sec", 0.0)
 
-    print(json.dumps({
+    cal_post = ({} if (frontier_only or subset) else _calibration_stamp())
+    out = {
         "metric": "headline_suite_plus_frontier_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
@@ -289,7 +312,10 @@ def main() -> None:
         "cpus": int(cpus),
         "frontier": frontier,
         "crawl": crawl,
-    }))
+    }
+    if cal_pre or cal_post:
+        out["calibration"] = {"pre": cal_pre, "post": cal_post}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
