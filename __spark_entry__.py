@@ -1329,7 +1329,16 @@ def q_crawl_metrics(spark, sf_dir):
 # Registry
 # ---------------------------------------------------------------------------
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every individual capability, one callable each (66 entries).
+
+    The driver-facing :func:`queries` below repackages these into <=50
+    rows (the driver's correctness gate truncates at 50 entries) without
+    losing any oracle: related same-grain queries are unioned with a
+    discriminator column or joined into one wide row. bench.py and the
+    local test/check harnesses keep running the INDIVIDUAL entries via
+    :func:`queries_all` so BENCH/BASELINE.md row names stay stable.
+    """
     return {
         "report_daily": q_report_daily,
         "report_cumulative": q_report_cumulative,
@@ -1612,7 +1621,7 @@ def _embedding_near_dup_sql(threshold: float = 0.4, n_planes: int = 8,
     """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     report_joins = (
         "FROM orders o "
         "LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
@@ -2693,3 +2702,415 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
     }
+
+
+# ---------------------------------------------------------------------------
+# Driver-facing composites (round 5)
+#
+# The driver's correctness gate runs only the FIRST 50 ``queries()``
+# entries; rounds 1-4 grew the dict to 66 and the 16 most architecturally
+# important rows (every crawl_* lifecycle gate, interleaved_spans,
+# multimodal_*, host_pagerank, budget_allocation, revisit_schedule) slid
+# past the cap and never appeared in any CORRECTNESS_r*.json.  Fix
+# (VERDICT r4 "Next round" #1): repackage the 66 capabilities into 49
+# rows, lifecycle first.  Same-grain queries are unioned with a
+# discriminator column (no NULLs — sentinel values keep the value-hash
+# deterministic across the Spark/DuckDB pandas paths) or joined into one
+# wide row per key.  Every composite's oracle is the identical
+# union/join of the individual oracles, so no capability loses its
+# value-level check.  The individual entries stay runnable via
+# ``queries_all()`` (bench.py keys BENCH/BASELINE.md rows off the
+# original names; tests/tools verify both layers).
+# ---------------------------------------------------------------------------
+
+def _wrap(sql: str) -> str:
+    return f"(\n{sql}\n)"
+
+
+def q_report_all(spark, sf_dir):
+    """J1+A1+A2+A3 in one row set: the daily and cumulative baogao.py
+    report sections plus the grand-totals line, discriminated by
+    ``section``.  Sentinels (''/-1) instead of NULLs keep hashing exact."""
+    d = q_report_daily(spark, sf_dir).select(
+        F.lit("daily").alias("section"), "nation", "region", "num",
+        F.lit(-1).cast("long").alias("distinct_customers"), "total_cents")
+    c = q_report_cumulative(spark, sf_dir).select(
+        F.lit("cumulative").alias("section"), "nation", "region", "num",
+        F.lit(-1).cast("long").alias("distinct_customers"), "total_cents")
+    t = q_report_totals(spark, sf_dir).select(
+        F.lit("totals").alias("section"),
+        F.lit("").alias("nation"), F.lit("").alias("region"),
+        F.col("total_orders").alias("num"),
+        "distinct_customers", "total_cents")
+    return d.unionByName(c).unionByName(t)
+
+
+def q_date_functions(spark, sf_dir):
+    """F1-F4: fuzzy date parse and format_time3 round-trip, one row set."""
+    fz = q_fuzzy_date_parse(spark, sf_dir).select(
+        F.lit("fuzzy").alias("kind"), "event_id",
+        F.col("raw").alias("input"), F.col("parsed").alias("output"))
+    f3 = q_format_time3(spark, sf_dir).select(
+        F.lit("format_time3").alias("kind"), "event_id",
+        F.col("epoch").cast("string").alias("input"),
+        F.col("roundtrip").alias("output"))
+    return fz.unionByName(f3)
+
+
+def q_similarity_methods(spark, sf_dir):
+    """ANN top-k by all three methods (brute-force cosine, sign-LSH
+    multiprobe, IVF nprobe) in one row set, discriminated by ``method``."""
+    parts = [
+        q_embedding_topk(spark, sf_dir).select(
+            F.lit("brute").alias("method"), "query_id", "neighbor_id",
+            "rank", "cosine"),
+        q_similarity_lsh(spark, sf_dir).select(
+            F.lit("lsh").alias("method"), "query_id", "neighbor_id",
+            "rank", "cosine"),
+        q_similarity_ivf(spark, sf_dir).select(
+            F.lit("ivf").alias("method"), "query_id", "neighbor_id",
+            "rank", "cosine"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_text_metrics(spark, sf_dir):
+    """Token stats + n-gram lang-id + quality score joined into one wide
+    row per document (all three are per-doc over ``documents``)."""
+    ts = q_token_stats(spark, sf_dir)
+    li = q_lang_id(spark, sf_dir)
+    qs = q_quality_score(spark, sf_dir)
+    return ts.join(li, "doc_id").join(qs, "doc_id").orderBy("doc_id")
+
+
+def q_dedup_pairs(spark, sf_dir):
+    """All five pair-generating near-dup detectors in one row set:
+    n-gram Jaccard, MinHash+LSH, SimHash, winnowing, embedding sign-LSH.
+    ``score`` carries each method's native statistic cast to double."""
+    parts = [
+        q_ngram_jaccard(spark, sf_dir).select(
+            F.lit("ngram_jaccard").alias("method"), "doc_a", "doc_b",
+            F.col("jaccard").cast("double").alias("score")),
+        q_minhash_lsh(spark, sf_dir).select(
+            F.lit("minhash_lsh").alias("method"), "doc_a", "doc_b",
+            F.col("jaccard").cast("double").alias("score")),
+        q_simhash_pairs(spark, sf_dir).select(
+            F.lit("simhash").alias("method"), "doc_a", "doc_b",
+            F.col("hamming").cast("double").alias("score")),
+        q_winnow_pairs(spark, sf_dir).select(
+            F.lit("winnow").alias("method"), "doc_a", "doc_b",
+            F.col("n_shared").cast("double").alias("score")),
+        q_embedding_near_dup(spark, sf_dir).select(
+            F.lit("embedding").alias("method"),
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+            F.col("cosine").cast("double").alias("score")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_bm25_all(spark, sf_dir):
+    """BM25 index rows + query-time search ranking in one row set."""
+    ix = q_bm25_index(spark, sf_dir).select(
+        F.lit("index").alias("stage"), "doc_id", "term", "tf", "df",
+        "score", "rank")
+    se = q_bm25_search(spark, sf_dir).select(
+        F.lit("search").alias("stage"), "doc_id",
+        F.lit("").alias("term"), F.lit(-1).cast("long").alias("tf"),
+        F.lit(-1).cast("long").alias("df"), "score", "rank")
+    return ix.unionByName(se)
+
+
+def q_url_seen(spark, sf_dir):
+    """D1 both tiers: sharded-bloom+exact anti-join AND the cuckoo tier,
+    one row set discriminated by ``method`` (results must be identical
+    sets — the union doubles as a cross-check)."""
+    aj = q_url_seen_antijoin(spark, sf_dir).select(
+        F.lit("antijoin").alias("method"), "url", "dont_filter")
+    ck = q_url_seen_cuckoo(spark, sf_dir).select(
+        F.lit("cuckoo").alias("method"), "url", "dont_filter")
+    return aj.unionByName(ck)
+
+
+def q_multimodal_all(spark, sf_dir):
+    """Media feature extraction + frame sampling in one row set
+    (sentinels ''/-1 in the slots the other branch owns)."""
+    fe = q_multimodal_features(spark, sf_dir).select(
+        F.lit("features").alias("kind"), "doc_id", "media_ref",
+        "media_type", "n_bytes", "content_sha256", "width", "height",
+        "n_frames",
+        F.lit(-1).cast("int").alias("frame_idx"),
+        F.lit("").alias("frame_sha256"),
+        F.lit(-1).cast("int").alias("out_width"),
+        F.lit(-1).cast("int").alias("out_height"))
+    fr = q_multimodal_frames(spark, sf_dir).select(
+        F.lit("frames").alias("kind"), "doc_id", "media_ref",
+        F.lit("").alias("media_type"),
+        F.lit(-1).cast("long").alias("n_bytes"),
+        F.lit("").alias("content_sha256"),
+        F.lit(-1).cast("int").alias("width"),
+        F.lit(-1).cast("int").alias("height"),
+        F.lit(-1).cast("int").alias("n_frames"),
+        "frame_idx", "frame_sha256", "out_width", "out_height")
+    return fe.unionByName(fr)
+
+
+def q_doc_quality(spark, sf_dir):
+    """Gopher repetition signals + PII redaction + fastText-style quality
+    classifier joined into one wide curation row per document."""
+    go = q_gopher_repetition(spark, sf_dir)
+    pi = q_pii_redact(spark, sf_dir)
+    ft = q_fasttext_quality(spark, sf_dir)
+    return go.join(pi, "doc_id").join(ft, "doc_id").orderBy("doc_id")
+
+
+def q_authority_budget(spark, sf_dir):
+    """Host PageRank authority joined with the apportioned crawl budget
+    it drives (one row per host)."""
+    pr = q_host_pagerank(spark, sf_dir)
+    bu = q_budget_allocation(spark, sf_dir)
+    return pr.join(bu, "host").orderBy("host")
+
+
+_COMPOSITES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "report_all": q_report_all,
+    "date_functions": q_date_functions,
+    "similarity_methods": q_similarity_methods,
+    "text_metrics": q_text_metrics,
+    "dedup_pairs": q_dedup_pairs,
+    "bm25_all": q_bm25_all,
+    "url_seen": q_url_seen,
+    "multimodal_all": q_multimodal_all,
+    "doc_quality": q_doc_quality,
+    "authority_budget": q_authority_budget,
+}
+
+# Which individual capabilities each composite row carries (coverage
+# accounting for tests + SURVEY; every base entry must be reachable from
+# the driver-facing dict through exactly one of these or directly).
+COMPOSITE_COVERS: dict[str, tuple[str, ...]] = {
+    "report_all": ("report_daily", "report_cumulative", "report_totals"),
+    "date_functions": ("fuzzy_date_parse", "format_time3"),
+    "similarity_methods": ("embedding_topk", "similarity_lsh",
+                           "similarity_ivf"),
+    "text_metrics": ("token_stats", "lang_id", "quality_score"),
+    "dedup_pairs": ("ngram_jaccard", "minhash_lsh", "simhash_pairs",
+                    "winnow_pairs", "embedding_near_dup"),
+    "bm25_all": ("bm25_index", "bm25_search"),
+    "url_seen": ("url_seen_antijoin", "url_seen_cuckoo"),
+    "multimodal_all": ("multimodal_features", "multimodal_frames"),
+    "doc_quality": ("gopher_repetition", "pii_redact", "fasttext_quality"),
+    "authority_budget": ("host_pagerank", "budget_allocation"),
+}
+
+# Driver-facing order: the ten crawl_* lifecycle gates FIRST (the
+# engine-vs-simulator parity rows that prove the crawler), then the
+# remaining engine rows, then operators.  49 entries — inside the
+# driver's 50-row cap with one slot of headroom.
+DRIVER_ORDER: tuple[str, ...] = (
+    "crawl_log",
+    "crawl_docs",
+    "crawl_spans",
+    "crawl_metrics",
+    "crawl_categories",
+    "crawl_prioritized_log",
+    "crawl_trap_guard_log",
+    "crawl_url_filter_log",
+    "crawl_recrawl_log",
+    "crawl_recrawl_docs",
+    "interleaved_spans",
+    "multimodal_all",
+    "authority_budget",
+    "revisit_schedule",
+    "report_all",
+    "url_canonicalize",
+    "trap_detection",
+    "url_seen",
+    "frontier_dedup",
+    "politeness_admission",
+    "robots_filter",
+    "fetch_schedule",
+    "autothrottle_delay",
+    "priority_score",
+    "event_sessionize",
+    "time_cutoff",
+    "url_dispatch",
+    "date_functions",
+    "exact_dedup",
+    "substring_dedup",
+    "bm25_all",
+    "dedup_pairs",
+    "dedup_clusters",
+    "text_metrics",
+    "fingerprint",
+    "winnow_fingerprint",
+    "training_pipeline",
+    "doc_quality",
+    "stratified_sample",
+    "decontaminate",
+    "sequence_pack",
+    "dsir_weights",
+    "ccnet_perplexity",
+    "similarity_methods",
+    "semdedup",
+    "paragraph_dedup",
+    "url_quality",
+    "hll_count",
+    "event_hourly_agg",
+)
+
+
+def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every runnable entry: the 66 individual capabilities plus the 10
+    driver-facing composites.  bench.py and the local oracle harnesses
+    iterate this so BENCH/BASELINE.md row names stay stable and both
+    layers stay verified."""
+    d = _queries_base()
+    d.update(_COMPOSITES)
+    return d
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-facing dict: 49 rows covering all 66 capabilities,
+    crawl-lifecycle rows first (the driver's gate runs the first 50)."""
+    allq = queries_all()
+    return {k: allq[k] for k in DRIVER_ORDER}
+
+
+def _oracle_sql_composites(base: dict[str, str]) -> dict[str, str]:
+    """DuckDB oracles for the composites: the identical unions/joins of
+    the individual oracles, sentinel-for-sentinel."""
+    w = {k: _wrap(v) for k, v in base.items()}
+    return {
+        "report_all": f"""
+            SELECT 'daily' AS section, nation, region, num,
+                   CAST(-1 AS BIGINT) AS distinct_customers, total_cents
+            FROM {w['report_daily']} _d
+            UNION ALL
+            SELECT 'cumulative' AS section, nation, region, num,
+                   CAST(-1 AS BIGINT) AS distinct_customers, total_cents
+            FROM {w['report_cumulative']} _c
+            UNION ALL
+            SELECT 'totals' AS section, '' AS nation, '' AS region,
+                   total_orders AS num, distinct_customers, total_cents
+            FROM {w['report_totals']} _t
+        """,
+        "date_functions": f"""
+            SELECT 'fuzzy' AS kind, event_id, raw AS input,
+                   parsed AS output
+            FROM {w['fuzzy_date_parse']} _f
+            UNION ALL
+            SELECT 'format_time3' AS kind, event_id,
+                   CAST(epoch AS VARCHAR) AS input, roundtrip AS output
+            FROM {w['format_time3']} _g
+        """,
+        "similarity_methods": f"""
+            SELECT 'brute' AS method, query_id, neighbor_id, rank, cosine
+            FROM {w['embedding_topk']} _b
+            UNION ALL
+            SELECT 'lsh' AS method, query_id, neighbor_id, rank, cosine
+            FROM {w['similarity_lsh']} _l
+            UNION ALL
+            SELECT 'ivf' AS method, query_id, neighbor_id, rank, cosine
+            FROM {w['similarity_ivf']} _i
+        """,
+        "text_metrics": f"""
+            SELECT t.doc_id, t.n_ws_tokens, t.n_re_tokens, t.n_chars_calc,
+                   t.avg_wlen, l.en_score, l.es_score, l.de_score,
+                   l.fr_score, l.predicted_lang, q.quality
+            FROM {w['token_stats']} t
+            JOIN {w['lang_id']} l ON t.doc_id = l.doc_id
+            JOIN {w['quality_score']} q ON t.doc_id = q.doc_id
+            ORDER BY t.doc_id
+        """,
+        "dedup_pairs": f"""
+            SELECT 'ngram_jaccard' AS method, doc_a, doc_b,
+                   CAST(jaccard AS DOUBLE) AS score
+            FROM {w['ngram_jaccard']} _n
+            UNION ALL
+            SELECT 'minhash_lsh' AS method, doc_a, doc_b,
+                   CAST(jaccard AS DOUBLE) AS score
+            FROM {w['minhash_lsh']} _m
+            UNION ALL
+            SELECT 'simhash' AS method, doc_a, doc_b,
+                   CAST(hamming AS DOUBLE) AS score
+            FROM {w['simhash_pairs']} _s
+            UNION ALL
+            SELECT 'winnow' AS method, doc_a, doc_b,
+                   CAST(n_shared AS DOUBLE) AS score
+            FROM {w['winnow_pairs']} _w
+            UNION ALL
+            SELECT 'embedding' AS method, id_a AS doc_a, id_b AS doc_b,
+                   CAST(cosine AS DOUBLE) AS score
+            FROM {w['embedding_near_dup']} _e
+        """,
+        "bm25_all": f"""
+            SELECT 'index' AS stage, doc_id, term, tf, df, score, rank
+            FROM {w['bm25_index']} _i
+            UNION ALL
+            SELECT 'search' AS stage, doc_id, '' AS term,
+                   CAST(-1 AS BIGINT) AS tf, CAST(-1 AS BIGINT) AS df,
+                   score, rank
+            FROM {w['bm25_search']} _s
+        """,
+        "url_seen": f"""
+            SELECT 'antijoin' AS method, url, dont_filter
+            FROM {w['url_seen_antijoin']} _a
+            UNION ALL
+            SELECT 'cuckoo' AS method, url, dont_filter
+            FROM {w['url_seen_cuckoo']} _c
+        """,
+        "multimodal_all": f"""
+            SELECT 'features' AS kind, doc_id, media_ref, media_type,
+                   n_bytes, content_sha256, width, height, n_frames,
+                   CAST(-1 AS INTEGER) AS frame_idx, '' AS frame_sha256,
+                   CAST(-1 AS INTEGER) AS out_width,
+                   CAST(-1 AS INTEGER) AS out_height
+            FROM {w['multimodal_features']} _f
+            UNION ALL
+            SELECT 'frames' AS kind, doc_id, media_ref, '' AS media_type,
+                   CAST(-1 AS BIGINT) AS n_bytes, '' AS content_sha256,
+                   CAST(-1 AS INTEGER) AS width,
+                   CAST(-1 AS INTEGER) AS height,
+                   CAST(-1 AS INTEGER) AS n_frames,
+                   frame_idx, frame_sha256, out_width, out_height
+            FROM {w['multimodal_frames']} _r
+        """,
+        "doc_quality": f"""
+            SELECT g.doc_id, g.n_words, g.dup_word_frac, g.top_bigram_frac,
+                   g.top_trigram_frac, g.keep_flag, p.n_emails, p.n_phones,
+                   p.n_ips, p.text_redacted, f.n_feats, f.score_micro,
+                   f.quality_prob, f.keep
+            FROM {w['gopher_repetition']} g
+            JOIN {w['pii_redact']} p ON g.doc_id = p.doc_id
+            JOIN {w['fasttext_quality']} f ON g.doc_id = f.doc_id
+            ORDER BY g.doc_id
+        """,
+        "authority_budget": f"""
+            SELECT pr.host, pr.rank_micro, pr.rank, bu.budget
+            FROM {w['host_pagerank']} pr
+            JOIN {w['budget_allocation']} bu ON pr.host = bu.host
+            ORDER BY pr.host
+        """,
+    }
+
+
+def oracle_sql_all() -> dict[str, str]:
+    """Oracles for every entry in :func:`queries_all` (individual +
+    composite).  Entries absent here (the crawl_* rows ride on the
+    simulator-parquet oracles in the base dict) keep their base oracle."""
+    base = _oracle_sql_base()
+    out = dict(base)
+    out.update(_oracle_sql_composites(base))
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    """Driver-facing oracles, keyed to match :func:`queries`."""
+    allo = oracle_sql_all()
+    return {k: allo[k] for k in DRIVER_ORDER if k in allo}

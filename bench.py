@@ -274,7 +274,10 @@ def main() -> None:
     # sets), so compare like against like.
     mult = int(os.environ.get("SPARK_GRAFT_FRONTIER_MULT", "10"))
 
-    qs = entrymod.queries()
+    # queries_all(): BENCH_QUERIES names the INDIVIDUAL capabilities so
+    # BENCH/BASELINE.md row names stay stable across the round-5
+    # repackaging of the driver-facing queries() into composites.
+    qs = entrymod.queries_all()
     # SPARK_GRAFT_QUERIES=a,b,c restricts the suite (addendum re-measures
     # of a few queries fit a short clean window a full sweep would miss)
     subset = os.environ.get("SPARK_GRAFT_QUERIES")

@@ -19,23 +19,23 @@ def _physical_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+@pytest.mark.parametrize("name", sorted(entrymod.queries_all()))
 def test_no_row_at_a_time_python(spark, name):
-    df = entrymod.queries()[name](spark, SF_DIR)
+    df = entrymod.queries_all()[name](spark, SF_DIR)
     plan = _physical_plan(df)
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
 
 
 def test_arrow_python_where_expected(spark):
     """The two deliberately-Python stages are Arrow-batched in the plan."""
-    fuzzy = entrymod.queries()["fuzzy_date_parse"](spark, SF_DIR)
+    fuzzy = entrymod.queries_all()["fuzzy_date_parse"](spark, SF_DIR)
     assert "ArrowEvalPython" in _physical_plan(fuzzy)
-    mm = entrymod.queries()["multimodal_features"](spark, SF_DIR)
+    mm = entrymod.queries_all()["multimodal_features"](spark, SF_DIR)
     assert "MapInPandas" in _physical_plan(mm)
 
 
 def test_report_joins_are_broadcast(spark):
-    plan = _physical_plan(entrymod.queries()["report_daily"](spark, SF_DIR))
+    plan = _physical_plan(entrymod.queries_all()["report_daily"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # dims must not shuffle
 
@@ -44,7 +44,7 @@ def test_embedding_near_dup_is_bucketed(spark):
     """The embedding near-dup scale path must be an equi-join on the LSH
     probe bucket — never the all-pairs BroadcastNestedLoopJoin the exact
     baseline plans as (VERDICT r1 'What's wrong #4')."""
-    plan = _physical_plan(entrymod.queries()["embedding_near_dup"](spark, SF_DIR))
+    plan = _physical_plan(entrymod.queries_all()["embedding_near_dup"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
@@ -52,6 +52,6 @@ def test_embedding_near_dup_is_bucketed(spark):
 def test_scan_prunes_columns(spark):
     """Column pruning reaches the parquet scan: the report query must not
     read unused wide columns (ReadSchema limited to what the plan needs)."""
-    plan = _physical_plan(entrymod.queries()["report_daily"](spark, SF_DIR))
+    plan = _physical_plan(entrymod.queries_all()["report_daily"](spark, SF_DIR))
     assert "o_orderpriority" not in plan
     assert "o_orderstatus" not in plan

@@ -40,8 +40,8 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = entrymod.queries_all()
+    oracles = entrymod.oracle_sql_all()
     unknown = only - set(qs)
     if unknown:
         print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
