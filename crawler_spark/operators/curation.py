@@ -349,17 +349,16 @@ def dsir_weights(
         .groupBy(id_col)
         .agg(F.sum(F.col("c") * F.col("lrm")).alias("weight_micro"))
     )
-    from pyspark.sql import Window
+    from crawler_spark.functions.ranking import bounded_global_rank
 
     topk = weights.orderBy(
         F.col("weight_micro").desc(), F.col(id_col).asc()
     ).limit(k)
-    w = Window.orderBy(F.col("weight_micro").desc(), F.col(id_col).asc())
-    return topk.select(
-        id_col,
-        "weight_micro",
-        F.row_number().over(w).cast("int").alias("rank"),
-    )
+    # Final rank over the k-bounded head — bounded aggregate, not an
+    # unpartitioned window (functions/ranking.py).
+    return bounded_global_rank(
+        topk, [(-F.col("weight_micro")).alias("_nw"), F.col(id_col)]
+    ).select(id_col, "weight_micro", "rank")
 
 
 # CCNet cutoff-sample rate: head/middle/tail cutoffs are computed over the
@@ -466,22 +465,31 @@ def ccnet_perplexity(
     sample = ce.filter(
         sample_bucket(F.col(id_col)) < sample_buckets
     )
-    # the sample is percent-scale by construction, so one partition is
-    # fine; the explicit partition key documents that and keeps the plan
-    # free of the unpartitioned-window warning
-    tile = F.ntile(3).over(
-        Window.partitionBy(F.lit(0))
-        .orderBy(F.col("ce_micro").asc(), F.col("_id").asc())
-    )
+    # The sample is percent-scale by construction, so a single-group
+    # aggregate is the right plan: collect the sorted sample once and read
+    # the ntile(3) boundary elements directly (tile sizes: base = n div 3,
+    # the first n%3 tiles get one extra — Spark's NTile sizing exactly).
+    # A bounded aggregate instead of a window: PySpark 4 folds away
+    # constant partition keys, so the partitionBy(lit(0)) idiom plans as
+    # an unpartitioned window and warns (functions/ranking.py).
     cuts = (
         sample.select("ce_micro", F.col(id_col).alias("_id"))
-        .withColumn("tile", tile)
-        .groupBy()
         .agg(
-            F.max(F.when(F.col("tile") == 1, F.col("ce_micro")))
-            .alias("cut1"),
-            F.max(F.when(F.col("tile") <= 2, F.col("ce_micro")))
-            .alias("cut2"),
+            F.sort_array(
+                F.collect_list(F.struct("ce_micro", "_id"))
+            ).alias("_a")
+        )
+        .select(
+            F.expr(
+                "CASE WHEN size(_a) >= 1 THEN _a["
+                "(size(_a) div 3) + least(size(_a) % 3, 1) - 1"
+                "].ce_micro END"
+            ).alias("cut1"),
+            F.expr(
+                "CASE WHEN size(_a) >= 1 THEN _a["
+                "2 * (size(_a) div 3) + least(size(_a) % 3, 2) - 1"
+                "].ce_micro END"
+            ).alias("cut2"),
         )
     )
     return ce.crossJoin(F.broadcast(cuts)).select(

@@ -147,5 +147,10 @@ def bm25_search(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(top_n)
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return ranked.withColumn("rank", F.row_number().over(w))
+    # Global rank over the top_n-bounded result set — bounded aggregate,
+    # not an unpartitioned window (functions/ranking.py).
+    from crawler_spark.functions.ranking import bounded_global_rank
+
+    return bounded_global_rank(
+        ranked, [(-F.col("score")).alias("_ns"), F.col("doc_id")]
+    ).select("doc_id", "score", "rank")

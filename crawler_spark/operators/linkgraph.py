@@ -266,11 +266,17 @@ def allocate_budget(
     r = r.withColumn("_rn1", F.row_number().over(w1))
     survivors = r.filter(F.col("_rn1") <= F.col("_left"))
     rest = r.filter(F.col("_rn1") > F.col("_left"))
-    # Phase 2 — exact global rank over ≤ salt_k × leftover survivors; the
-    # single explicit partition is the intended plan for this BOUNDED set
-    # (and keeps WindowExec from warning about an undefined partition).
-    w2 = Window.partitionBy(F.lit(0)).orderBy(F.desc("_rem"), F.asc("host"))
-    bumped = survivors.withColumn("_pos", F.row_number().over(w2))
+    # Phase 2 — exact global rank over ≤ salt_k × leftover survivors: a
+    # bounded aggregate (functions/ranking.py), not a window — PySpark 4
+    # folds constant partition keys out of window specs, so the old
+    # partitionBy(lit(0)) idiom planned as an unpartitioned window.
+    from crawler_spark.functions.ranking import bounded_global_rank
+
+    bumped = bounded_global_rank(
+        survivors,
+        [(-F.col("_rem")).alias("_nr"), F.col("host")],
+        rank_name="_pos",
+    )
 
     def _final(df, bump):
         return df.select(

@@ -568,16 +568,34 @@ def _canonical_rank(log: DataFrame) -> DataFrame:
     )
     counts = log.groupBy("batch_id").agg(F.count(F.lit(1)).alias("_n"))
     # The offset scan runs over the per-batch SUMMARY (one row per
-    # micro-batch — bounded by run length, not corpus size), so a single
-    # explicit partition is the right plan at any scale and keeps
-    # WindowExec from warning about an undefined partition.
-    off_w = (
-        Window.partitionBy(F.lit(0)).orderBy("batch_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = counts.select(
-        "batch_id",
-        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"),
+    # micro-batch — bounded by run length, not corpus size): collect the
+    # sorted summary in one bounded aggregate and compute each batch's
+    # exclusive prefix sum array-side.  Not a window — PySpark 4 folds
+    # constant partition keys out of window specs, so the old
+    # partitionBy(lit(0)) idiom planned as an unpartitioned window and
+    # warned on every execution (functions/ranking.py has the rationale).
+    offs = (
+        counts.agg(
+            F.sort_array(
+                F.collect_list(F.struct("batch_id", "_n"))
+            ).alias("_a")
+        )
+        .select(
+            F.explode(
+                F.transform(
+                    F.col("_a"),
+                    lambda x, i: F.struct(
+                        x["batch_id"].alias("batch_id"),
+                        F.aggregate(
+                            F.slice(F.col("_a"), F.lit(1), i),
+                            F.lit(0).cast("long"),
+                            lambda acc, y: acc + y["_n"],
+                        ).alias("_off"),
+                    ),
+                )
+            ).alias("_kv")
+        )
+        .select("_kv.batch_id", "_kv._off")
     )
     return (
         log.withColumn("_rb", F.row_number().over(per_batch))

@@ -19,11 +19,31 @@ def _physical_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _unpartitioned_windows(df) -> list:
+    """Window nodes in the OPTIMIZED logical plan with an empty partition
+    spec — checked post-optimizer because PySpark 4's
+    EliminateWindowPartitions folds constant partition keys (the old
+    ``partitionBy(lit(0))`` idiom) down to exactly this case."""
+    import json
+
+    nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    return [
+        n for n in nodes
+        if n.get("class", "").endswith("logical.Window")
+        and not n.get("partitionSpec")
+    ]
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries_all()))
 def test_no_row_at_a_time_python(spark, name):
     df = entrymod.queries_all()[name](spark, SF_DIR)
     plan = _physical_plan(df)
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    assert not _unpartitioned_windows(df), (
+        f"{name}: unpartitioned Window in optimized plan (all-to-one-"
+        "partition sort); use a partitioned window or "
+        "functions/ranking.bounded_global_rank"
+    )
 
 
 def test_arrow_python_where_expected(spark):
