@@ -251,8 +251,12 @@ def _calibration_stamp() -> dict:
             "cpu_best_s": round(min(cpu, cpu_best), 2),
             "mem_best_s": round(min(mem, mem_best), 2),
         }
-    except Exception:
-        return {}
+    except Exception as e:  # pragma: no cover - defensive
+        # Never silently drop the congestion-evidence stamp the recorded
+        # artifact relies on (BENCH/PROTOCOL.md): surface the failure in
+        # the JSON and on stderr so a broken probe is visible.
+        print(f"calibration stamp failed: {e!r}", file=sys.stderr)
+        return {"error": repr(e)}
 
 
 def main() -> None:

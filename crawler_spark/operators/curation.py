@@ -672,7 +672,12 @@ def url_quality_action_py(
 # Patterns stay inside the Java-regex ∩ RE2 common subset (no lookaround,
 # no backreferences) so the DuckDB oracle runs them verbatim.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
-PII_PHONE_RE = r"\+[0-9][0-9\- ]{7,}[0-9]"
+# Phone: '+' then 8+ digits with AT MOST ONE separator between any two
+# digits — '(?:[ \-]?[0-9])' cannot cross a double space, so a phone
+# followed by other space-separated numeric tokens (e.g. an IP) no longer
+# gets swallowed into <PHONE> (round-4 advisory).  Non-capturing groups
+# and bounded repetition are in the Java-regex ∩ RE2 subset.
+PII_PHONE_RE = r"\+[0-9](?:[ \-]?[0-9]){7,}"
 PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 

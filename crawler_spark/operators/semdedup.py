@@ -14,9 +14,13 @@ Determinism / cross-engine exactness (the house rules — same posture as
 - **Fixed-point Lloyd iterations.** Embeddings and centroids live in
   integer micros (``floor(x * 1e6 + 0.5)``); squared distances are exact
   ``bigint`` sums (order-free under any partitioning) and centroid updates
-  are ``floor(sum / count)`` integer division — so every Lloyd round is
-  bit-identical in Spark and in the unrolled DuckDB oracle, at any
-  parallelism. Ties in the argmin go to the lowest cell index.
+  are ``floor(sum / count)`` computed as EXACT integer floor division on
+  both sides (Python ``//`` on exact ints; in SQL a mod-adjusted ``//``,
+  since DuckDB's ``//`` truncates toward zero on integers) — never
+  through a double, whose 53-bit mantissa would double-round once |sum|
+  exceeds 2^53.  So every Lloyd round is bit-identical in Spark and in
+  the unrolled DuckDB oracle, at any parallelism and any magnitude.
+  Ties in the argmin go to the lowest cell index.
 - **Assignment is map-side.** Centroids are inlined as literals, the
   argmin is ``array_position(d, array_min(d))`` — zero shuffles per
   assignment. The per-round centroid update is ONE partial-agg groupBy of
@@ -112,7 +116,10 @@ def kmeans_fixed_point(
                                            *sums)
         # k rows × dim ints back to the driver — bounded by k, not by data.
         new = {
-            int(r["cell"]): [int(np.floor(r[f"s{i}"] / r["n"]))
+            # Exact integer floor division (Python // on exact ints; n>0)
+            # — never float: a bigint sum past 2^53 would double-round
+            # and break bit-parity with the integer-division oracle.
+            int(r["cell"]): [int(r[f"s{i}"]) // int(r["n"])
                              for i in range(dim)]
             for r in upd.collect()
         }
@@ -240,7 +247,9 @@ def semdedup_sql(
         parts.append(assign(f"a{r}", f"c{r}"))
         parts.append(f"""u{r} AS (
           SELECT a.cell, t.i,
-                 cast(floor(sum(e.em[t.i])::double / count(*)) as bigint)
+                 cast((sum(e.em[t.i])
+                       - ((sum(e.em[t.i]) % count(*) + count(*))
+                          % count(*))) // count(*) as bigint)
                    AS cv
           FROM a{r} a JOIN em e USING (id)
           CROSS JOIN range(1, {dim + 1}) t(i)
