@@ -74,11 +74,24 @@ FIXTURE_KW = dict(
 # chain; udaybulletin certifies parent-suppressed nested menus,
 # label-conditional slug composition, and the unbounded offset API with
 # gate-time ≠ stored-time fields.
+# PERMANENT roster members and the engine mechanic each one pins through
+# the driver's crawl_log gate (do not rotate these out — each is the ONLY
+# driver-gated exerciser of its mechanic; the e2e pytest pair covers them
+# too, but the oracle fixture is what lands in CORRECTNESS_r*.json):
+#   aajtak           two-level menus -> category2 lineage
+#   maharashtratimes dont_filter probe + self-refetch pagination
+#   interaksyon      selector-rule surface (htmlsel DOM engine)
+#   boholchronicle   multi-group menus, sibling-combinator bodies
+#   latestnews1      soft-404 detection, skip-slice menus
+#   apkaakhbar       in-parse side-fetch gates + scraped-max-pages POST
+#   udaybulletin     root-list JSON API, unbounded offset pagination
+#   unbox            POST seeds + double-JSON envelope (S5 form chains)
+#   hatawtabloid     clearance-cookie fetch identity + /page/N paths
 REAL_FIXTURE_SITES = [
     "aajtak", "maharashtratimes", "interaksyon", "boholchronicle",
-    "latestnews1", "apkaakhbar", "udaybulletin",
+    "latestnews1", "apkaakhbar", "udaybulletin", "unbox", "hatawtabloid",
 ]
-_FIXTURE_VERSION = 10  # bump when fixture composition/output shape changes
+_FIXTURE_VERSION = 11  # bump when fixture composition/output shape changes
 
 # The recrawl pass (crawl_recrawl_* rows): after pass 1 the first
 # RECRAWL_EVICT_N stored request_urls (sorted) are evicted, then a second
