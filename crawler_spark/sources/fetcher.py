@@ -153,10 +153,14 @@ class HttpFetcher:
     ``scheduled_at``. Requires the admission columns ``host_rank`` and
     ``crawl_delay`` (admit_per_host emits both). Off by default: tests
     and the mock path measure dataflow, not wall clock, and upstream
-    admission already bounds per-host volume per batch. Spacing is
-    enforced within each Arrow batch sequence of a partition; a host
-    spanning multiple partitions (impossible after the repartition) or a
-    >maxRecordsPerBatch host would be the one seam to revisit.
+    admission already bounds per-host volume per batch. Pacing offsets
+    are anchored to the PARTITION's fetch start (``t0`` is taken once,
+    before the Arrow batch loop), so spacing holds even when one host's
+    rows span multiple Arrow batches within the partition — verified by
+    tests/test_fetcher.py::test_paced_pacing_holds_across_arrow_batches
+    with maxRecordsPerBatch forced below the host budget. A host
+    spanning multiple PARTITIONS remains impossible by construction (the
+    repartition above co-locates each host).
     """
 
     def __init__(self, timeout_s: float = FETCH_TIMEOUT_S,

@@ -292,6 +292,48 @@ def test_paced_http_fetcher_honors_schedule(spark, http_graph):
     assert max(times2) - min(times2) < delay
 
 
+def test_paced_pacing_holds_across_arrow_batches(spark, http_graph):
+    """The pacing seam (fetcher.py): offsets are anchored to the
+    PARTITION's fetch start (t0 before the batch loop), so DOWNLOAD_DELAY
+    spacing must hold even when one host's admitted rows span multiple
+    Arrow batches.  Force maxRecordsPerBatch below the host budget and
+    measure arrival gaps at the server."""
+    page = next(p for p in http_graph["pages"].values()
+                if p["response_url"] == p["url"] and not p.get("fail_times")
+                and p["method"] == "GET")
+    delay = 0.4
+    n = 6  # host budget 6 > Arrow batch size 2 -> >=3 batches
+    rows = [
+        (page["url"], "GET", "", 0, page["kind"], "ua-x", None,
+         "127.0.0.1", rank, delay)
+        for rank in range(1, n + 1)
+    ]
+    adf = spark.createDataFrame(
+        rows,
+        "url string, method string, body string, attempt int,"
+        " parse_kind string, ua string, cookie string, host string,"
+        " host_rank int, crawl_delay double",
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "2")
+    try:
+        _GraphHandler.hit_times = {}
+        out = HttpFetcher(timeout_s=10, paced=True).fetch(adf).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert {r.f_status for r in out} == {"ok"} and len(out) == n
+    times = sorted(
+        t for ts in _GraphHandler.hit_times.values() for t in ts
+    )
+    assert len(times) == n
+    gaps = [b - a for a, b in zip(times, times[1:])]
+    assert all(g >= delay * 0.75 for g in gaps), gaps
+
+
 class _SlowHandler(BaseHTTPRequestHandler):
     """Serves every GET after a fixed delay and records each request's
     [start, end] service interval keyed by path."""
