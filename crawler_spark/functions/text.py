@@ -138,6 +138,14 @@ def md5_long60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def md5_long60_py(s: str) -> int:
+    """Driver-side mirror of :func:`md5_long60` (used when a model file
+    must be re-bucketed with the engine's hash at load time)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def minhash_params(num_hashes: int, seed: int = 20240817) -> tuple[list[int], list[int]]:
     """Deterministic (a_i, b_i) universal-hash coefficients, inlined as
     literals into both the Spark plan and the DuckDB oracle SQL."""

@@ -34,7 +34,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from crawler_spark.functions.text import md5_long60, shingles_of
+from crawler_spark.functions.text import (
+    md5_long60,
+    md5_long60_py,
+    shingles_of,
+)
 
 # Gopher-style keep thresholds (Rae et al. 2021 use character-fraction
 # cutoffs of 0.20/0.18 for top 2-/3-grams; we apply the same cutoffs to
@@ -720,8 +724,56 @@ FASTTEXT_BUCKETS = 4096
 FASTTEXT_W_SPAN = 2001  # weights in [-1000, 1000] micros-per-feature
 
 
+def load_fasttext_vec(path: str, keep_label: str = "__label__keep",
+                      buckets: int = FASTTEXT_BUCKETS) -> dict[int, int]:
+    """Load a fastText TEXT-format dump (.vec: header ``n dim`` then one
+    ``token v1 .. vdim`` row per line) into the engine's bucket→weight
+    table, proving the ``fasttext_score`` "swap in a real model,
+    identical plan" seam with a real model FILE rather than the derived
+    demo table.
+
+    Scoring math follows the supervised fastText model (Joulin et al.
+    2016): a document's label score is ``mean_g(input[g]) · output[L]``,
+    so each feature's scalar contribution is ``input[g] · output[L]`` —
+    computed here once at load time against the ``keep_label`` output row
+    and quantized to integer micros (ties-away rounding) so the engine's
+    exact-integer plan is unchanged.  Feature tokens are re-bucketed with
+    the ENGINE's hash (md5_long60 % buckets): fastText stores word
+    n-grams only as hashed buckets (never as vocabulary strings), so any
+    textual dump of n-gram features must pick a serialization — this
+    loader takes bigrams joined with ``_`` (``new_york``) and restores
+    the engine's space joiner.  Colliding vocabulary rows sum, exactly
+    like fastText's shared hash buckets.
+    """
+    import numpy as _np
+
+    vecs: dict[str, list[float]] = {}
+    with open(path, "r", encoding="utf-8") as fh:
+        header = fh.readline().split()
+        n, dim = int(header[0]), int(header[1])
+        for line in fh:
+            parts = line.rstrip("\n").split(" ")
+            tok, vals = parts[0], [float(x) for x in parts[1:]]
+            if len(vals) != dim:
+                raise ValueError(f"bad row for {tok!r}: {len(vals)} dims")
+            vecs[tok] = vals
+    if len(vecs) != n:
+        raise ValueError(f"header says {n} rows, file has {len(vecs)}")
+    if keep_label not in vecs:
+        raise ValueError(f"output row {keep_label!r} missing")
+    out_vec = _np.array(vecs.pop(keep_label), dtype=_np.float64)
+    weights: dict[int, int] = {}
+    for tok, v in vecs.items():
+        gram = tok.replace("_", " ")
+        bucket = int(md5_long60_py(gram) % buckets)
+        micros = int(_np.floor(float(_np.dot(v, out_vec)) * 1e6 + 0.5))
+        weights[bucket] = weights.get(bucket, 0) + micros
+    return weights
+
+
 def fasttext_score(docs: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   weights: dict[int, int] | None = None) -> DataFrame:
     """Inference pass of a fastText-style linear text classifier (Joulin
     et al. 2016 — hashed bigram bag averaged into a linear score), the
     model family the DCLM and FineWeb-Edu pipelines use for model-based
@@ -730,8 +782,12 @@ def fasttext_score(docs: DataFrame, id_col: str = "doc_id",
 
     The demo weight table is DERIVED (md5 of the bucket id → integer in
     [-1000, 1000] micros), so no 4096-literal table rides the plan and
-    the DuckDB oracle reproduces it bit-for-bit; a real model swaps in a
-    broadcast bucket→weight map with the identical plan shape. Score =
+    the DuckDB oracle reproduces it bit-for-bit; passing ``weights`` (a
+    bucket→micros dict, e.g. from :func:`load_fasttext_vec` over a real
+    fastText .vec dump) swaps in the real model as a map literal with
+    the IDENTICAL plan shape — still map-side, zero joins, one
+    partial-agg groupBy (tests/test_curation.py asserts plan-shape
+    equality between the two). Score =
     mean feature weight in integer micros (exact under any partitioning:
     bigint sum ÷ count in one partial-agg groupBy); the keep label is an
     integer comparison, and the probability is a fast-sigmoid of the
@@ -749,14 +805,28 @@ def fasttext_score(docs: DataFrame, id_col: str = "doc_id",
         ).alias("gs"),
     ).select("_id", F.explode_outer("gs").alias("g"))
     bucket = F.pmod(md5_long60(F.col("g")), F.lit(FASTTEXT_BUCKETS))
+    if weights is None:
+        wt_of_bucket = F.pmod(
+            md5_long60(F.concat(F.lit("ft:"), bucket.cast("string"))),
+            F.lit(FASTTEXT_W_SPAN),
+        ) - F.lit(1000)
+    else:
+        # Real-model path: the loaded bucket→micros table as a map
+        # literal (absent buckets score 0, like fastText's untrained
+        # hash cells). Same plan shape: map-side lookup, no join.
+        pairs = [
+            x
+            for b, wv in sorted(weights.items())
+            for x in (F.lit(int(b)), F.lit(int(wv)))
+        ]
+        wt_of_bucket = F.coalesce(
+            F.element_at(F.create_map(*pairs), bucket), F.lit(0)
+        )
     feat = grams.withColumn(
         "wt",
-        F.when(F.col("g").isNull(), F.lit(0)).otherwise(
-            F.pmod(
-                md5_long60(F.concat(F.lit("ft:"), bucket.cast("string"))),
-                F.lit(FASTTEXT_W_SPAN),
-            ) - F.lit(1000)
-        ).cast("long"),
+        F.when(F.col("g").isNull(), F.lit(0))
+        .otherwise(wt_of_bucket)
+        .cast("long"),
     )
     agg = feat.groupBy("_id").agg(
         F.sum("wt").alias("wsum"),

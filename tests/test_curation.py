@@ -474,6 +474,56 @@ def test_fasttext_single_word_doc_is_neutral(spark):
         (0, 0, 0.5, True)
 
 
+def test_fasttext_real_model_file_same_plan(spark):
+    """The 'swap in a real model, identical plan' claim, proven with an
+    actual fastText TEXT-format (.vec) model file: load_fasttext_vec
+    computes each feature's scalar weight as input·output (the supervised
+    fastText score), re-buckets with the engine hash, and fasttext_score
+    consumes it as a map literal — same map-side plan, no joins, same
+    shuffle count as the derived-table path."""
+    import os
+
+    from crawler_spark.operators.curation import (
+        fasttext_score,
+        load_fasttext_vec,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "tiny_quality.vec")
+    weights = load_fasttext_vec(path)
+    # hand-computed input·output micros for two features
+    b_good = int(hashlib.md5(b"good article").hexdigest()[:15], 16) % 4096
+    b_click = int(hashlib.md5(b"click here").hexdigest()[:15], 16) % 4096
+    assert weights[b_good] == 725000       # 0.8 - 0.1 + 0.025
+    assert weights[b_click] == -1100000    # -0.9 - 0.3 + 0.1
+
+    rows = [(1, "good article useful info", "en"),
+            (2, "click here buy now", "en"),
+            (3, "good article unseen grams here", "en")]
+    real = fasttext_score(_docs(spark, rows), weights=weights)
+    out = {r.doc_id: r for r in real.collect()}
+    # doc 1: (725000 + 0 + 700000) // 3 (unseen 'article useful' -> 0)
+    assert (out[1].n_feats, out[1].score_micro, out[1].keep) == \
+        (3, 475000, True)
+    # doc 2: (-1100000 + 0 + -750000) floor-div 3
+    assert (out[2].n_feats, out[2].score_micro, out[2].keep) == \
+        (3, -616667, False)
+    assert (out[3].n_feats, out[3].score_micro) == (4, 725000 // 4)
+
+    # identical plan shape vs the derived-table path: map-side only —
+    # no join anywhere, same number of exchanges (the one partial-agg
+    # groupBy), no extra stage for the real model
+    # (fresh, un-executed frames: a collected frame's AQE-final plan
+    # prints exchanges differently than a pre-execution plan)
+    derived = fasttext_score(_docs(spark, rows))
+    real2 = fasttext_score(_docs(spark, rows), weights=weights)
+    p_real = real2._jdf.queryExecution().executedPlan().toString()
+    p_drv = derived._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p_real
+    assert p_real.count("Exchange") == p_drv.count("Exchange")
+    assert "BatchEvalPython" not in p_real
+
+
 def test_url_quality_mirror_matches_spark_column(spark):
     """url_quality_action_py (the simulator's mirror in the filter-guarded
     crawl mode) equals the Spark column on every action path."""
